@@ -1,0 +1,187 @@
+"""BM25 scoring and lexical-match operators as pure DataFrame plans.
+
+Reproduces the reference's lexical retrieval semantics (SURVEY.md §2.3) on
+Spark: Lucene-default BM25 (k1=1.2, b=0.75 — the reference's ES mappings set
+no custom similarity, ``elasticsearch_index_manager.py:103-260``), exact term
+match, multi-field dis-max, phrase adjacency, edge-ngram prefix and wildcard
+match (``elasticsearch_adapters.py:172-255``).
+
+Everything here is JVM-side Column arithmetic — no Python UDFs — so Catalyst
+keeps the whole plan in codegen, pushes the ``term IN (...)`` predicate into
+the postings scan, and plans the final top-k as TakeOrderedAndProject.
+
+Scoring (Lucene BM25, the reference engine's default):
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfnorm(t,d) = tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score(q,d)  = Σ_t idf(t) * tfnorm(t,d)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .postings import CorpusStats, build_postings, corpus_stats, doc_lengths
+
+K1 = 1.2
+B = 0.75
+
+
+def idf_col(df_col, n_docs: int):
+    return F.log(F.lit(1.0) + (F.lit(float(n_docs)) - df_col + 0.5) / (df_col + 0.5))
+
+
+def tfnorm_col(tf_col, dl_col, avgdl: float, k1: float = K1, b: float = B):
+    return (tf_col * (k1 + 1.0)) / (
+        tf_col + k1 * (1.0 - b + b * dl_col / F.lit(float(avgdl)))
+    )
+
+
+def score_terms(
+    postings: DataFrame,
+    dl: DataFrame,
+    terms: list[str],
+    stats: CorpusStats,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Per-(doc, term) BM25 contributions for the given query terms.
+
+    ``term IN (...)`` is pushed into the postings scan (partition/row-group
+    pruning on a term-sorted index); document frequencies are computed on the
+    pruned postings and broadcast back — the per-doc join is a broadcast hash
+    join, no shuffle of the postings side beyond the scan.
+    """
+    matched = postings.where(F.col("term").isin(terms))
+    tdf = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        matched.join(F.broadcast(tdf), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "term_score",
+            idf_col(F.col("df"), stats.n_docs)
+            * tfnorm_col(F.col("tf"), F.col("doc_len"), stats.avgdl, k1, b),
+        )
+    )
+    return scored.select("doc_id", "term", "tf", "term_score")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str | list[str],
+    k: int = 10,
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    postings: DataFrame | None = None,
+    dl: DataFrame | None = None,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """Top-k BM25 → (doc_id, score, n_terms_matched), deterministic order
+    (score desc, doc_id asc). Catalyst plans the limit as a distributed
+    TakeOrderedAndProject — no global sort materialization."""
+    from ..functions.tokenize import INDEX_TOKEN_SPLIT_RE
+    import re
+
+    terms = (
+        [t for t in re.split(INDEX_TOKEN_SPLIT_RE, query.lower()) if t]
+        if isinstance(query, str)
+        else list(query)
+    )
+    if postings is None:
+        postings = build_postings(docs, text_col, positions=False)
+    if dl is None:
+        dl = doc_lengths(docs, text_col)
+    if stats is None:
+        stats = corpus_stats(docs, text_col)
+    scored = score_terms(postings, dl, terms, stats, k1, b)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase_terms: list[str],
+    text_col: str = "text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """doc_ids containing the terms adjacently (ES match_phrase, slop=0;
+    reference query at ``elasticsearch_adapters.py:206-216``).
+
+    Positions-list intersection: start from term 0's positions and
+    successively keep only positions p with p+i present in term i's list —
+    all JVM array expressions (`F.filter` + `array_contains`), no UDF.
+    """
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    if postings is None:
+        postings = build_postings(docs, text_col, positions=True)
+    current = (
+        postings.where(F.col("term") == phrase_terms[0])
+        .select("doc_id", F.col("positions").alias("cand"))
+    )
+    def _adjacent_in(pos_col: str, offset: int):
+        return lambda p: F.array_contains(F.col(pos_col), p + F.lit(offset))
+
+    for i, term in enumerate(phrase_terms[1:], start=1):
+        nxt = postings.where(F.col("term") == term).select(
+            "doc_id", F.col("positions").alias(f"pos_{i}")
+        )
+        current = (
+            current.join(nxt, "doc_id")
+            .withColumn("cand", F.filter(F.col("cand"), _adjacent_in(f"pos_{i}", i)))
+            .where(F.size("cand") > 0)
+            .select("doc_id", "cand")
+        )
+    return current.select("doc_id", F.size("cand").alias("n_occurrences"))
+
+
+def prefix_match_terms(
+    postings: DataFrame, prefix: str, min_len: int = 2, max_len: int = 20
+) -> DataFrame:
+    """Edge-ngram prefix semantics (analyzer min 2 / max 20 grams,
+    ``elasticsearch_index_manager.py:296-315``): all index terms extending
+    ``prefix``. Rather than materializing edge-ngrams at index time (×10
+    index bloat at web scale), the same result comes from a range predicate
+    on the term dictionary — sargable on a term-sorted index."""
+    p = prefix.lower()
+    if len(p) < min_len:
+        return postings.where(F.lit(False)).select("term").distinct()
+    return (
+        postings.where(F.col("term").startswith(p) & (F.length("term") >= min_len))
+        .where(F.length(F.lit(p)) <= max_len)
+        .select("term")
+        .distinct()
+    )
+
+
+def wildcard_match(postings: DataFrame, prefix: str) -> DataFrame:
+    """Wildcard `prefix*` gate (off by default in the reference,
+    ``elasticsearch_adapters.py:218-228``): docs with any matching term."""
+    return (
+        postings.where(F.col("term").startswith(prefix.lower()))
+        .select("doc_id")
+        .distinct()
+    )
+
+
+def dis_max(field_scores: list[DataFrame], tie_breaker: float = 0.3) -> DataFrame:
+    """ES best_fields dis-max combine: max + tie_breaker * (sum - max) over
+    per-field score DataFrames (doc_id, score). Reference weights/tie-breaker
+    at ``config.py:162-179``."""
+    unioned = field_scores[0]
+    for other in field_scores[1:]:
+        unioned = unioned.unionByName(other)
+    return unioned.groupBy("doc_id").agg(
+        (
+            F.max("score")
+            + F.lit(tie_breaker) * (F.sum("score") - F.max("score"))
+        ).alias("score")
+    )
