@@ -1,0 +1,146 @@
+"""Top-k BM25 over the compressed shard index with block-max pruning.
+
+Query lifecycle (mirrors the reference's AC search stage — the posting-list
+join inside Elasticsearch, ``elasticsearch_adapters.py:428-484`` — re-expressed
+over our own index):
+
+ 1. tokenize the query; map terms → shard ids driver-side (same xxhash64 the
+    build used) → the parquet scan prunes to |terms| shard directories and,
+    via term-sorted row-group stats, to the matching rows only.
+ 2. compute per-(doc-id-range) chunk upper bounds from the stored block-max
+    arrays — *metadata only*, no posting decode (JVM `array_max` + groupBy).
+ 3. score the most promising chunks first to establish the top-k threshold θ,
+    then prune every remaining chunk whose upper bound < θ — exact: a pruned
+    chunk cannot contain a doc scoring above θ.  This is block-max WAND
+    pruning applied at chunk granularity (per-posting pivoting inside a chunk
+    is unnecessary because chunk scoring is a vectorized numpy accumulation).
+ 4. surviving chunks are scored in parallel (`applyInPandas` per chunk:
+    varint-decode gaps, sum float64 contributions with np.bincount, local
+    top-k), then merged with a global TakeOrderedAndProject.
+
+Rank-identity vs the uncompressed DataFrame BM25 plan is asserted in
+tests/test_wand.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions.codec import delta_decode
+from ..functions.tokenize import INDEX_TOKEN_SPLIT_RE
+from ..sources.index_io import IndexMeta, load_index
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+        StructField("n_terms_matched", IntegerType()),
+    ]
+)
+
+
+def _spark_shard_of_terms(spark: SparkSession, terms: list[str], n_shards: int) -> dict[str, int]:
+    """Driver-side xxhash64(term) % n_shards, computed by the same JVM
+    function the build used (one tiny local job, no guessing at the hash)."""
+    df = spark.createDataFrame([(t,) for t in terms], "term string").withColumn(
+        "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int")
+    )
+    return {r["term"]: r["shard"] for r in df.collect()}
+
+
+def _score_chunks(k: int):
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids_parts = []
+        score_parts = []
+        for gaps, scores in zip(pdf["doc_gaps"], pdf["scores"]):
+            ids_parts.append(delta_decode(gaps))
+            score_parts.append(np.frombuffer(scores, dtype=np.float64))
+        ids = np.concatenate(ids_parts)
+        contrib = np.concatenate(score_parts)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        sums = np.bincount(inv, weights=contrib)
+        counts = np.bincount(inv)
+        # exact per-chunk top-k under the global ordering (score desc, doc asc)
+        order = np.lexsort((uniq, -sums))[:k]
+        return pd.DataFrame(
+            {
+                "doc_id": uniq[order],
+                "score": sums[order],
+                "n_terms_matched": counts[order].astype(np.int32),
+            }
+        )
+
+    return score
+
+
+def query_terms(query: str) -> list[str]:
+    return [t for t in re.split(INDEX_TOKEN_SPLIT_RE, query.lower()) if t]
+
+
+def topk_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+    k: int = 10,
+    seed_chunks: int = 4,
+    index_df: DataFrame | None = None,
+    meta: IndexMeta | None = None,
+) -> DataFrame:
+    """Exact top-k BM25 over the compressed index → (doc_id, score,
+    n_terms_matched) ordered (score desc, doc_id asc)."""
+    if index_df is None or meta is None:
+        index_df, meta = load_index(spark, index_dir)
+    terms = query_terms(query) if isinstance(query, str) else list(query)
+    if not terms:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    shard_of = _spark_shard_of_terms(spark, terms, meta.n_shards)
+    shards = sorted(set(shard_of.values()))
+
+    matched = index_df.where(
+        F.col("shard").isin(shards) & F.col("term").isin(terms)
+    )
+
+    # chunk upper bounds from block-max metadata only (no binary decode)
+    ubs = (
+        matched.select("chunk", F.array_max("block_max").alias("term_ub"))
+        .groupBy("chunk")
+        .agg(F.sum("term_ub").alias("ub"))
+        .orderBy(F.desc("ub"))
+        .collect()
+    )
+    if not ubs:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    chunk_ubs = [(int(r["chunk"]), float(r["ub"])) for r in ubs]
+
+    score_fn = _score_chunks(k)
+
+    def run(chunks: list[int]) -> DataFrame:
+        return (
+            matched.where(F.col("chunk").isin(chunks))
+            .groupBy("chunk")
+            .applyInPandas(score_fn, RESULT_SCHEMA)
+        )
+
+    seed = [c for c, _ in chunk_ubs[:seed_chunks]]
+    seed_res = run(seed).orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    theta = seed_res[-1]["score"] if len(seed_res) >= k else float("-inf")
+
+    survivors = [c for c, ub in chunk_ubs[seed_chunks:] if ub >= theta]
+    if survivors:
+        rest = run(survivors)
+        all_res = spark.createDataFrame(seed_res, RESULT_SCHEMA).unionByName(rest)
+    else:
+        all_res = spark.createDataFrame(seed_res, RESULT_SCHEMA)
+    return all_res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

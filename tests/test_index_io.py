@@ -1,0 +1,80 @@
+"""Compressed index build: manifests, resume semantics, codec roundtrip."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hybrid_sanctions_search_engine_spark.functions.codec import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+from hybrid_sanctions_search_engine_spark.sources.index_io import (
+    build_index,
+    completed_shards,
+    load_index,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=500))
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=10**12), max_size=300))
+def test_delta_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    assert np.array_equal(delta_decode(delta_encode(arr)), arr)
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, sf_smoke_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("index"))
+    docs = spark.read.parquet(os.path.join(sf_smoke_dir, "documents.parquet"))
+    report = build_index(docs, index_dir, n_shards=4, chunk_bits=7)
+    return index_dir, report, docs
+
+
+def test_build_report_and_manifests(built_index):
+    index_dir, report, _ = built_index
+    assert report["shards_built"] == [0, 1, 2, 3]
+    assert report["postings"] > 0 and report["bytes"] > 0
+    for s in range(4):
+        with open(os.path.join(index_dir, f"shard={s}", "_manifest.json")) as fh:
+            m = json.load(fh)
+        assert m["status"] == "complete"
+        assert m["postings"] > 0 and m["bytes"] > 0 and m["elapsed_sec"] >= 0
+
+
+def test_resume_skips_completed(built_index, spark):
+    index_dir, _, docs = built_index
+    # invalidate one shard -> only that shard rebuilds
+    os.remove(os.path.join(index_dir, "shard=2", "_manifest.json"))
+    assert completed_shards(index_dir, 4) == [0, 1, 3]
+    report2 = build_index(docs, index_dir, n_shards=4, chunk_bits=7)
+    assert report2["shards_built"] == [2]
+    assert sorted(report2["shards_skipped"]) == [0, 1, 3]
+    # full resume: everything skipped, nothing rebuilt
+    report3 = build_index(docs, index_dir, n_shards=4, chunk_bits=7)
+    assert report3["shards_built"] == []
+    assert sorted(report3["shards_skipped"]) == [0, 1, 2, 3]
+
+
+def test_index_readable_with_pruning(built_index, spark):
+    index_dir, _, _ = built_index
+    df, meta = load_index(spark, index_dir)
+    assert meta.n_docs == 500 and meta.n_shards == 4
+    some = df.where(df.term == "spark").collect()
+    assert len(some) >= 1
+    total_postings = df.agg({"n_docs": "sum"}).collect()[0][0]
+    assert total_postings > 0

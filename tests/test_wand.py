@@ -1,0 +1,51 @@
+"""Rank-identity of the compressed block-max query path vs the reference
+DataFrame BM25 plan (the driver-oracle-checked one)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hybrid_sanctions_search_engine_spark.operators.bm25 import bm25_topk
+from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+from hybrid_sanctions_search_engine_spark.sources.index_io import build_index, load_index
+
+QUERIES = [
+    "spark query join",
+    "window",
+    "fast key order",
+    "customer data stream batch",
+    "nonexistentterm",
+    "the",          # stopword-free index: still a term here
+    "scan merge sort hash agg",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("wand_index"))
+    docs = spark.read.parquet(os.path.join(sf_smoke_dir, "documents.parquet"))
+    build_index(docs, index_dir, n_shards=4, chunk_bits=6)  # several chunks
+    idx, meta = load_index(spark, index_dir)
+    return docs, index_dir, idx, meta
+
+
+@pytest.mark.parametrize("query", QUERIES)
+@pytest.mark.parametrize("k", [5, 20])
+def test_rank_identity(spark, corpus, query, k):
+    docs, index_dir, idx, meta = corpus
+    expected = [
+        (r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+        for r in bm25_topk(docs, query, k=k).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+        for r in topk_search(spark, index_dir, query, k=k, index_df=idx, meta=meta).collect()
+    ]
+    assert got == expected
+
+
+def test_empty_query(spark, corpus):
+    _, index_dir, idx, meta = corpus
+    assert topk_search(spark, index_dir, "", k=5, index_df=idx, meta=meta).count() == 0
