@@ -1,0 +1,110 @@
+"""Headline benchmark — run by the driver each round.
+
+Runs the engine's flagship operations at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "extra": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> None:
+    from hybrid_sanctions_search_engine_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+    from hybrid_sanctions_search_engine_spark.sources.index_io import (
+        build_index,
+        load_index,
+    )
+
+    spark = get_spark("bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs.count()  # warm the scan
+
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 4)
+        return out
+
+    index_dir = tempfile.mkdtemp(prefix="bench_index_")
+    try:
+        report = timed(
+            "index_build",
+            lambda: build_index(docs, index_dir, n_shards=8, chunk_bits=9),
+        )
+        extra["index_build"] = {
+            "docs_per_sec": report["docs_per_sec"],
+            "postings": report["postings"],
+            "bytes": report["bytes"],
+        }
+        idx, meta = load_index(spark, index_dir)
+        idx = idx.cache()
+        idx.count()
+
+        wand_queries = {
+            "q_wand_3term": "spark query join",
+            "q_wand_1term": "window",
+            "q_wand_5term": "scan merge sort hash agg",
+        }
+        for name, q in wand_queries.items():
+            timed(
+                name,
+                lambda q=q: topk_search(
+                    spark, index_dir, q, k=10, index_df=idx, meta=meta
+                ).collect(),
+            )
+
+        # driver-contract queries (same definitions the correctness gate runs)
+        queries = entry_mod.queries()
+        for name in (
+            "bm25_topk",
+            "phrase_match",
+            "agg_pricing",
+            "join_revenue_by_segment",
+            "window_rank",
+            "score_fusion",
+            "term_df_top20",
+        ):
+            if name in queries:
+                timed(f"q_{name}", lambda n=name: queries[n](spark, SF_DIR).collect())
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (index build + top-k BM25 + relational ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "cpus": CPUS,
+                "extra": extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
