@@ -24,6 +24,16 @@ from hybrid_sanctions_search_engine_spark.operators import postings as post_ops
 # shared fragments
 # ---------------------------------------------------------------------------
 
+
+def _r4(col):
+    """Rounding that is bit-identical between Spark and DuckDB: pure IEEE
+    double ops (floor(x*1e4 + 0.5)/1e4) instead of engine-specific decimal
+    rounding of the shortest repr."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
 BM25_QUERY_TERMS = ["spark", "query", "join"]
 
 # DuckDB CTEs mirroring the JVM index tokenizer + postings build exactly.
@@ -54,7 +64,7 @@ def _tbl(spark: SparkSession, sf: str, name: str) -> DataFrame:
 def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     res = bm25_ops.bm25_topk(_docs(spark, sf), BM25_QUERY_TERMS, k=10)
     return res.select(
-        "doc_id", F.round("score", 4).alias("score"), "n_terms_matched"
+        "doc_id", _r4("score").alias("score"), "n_terms_matched"
     )
 
 
@@ -78,7 +88,7 @@ def q_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs(spark, sf)
     return post_ops.doc_lengths(docs).agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("doc_len"), 4).alias("avgdl"),
+        _r4(F.avg("doc_len")).alias("avgdl"),
     )
 
 
@@ -113,7 +123,7 @@ def q_top_orders(spark: SparkSession, sf: str) -> DataFrame:
         _tbl(spark, sf, "orders")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
-        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice"))
+        .select("o_orderkey", "o_custkey", _r4("o_totalprice").alias("o_totalprice"))
     )
 
 
@@ -136,10 +146,10 @@ def q_agg_pricing(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            _r4(F.sum("l_quantity")).alias("sum_qty"),
+            _r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r4(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("sum_disc_price"),
             F.count("*").cast("long").alias("count_order"),
         )
@@ -153,7 +163,7 @@ def q_join_revenue_by_segment(spark: SparkSession, sf: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            _r4(F.sum("o_totalprice")).alias("revenue"),
             F.count("*").cast("long").alias("n_orders"),
         )
     )
@@ -179,7 +189,7 @@ def q_tier_boost(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(1.0),
     )
     return boosted.groupBy("event_type").agg(
-        F.round(F.sum("boosted"), 4).alias("sum_boosted"),
+        _r4(F.sum("boosted")).alias("sum_boosted"),
         F.count("*").cast("long").alias("n"),
     )
 
@@ -207,7 +217,7 @@ def q_score_fusion(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        fused.select("user_id", F.round("fused", 4).alias("fused"))
+        fused.select("user_id", _r4("fused").alias("fused"))
         .orderBy(F.desc("fused"), F.asc("user_id"))
         .limit(50)
     )
@@ -217,8 +227,8 @@ def q_percentile_latency(spark: SparkSession, sf: str) -> DataFrame:
     """A5/W4: exact p50/p95 per event_type (reference keeps rolling p95)."""
     ev = _tbl(spark, sf, "events")
     return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", 0.5), 4).alias("p50"),
-        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+        _r4(F.percentile("value", 0.5)).alias("p50"),
+        _r4(F.percentile("value", 0.95)).alias("p95"),
     )
 
 
@@ -232,8 +242,259 @@ def q_dis_max(spark: SparkSession, sf: str) -> DataFrame:
         F.avg("value").alias("score")
     ).select(F.col("user_id").alias("doc_id"), "score")
     return bm25_ops.dis_max([f1, f2], tie_breaker=0.3).select(
-        F.col("doc_id").alias("user_id"), F.round("score", 4).alias("score")
+        F.col("doc_id").alias("user_id"), _r4("score").alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+def q_doc_md5(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _docs(spark, sf)
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", F.md5("text").alias("text_md5"))
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.functions.textstats import fingerprint_col
+
+    return (
+        _docs(spark, sf)
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", fingerprint_col(F.col("text")).alias("fingerprint"))
+    )
+
+
+def q_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.functions.textstats import token_count_col
+
+    return _docs(spark, sf).select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+
+
+def q_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.functions.textstats import (
+        quality_score_col,
+    )
+
+    return (
+        _docs(spark, sf)
+        .where(F.col("doc_id") < 100)
+        .select("doc_id", _r4(quality_score_col(F.col("text"))).alias("quality"))
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.functions.textstats import lang_id_col
+
+    return _docs(spark, sf).select(
+        "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.operators.dedup import (
+        jaccard_pairs_blocked,
+    )
+
+    return jaccard_pairs_blocked(_docs(spark, sf), threshold=0.5, max_doc_id=150)
+
+
+def q_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # no SQL oracle (xxhash64 signatures); rows-only check + unit tests
+    from hybrid_sanctions_search_engine_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf), threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # no SQL oracle (FNV simhash); rows-only check + unit tests
+    from hybrid_sanctions_search_engine_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    return simhash_near_dup_pairs(_docs(spark, sf), max_hamming=8)
+
+
+KNN_QUERY_TEXT = "spark query join"
+KNN_DIM = 64
+
+
+def _knn_query_vec() -> list[float]:
+    from hybrid_sanctions_search_engine_spark.functions.vectors import pseudo_embedding
+
+    return pseudo_embedding(KNN_QUERY_TEXT, KNN_DIM)
+
+
+def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.operators.similarity import knn_bruteforce
+
+    emb = _tbl(spark, sf, "embeddings")
+    res = knn_bruteforce(emb, _knn_query_vec(), k=10)
+    return res.select("vec_id", _r4("cos_sim").alias("cos_sim"))
+
+
+def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # rows-only: ANN recall is probed against exact kNN in unit tests
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        add_lsh_signature,
+        knn_lsh,
+    )
+
+    emb = add_lsh_signature(_tbl(spark, sf, "embeddings"), dim=KNN_DIM, n_planes=12)
+    res = knn_lsh(emb, _knn_query_vec(), dim=KNN_DIM, k=10, n_planes=12, max_hamming=4)
+    return res.select("vec_id", _r4("cos_sim").alias("cos_sim"))
+
+
+FUZZY_QUERY_NAME = "customer#000000012"
+
+
+def q_fuzzy_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.operators.fuzzy import (
+        fuzzy_term_candidates,
+    )
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        build_postings,
+        term_doc_freq,
+    )
+
+    dictionary = term_doc_freq(build_postings(_docs(spark, sf), positions=False))
+    return fuzzy_term_candidates(dictionary, "sparc", max_edits=1, max_expansions=20)
+
+
+def q_fuzzy_rescore(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.operators.fuzzy import fuzzy_rescore
+
+    cands = _tbl(spark, sf, "customer").select(
+        "c_custkey", F.col("c_name").alias("text"), F.lit(25.0).alias("score")
+    )
+    out = fuzzy_rescore(cands, FUZZY_QUERY_NAME)
+    return out.select(
+        "c_custkey",
+        "edit_dist",
+        _r4("edit_ratio").alias("edit_ratio"),
+        _r4("fuzzy_score").alias("fuzzy_score"),
+    )
+
+
+def q_similarity_blend(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.operators.fuzzy import similarity_blend
+
+    cust = (
+        _tbl(spark, sf, "customer")
+        .where(F.col("c_custkey") < 20)
+        .select("c_custkey", "c_name")
+    )
+    supp = (
+        _tbl(spark, sf, "supplier")
+        .where(F.col("s_suppkey") < 20)
+        .select("s_suppkey", "s_name")
+    )
+    pairs = cust.crossJoin(supp)
+    return similarity_blend(pairs, "c_name", "s_name").select(
+        "c_custkey", "s_suppkey", _r4("sim_score").alias("sim_score")
+    )
+
+
+def q_overlay_union(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.operators.fusion import overlay_union
+
+    ev = _tbl(spark, sf, "events")
+    base = ev.where(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.avg("value").alias("score")
+    ).select(F.col("user_id").alias("doc_id"), "score")
+    delta = ev.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.avg("value").alias("score")
+    ).select(F.col("user_id").alias("doc_id"), "score")
+    return overlay_union(base, delta).select(
+        F.col("doc_id").alias("user_id"), _r4("score").alias("score")
+    )
+
+
+def q_confidence_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    from hybrid_sanctions_search_engine_spark.operators.fusion import (
+        confidence_normalize,
+    )
+
+    ev = _tbl(spark, sf, "events").select(
+        "event_id", "event_type", F.col("value").alias("score")
+    )
+    out = confidence_normalize(ev, query_col="event_type")
+    return out.select(
+        "event_id", "event_type", _r4("confidence").alias("confidence")
+    )
+
+
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _tbl(spark, sf, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            _r4(F.avg("k")).alias("avg_k"),
+            F.count("k").cast("long").alias("n_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# generated oracle fragments
+# ---------------------------------------------------------------------------
+
+def _lang_id_oracle() -> str:
+    from hybrid_sanctions_search_engine_spark.functions.textstats import LANG_MARKERS
+
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        parts = [
+            f"((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2})::INT"
+            for w in words
+        ]
+        score_exprs.append(f"({' + '.join(parts)}) AS s_{lang}")
+    langs = list(LANG_MARKERS)
+    best = ", ".join(f"s_{lang}" for lang in langs)
+    whens = "\n".join(
+        f"  WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH padded AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+),
+scores AS (
+  SELECT doc_id, {", ".join(score_exprs)} FROM padded
+),
+withbest AS (
+  SELECT *, greatest({best}) AS best FROM scores
+)
+SELECT doc_id, CASE
+{whens}
+  ELSE 'und' END AS lang_pred
+FROM withbest
+"""
+
+
+_LANG_ID_ORACLE = _lang_id_oracle()
+
+
+def _knn_oracle_sql() -> str:
+    vec = _knn_query_vec()
+    lits = ", ".join(repr(v) for v in vec)
+    return f"""
+WITH q AS (SELECT [{lits}]::DOUBLE[] AS qv),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(qv, qv))) AS cos
+  FROM embeddings CROSS JOIN q
+)
+SELECT vec_id, floor((cos) * 10000 + 0.5) / 10000 AS cos_sim
+FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -264,6 +525,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_fusion": q_score_fusion,
         "percentile_latency": q_percentile_latency,
         "dis_max": q_dis_max,
+        "doc_md5": q_doc_md5,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "fuzzy_candidates": q_fuzzy_candidates,
+        "fuzzy_rescore": q_fuzzy_rescore,
+        "similarity_blend": q_similarity_blend,
+        "overlay_union": q_overlay_union,
+        "confidence_normalize": q_confidence_normalize,
+        "json_extract": q_json_extract,
     }
 
 
@@ -285,7 +562,7 @@ scored AS (
   JOIN dl l USING (doc_id)
   CROSS JOIN stats s
 )
-SELECT doc_id, round(sum(ts), 4) AS score, count(*)::INT AS n_terms_matched
+SELECT doc_id, floor((sum(ts)) * 10000 + 0.5) / 10000 AS score, count(*)::INT AS n_terms_matched
 FROM scored GROUP BY doc_id
 ORDER BY sum(ts) DESC, doc_id LIMIT 10
 """,
@@ -300,7 +577,7 @@ ORDER BY df DESC, term LIMIT 20
 """,
         "corpus_stats": f"""
 WITH {_ORACLE_TOKS}
-SELECT count(*)::BIGINT AS n_docs, round(avg(doc_len), 4) AS avgdl FROM dl
+SELECT count(*)::BIGINT AS n_docs, floor((avg(doc_len)) * 10000 + 0.5) / 10000 AS avgdl FROM dl
 """,
         "phrase_match": f"""
 WITH {_ORACLE_TOKS},
@@ -326,7 +603,7 @@ SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term
 ORDER BY df DESC, term LIMIT 20
 """,
         "top_orders": """
-SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+SELECT o_orderkey, o_custkey, floor((o_totalprice) * 10000 + 0.5) / 10000 AS o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """,
         "window_rank": """
@@ -338,14 +615,14 @@ SELECT o_custkey, o_orderkey, rnk FROM (
 """,
         "agg_pricing": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       floor((sum(l_quantity)) * 10000 + 0.5) / 10000 AS sum_qty,
+       floor((sum(l_extendedprice)) * 10000 + 0.5) / 10000 AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 10000 + 0.5) / 10000 AS sum_disc_price,
        count(*)::BIGINT AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """,
         "join_revenue_by_segment": """
-SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue, count(*)::BIGINT AS n_orders
+SELECT c_mktsegment, floor((sum(o_totalprice)) * 10000 + 0.5) / 10000 AS revenue, count(*)::BIGINT AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -355,7 +632,7 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """,
         "tier_boost": """
 SELECT event_type,
-       round(sum(value * CASE event_type WHEN 'purchase' THEN 2.0 WHEN 'click' THEN 1.5 ELSE 1.0 END), 4) AS sum_boosted,
+       floor((sum(value * CASE event_type WHEN 'purchase' THEN 2.0 WHEN 'click' THEN 1.5 ELSE 1.0 END)) * 10000 + 0.5) / 10000 AS sum_boosted,
        count(*)::BIGINT AS n
 FROM events GROUP BY event_type
 """,
@@ -368,12 +645,12 @@ fused AS (
          + CASE WHEN ac_score IS NOT NULL AND vec_score IS NOT NULL THEN 0.1 ELSE 0.0 END AS f
   FROM ac FULL OUTER JOIN vec ON ac.user_id = vec.user_id
 )
-SELECT user_id, round(f, 4) AS fused FROM fused ORDER BY f DESC, user_id LIMIT 50
+SELECT user_id, floor((f) * 10000 + 0.5) / 10000 AS fused FROM fused ORDER BY f DESC, user_id LIMIT 50
 """,
         "percentile_latency": """
 SELECT event_type,
-       round(quantile_cont(value, 0.5), 4) AS p50,
-       round(quantile_cont(value, 0.95), 4) AS p95
+       floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000 AS p50,
+       floor((quantile_cont(value, 0.95)) * 10000 + 0.5) / 10000 AS p95
 FROM events GROUP BY event_type
 """,
         "dis_max": """
@@ -381,7 +658,116 @@ WITH f1 AS (SELECT user_id AS doc_id, avg(value) AS score FROM events WHERE even
 f2 AS (SELECT user_id AS doc_id, avg(value) AS score FROM events WHERE event_type = 'view' GROUP BY user_id),
 u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
 SELECT doc_id AS user_id,
-       round(max(score) + 0.3 * (sum(score) - max(score)), 4) AS score
+       floor((max(score) + 0.3 * (sum(score) - max(score))) * 10000 + 0.5) / 10000 AS score
 FROM u GROUP BY doc_id
+""",
+        "doc_md5": """
+SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id < 100
+""",
+        "fingerprint": f"""
+WITH {_ORACLE_TOKS}
+SELECT doc_id, md5(array_to_string(list_sort(list_distinct(tokens)), ' ')) AS fingerprint
+FROM toks WHERE doc_id < 100
+""",
+        "token_count": f"""
+WITH {_ORACLE_TOKS}
+SELECT doc_id, len(tokens)::INT AS n_tokens FROM toks
+""",
+        "quality_score": f"""
+WITH {_ORACLE_TOKS},
+q AS (
+  SELECT t.doc_id,
+         len(t.tokens) AS n_tok,
+         len(list_distinct(t.tokens)) AS n_distinct,
+         replace(lower(d.text), ' ', '') AS no_space
+  FROM toks t JOIN documents d USING (doc_id)
+  WHERE t.doc_id < 100
+)
+SELECT doc_id,
+       floor((
+         (CASE WHEN n_tok < 20 THEN n_tok / 20.0
+               WHEN n_tok > 1000 THEN 1000.0 / n_tok
+               ELSE 1.0 END) * 0.4
+         + (CASE WHEN length(no_space) > 0
+                 THEN length(regexp_replace(no_space, '[^a-z]', '', 'g')) / length(no_space)
+                 ELSE 0.0 END) * 0.3
+         + (1.0 - CASE WHEN n_tok > 0 THEN 1.0 - n_distinct / n_tok ELSE 1.0 END) * 0.3
+       ) * 10000 + 0.5) / 10000 AS quality
+FROM q
+""",
+        "lang_id": _LANG_ID_ORACLE,
+        "jaccard_pairs": f"""
+WITH {_ORACLE_TOKS},
+sets AS (SELECT doc_id, list_distinct(tokens) AS tokset FROM toks WHERE doc_id < 150)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor((len(list_intersect(a.tokset, b.tokset))
+             / len(list_distinct(list_concat(a.tokset, b.tokset)))) * 10000 + 0.5) / 10000 AS jaccard
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.tokset, b.tokset))
+      / len(list_distinct(list_concat(a.tokset, b.tokset))) >= 0.5
+""",
+        "knn_cosine": _knn_oracle_sql(),
+        "fuzzy_candidates": f"""
+WITH {_ORACLE_TOKS},
+dict AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term)
+SELECT term, df, levenshtein(term, 'sparc')::INT AS edit_dist
+FROM dict
+WHERE term LIKE 'sp%' AND levenshtein(term, 'sparc') <= 1
+ORDER BY edit_dist, term LIMIT 20
+""",
+        "fuzzy_rescore": f"""
+WITH c AS (
+  SELECT c_custkey, lower(c_name) AS tl,
+         levenshtein(lower(c_name), '{FUZZY_QUERY_NAME}') AS ed
+  FROM customer
+),
+s AS (
+  SELECT c_custkey, ed,
+         1.0 - ed / greatest({len(FUZZY_QUERY_NAME)}, length(tl)) AS er,
+         CASE WHEN tl = '{FUZZY_QUERY_NAME}' THEN 1.0 ELSE 0.0 END AS ws
+  FROM c WHERE ed <= 3
+),
+f AS (
+  SELECT c_custkey, ed, er,
+         (0.5 * 0.2 + er * 0.5 + ws * 0.3)
+           * CASE WHEN er < 0.6 THEN 0.7 ELSE 1.0 END AS fs,
+         er AS er2
+  FROM s
+)
+SELECT c_custkey, ed::INT AS edit_dist, floor((er) * 10000 + 0.5) / 10000 AS edit_ratio,
+       floor((fs) * 10000 + 0.5) / 10000 AS fuzzy_score
+FROM f
+WHERE fs >= CASE WHEN er > 0.8 THEN 0.4 ELSE 0.5 END
+""",
+        "similarity_blend": """
+WITH p AS (
+  SELECT c_custkey, s_suppkey, lower(c_name) AS a, lower(s_name) AS b
+  FROM (SELECT * FROM customer WHERE c_custkey < 20)
+  CROSS JOIN (SELECT * FROM supplier WHERE s_suppkey < 20)
+)
+SELECT c_custkey, s_suppkey,
+       floor((
+         (1.0 - levenshtein(a, b) / greatest(length(a), length(b), 1)) * 0.55
+         + (CASE WHEN a = b THEN 1.0 ELSE 0.0 END) * 0.45
+       ) * 10000 + 0.5) / 10000 AS sim_score
+FROM p
+""",
+        "overlay_union": """
+WITH base AS (SELECT user_id, avg(value) AS score FROM events WHERE event_type = 'click' GROUP BY user_id),
+delta AS (SELECT user_id, avg(value) AS score FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+r AS (SELECT user_id, score, row_number() OVER (PARTITION BY user_id ORDER BY score DESC) AS rn FROM u)
+SELECT user_id, floor((score) * 10000 + 0.5) / 10000 AS score FROM r WHERE rn = 1
+""",
+        "confidence_normalize": """
+SELECT event_id, event_type,
+       floor((value / max(value) OVER (PARTITION BY event_type)) * 10000 + 0.5) / 10000 AS confidence
+FROM events
+""",
+        "json_extract": """
+SELECT event_type,
+       floor((avg(json_extract_string(props, '$.k')::INT)) * 10000 + 0.5) / 10000 AS avg_k,
+       count(json_extract_string(props, '$.k'))::BIGINT AS n_k
+FROM events GROUP BY event_type
 """,
     }

@@ -1,0 +1,208 @@
+"""Fuzzy candidate gating + rescoring — the reference's escalation stage 2.
+
+Re-expresses (from scratch, as JVM Column plans) the reference's fuzzy
+machinery:
+  * candidate generation = ES ``fuzzy`` query, fuzziness=1, prefix_length=2,
+    max_expansions=20 (``hybrid_search_service.py:2287-2329``) → here a
+    prefix-bucketed dictionary join + ``F.levenshtein`` filter (no cross
+    join: candidates must share the 2-char prefix, exactly like ES's
+    prefix_length pruning — at web scale this join hits one dictionary
+    bucket per query term).
+  * verification + score normalization (``hybrid_search_service.py:2354-2409``):
+    edit-distance cap (≤3 below 15 chars, len/5 above), score =
+    0.2·es_norm + 0.5·edit_ratio + 0.3·word_jaccard, ×0.7 penalty when
+    edit_ratio < 0.6, drop below 0.4/0.5 threshold.
+  * anchor boosts (``hybrid_search_service.py:1032-1089``): DoB ×1.3,
+    ID ×1.2 when extracted query anchors appear in the candidate.
+  * tier boosts (``elasticsearch_adapters.py:447-466``).
+
+Everything is built-in Spark functions — fully codegen'd, no Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# L6: fuzzy candidate generation (prefix-bucketed Levenshtein join)
+# ---------------------------------------------------------------------------
+
+def fuzzy_term_candidates(
+    dictionary: DataFrame,
+    query_term: str,
+    max_edits: int = 1,
+    prefix_len: int = 2,
+    max_expansions: int = 20,
+) -> DataFrame:
+    """Dictionary terms within ``max_edits`` of ``query_term`` sharing its
+    ``prefix_len``-char prefix; capped at ``max_expansions`` by ascending
+    edit distance (ES tie-break: then by term).
+
+    ``dictionary`` needs a ``term`` column (e.g. ``term_doc_freq`` output).
+    """
+    q = query_term.lower()
+    prefix = q[:prefix_len]
+    return (
+        dictionary.where(F.col("term").startswith(prefix))
+        .withColumn("edit_dist", F.levenshtein(F.col("term"), F.lit(q)))
+        .where(F.col("edit_dist") <= max_edits)
+        .orderBy(F.asc("edit_dist"), F.asc("term"))
+        .limit(max_expansions)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L7: edit-distance verification + conservative score normalization
+# ---------------------------------------------------------------------------
+
+def fuzzy_rescore(
+    candidates: DataFrame,
+    query_text: str,
+    text_col: str = "text",
+    raw_score_col: str = "score",
+) -> DataFrame:
+    """Apply the reference's client-side fuzzy verification to candidate rows.
+
+    Adds ``edit_dist, edit_ratio, word_sim, fuzzy_score`` and filters exactly
+    like the reference: edit cap, 0.2/0.5/0.3 blend, ×0.7 low-ratio penalty,
+    0.4/0.5 minimum threshold.
+    """
+    q = query_text.lower()
+    max_edits = 3 if len(q) < 15 else max(3, len(q) // 5)
+    qlen = F.lit(len(q))
+    text_lower = F.lower(F.col(text_col))
+
+    q_words = F.array_distinct(F.split(F.lit(q), r"\s+"))
+    c_words = F.array_distinct(F.split(text_lower, r"\s+"))
+    inter = F.size(F.array_intersect(q_words, c_words))
+    union = F.size(F.array_union(q_words, c_words))
+
+    out = (
+        candidates.withColumn("edit_dist", F.levenshtein(text_lower, F.lit(q)))
+        .withColumn(
+            "edit_ratio",
+            F.when(
+                F.greatest(qlen, F.length(text_lower)) > 0,
+                1.0 - F.col("edit_dist") / F.greatest(qlen, F.length(text_lower)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "word_sim",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)),
+        )
+        .where(F.col("edit_dist") <= max_edits)
+        .withColumn(
+            "es_norm", F.least(F.col(raw_score_col) / 50.0, F.lit(1.0))
+        )
+        .withColumn(
+            "fuzzy_score",
+            (
+                F.col("es_norm") * 0.2
+                + F.col("edit_ratio") * 0.5
+                + F.col("word_sim") * 0.3
+            )
+            * F.when(F.col("edit_ratio") < 0.6, 0.7).otherwise(1.0),
+        )
+        .where(
+            F.col("fuzzy_score")
+            >= F.when(F.col("edit_ratio") > 0.8, 0.4).otherwise(0.5)
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# L8-analogue: multi-measure similarity blend (rapidfuzz-style), JVM-side
+# ---------------------------------------------------------------------------
+
+def similarity_blend(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    out_col: str = "sim_score",
+) -> Column | DataFrame:
+    """Weighted blend of character ratio (Levenshtein-normalized) and
+    token-set Jaccard over string pair rows — the Spark-native counterpart of
+    the reference's rapidfuzz ratio/token_sort blend
+    (``fuzzy_search_service.py:46-49``, weights renormalized to the two
+    measures expressible without quadratic DP in the JVM: 0.55 char / 0.45
+    token)."""
+    a = F.lower(F.col(left_col))
+    b = F.lower(F.col(right_col))
+    char_ratio = 1.0 - F.levenshtein(a, b) / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    )
+    ta = F.array_distinct(F.split(a, r"\s+"))
+    tb = F.array_distinct(F.split(b, r"\s+"))
+    jac = F.size(F.array_intersect(ta, tb)) / F.greatest(
+        F.size(F.array_union(ta, tb)), F.lit(1)
+    )
+    return pairs.withColumn(out_col, char_ratio * 0.55 + jac * 0.45)
+
+
+# ---------------------------------------------------------------------------
+# L10: DoB / ID anchor boosts
+# ---------------------------------------------------------------------------
+
+_DATE_RES = [
+    re.compile(r"\b(\d{4}-\d{2}-\d{2})\b"),
+    re.compile(r"\b(\d{2}\.\d{2}\.\d{4})\b"),
+    re.compile(r"\b(\d{1,2}/\d{1,2}/\d{4})\b"),
+]
+_ID_RE = re.compile(r"\b(\d{8,12})\b")
+
+
+def extract_anchors(query_text: str) -> tuple[list[str], list[str]]:
+    """Driver-side DoB/ID extraction from the query string."""
+    dates: list[str] = []
+    for rx in _DATE_RES:
+        dates.extend(rx.findall(query_text))
+    ids = [m for m in _ID_RE.findall(query_text)]
+    return dates, ids
+
+
+def anchor_boost(
+    candidates: DataFrame,
+    query_text: str,
+    text_col: str = "text",
+    score_col: str = "score",
+    dob_boost: float = 1.3,
+    id_boost: float = 1.2,
+) -> DataFrame:
+    """×1.3 when a query date appears in the candidate, ×1.2 for an ID."""
+    dates, ids = extract_anchors(query_text)
+    score = F.col(score_col)
+    if dates:
+        has_date = F.lit(False)
+        for d in dates:
+            has_date = has_date | F.col(text_col).contains(d)
+        score = F.when(has_date, score * dob_boost).otherwise(score)
+    if ids:
+        has_id = F.lit(False)
+        for i in ids:
+            has_id = has_id | F.col(text_col).contains(i)
+        score = F.when(has_id, score * id_boost).otherwise(score)
+    return candidates.withColumn(score_col, score)
+
+
+# ---------------------------------------------------------------------------
+# L11: tier boosts + tier-ordered retrieval
+# ---------------------------------------------------------------------------
+
+def tier_boost(
+    candidates: DataFrame,
+    tier_col: str = "tier",
+    score_col: str = "score",
+    tier0: float = 2.0,
+    tier1: float = 1.5,
+) -> DataFrame:
+    return candidates.withColumn(
+        score_col,
+        F.col(score_col)
+        * F.when(F.col(tier_col) == 0, tier0)
+        .when(F.col(tier_col) == 1, tier1)
+        .otherwise(1.0),
+    )

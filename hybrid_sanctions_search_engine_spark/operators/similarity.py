@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns: exact kNN + LSH-bucketed ANN.
+
+The reference's vector stage is an ES HNSW ``knn`` query
+(``elasticsearch_adapters.py:819-843``, cosine, dims=384).  Spark-native
+equivalents:
+
+  * ``knn_bruteforce`` — exact cosine top-k as one scan: dot product via
+    ``F.zip_with``/``F.aggregate`` (JVM, codegen), top-k via
+    TakeOrderedAndProject.  Rank-stable; the correctness baseline.
+  * ``knn_lsh`` — random-hyperplane LSH: 64-bit signatures precomputed per
+    row (a narrow shuffle-free scan), query probes only rows whose signature
+    band matches → at web scale the scan prunes to a few buckets (partition
+    by band on write).  Exact cosine re-verifies candidates, so results are
+    exact *within the probed buckets* (standard ANN recall trade-off).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_col
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_score: float | None = None,
+) -> DataFrame:
+    """Exact cosine top-k → (id, cos_sim) ordered (sim desc, id asc)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col), q).alias("cos_sim"),
+    )
+    if min_score is not None:
+        scored = scored.where(F.col("cos_sim") >= min_score)
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def add_lsh_signature(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_sig",
+) -> DataFrame:
+    """Random-hyperplane signature as an integer column (bit i = sign of the
+    dot product with plane i). Pure Column expressions — the planes are
+    literal arrays folded into the plan (constant-folded by Catalyst)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), p, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return embeddings.withColumn(out_col, sig)
+
+
+def lsh_signature_of(query_vec: list[float], dim: int, n_planes: int = 16, seed: int = 42) -> int:
+    planes = _hyperplanes(dim, n_planes, seed)
+    dots = planes @ np.asarray(query_vec, dtype=np.float64)
+    return int(sum(1 << i for i, d in enumerate(dots) if d > 0))
+
+
+def knn_lsh(
+    embeddings_with_sig: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    seed: int = 42,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig_col: str = "lsh_sig",
+) -> DataFrame:
+    """ANN top-k: probe rows whose signature is within ``max_hamming`` bits of
+    the query signature (multi-probe), re-rank by exact cosine."""
+    qsig = lsh_signature_of(query_vec, dim, n_planes, seed)
+    hamming = F.bit_count(F.col(sig_col).bitwiseXOR(F.lit(qsig)))
+    candidates = embeddings_with_sig.where(hamming <= max_hamming)
+    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
+
+
+def cosine_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All cross pairs with cosine ≥ threshold (use blocked inputs; the LSH
+    variant in dedup.py is the scale path). Emits (id_a, id_b, cos_sim),
+    id_a < id_b."""
+    a = left.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = right.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_col(F.col("vec_a"), F.col("vec_b")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,99 @@
+"""Dedup + similarity operators: synthesized near-dups must be found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_sanctions_search_engine_spark.functions.vectors import pseudo_embedding
+from hybrid_sanctions_search_engine_spark.operators.dedup import (
+    exact_duplicate_groups,
+    distinct_by_text,
+    jaccard_pairs_blocked,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+)
+from hybrid_sanctions_search_engine_spark.operators.similarity import (
+    add_lsh_signature,
+    knn_bruteforce,
+    knn_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different text about spark query optimization engines"),
+        (4, "another unrelated document mentioning databases and indexes"),
+        (5, base + " with a small suffix appended"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(dup_docs):
+    groups = exact_duplicate_groups(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 1]
+    kept = distinct_by_text(dup_docs)
+    assert kept.count() == 5  # one of 0/1 dropped
+    assert kept.where(F.col("doc_id").isin([0, 1])).count() == 1
+
+
+def test_jaccard_blocked(dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs_blocked(dup_docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(dup_docs, threshold=0.6).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert all(a < b for a, b in pairs)
+    assert (3, 4) not in pairs
+
+
+def test_simhash(dup_docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(dup_docs).collect()}
+    assert fps[0] == fps[1]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(dup_docs, max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+
+
+def test_knn_bruteforce_and_lsh(spark):
+    texts = [
+        "spark join query engine",
+        "spark join query engines",
+        "totally different words entirely here",
+        "sql analytics window functions",
+        "spark join query engine extra",
+    ]
+    dim = 64
+    rows = [(i, pseudo_embedding(t, dim)) for i, t in enumerate(texts)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = pseudo_embedding("spark join query engine", dim)
+
+    exact = knn_bruteforce(emb, q, k=3).collect()
+    assert exact[0]["vec_id"] == 0 and abs(exact[0]["cos_sim"] - 1.0) < 1e-9
+    top_ids = [r["vec_id"] for r in exact]
+    assert 2 not in top_ids
+
+    with_sig = add_lsh_signature(emb, dim=dim, n_planes=12)
+    ann = knn_lsh(with_sig, q, dim=dim, k=3, n_planes=12, max_hamming=4).collect()
+    assert ann[0]["vec_id"] == 0 and abs(ann[0]["cos_sim"] - 1.0) < 1e-9
