@@ -1,0 +1,227 @@
+"""Hybrid search plan: the reference's adaptive AC → fuzzy → vector ladder.
+
+Re-expresses ``HybridSearchService._hybrid_search``
+(``/root/reference/src/ai_service/layers/search/hybrid_search_service.py:728-910``)
+as driver-side control flow over DataFrame stages:
+
+  stage 1  AC/lexical    — top-k BM25 (compressed WAND path or DataFrame plan)
+  escalate?              — no hits, or best score < escalation_threshold (0.6)
+  stage 2  fuzzy         — per-term fuzzy dictionary expansion (edit ≤ 1,
+                           prefix-bucketed) → BM25 over expanded terms with
+                           edit-ratio-discounted contributions
+  stage 3  vector        — cosine kNN over the embeddings table (exact or LSH)
+  fusion                 — 0.6·AC + 0.4·vector (+0.1 shared bonus), dedup,
+                           threshold, top-k
+
+The escalation decisions are cheap driver-side aggregates over the stage-k
+result (`O4` in SURVEY.md §4 — Spark has no native adaptive *staging*, so
+this is deliberate hand-written control flow; each stage is still a fully
+declarative Catalyst plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.bm25 import bm25_topk, score_terms
+from ..operators.fusion import combine_results, dedup_keep_best, topk
+from ..operators.fuzzy import fuzzy_term_candidates
+from ..operators.postings import (
+    CorpusStats,
+    build_postings,
+    corpus_stats,
+    doc_lengths,
+    term_doc_freq,
+)
+from ..operators.similarity import knn_bruteforce
+from .wand import query_terms
+
+
+@dataclass
+class SearchOpts:
+    """Mirror of the reference's SearchOpts (``contracts.py:58-95``)."""
+
+    top_k: int = 50
+    threshold: float = 0.7
+    escalation_threshold: float = 0.6
+    enable_escalation: bool = True
+    fuzzy_max_edits: int = 1
+    fuzzy_max_expansions: int = 20
+    vector_weight: float = 0.4
+    ac_weight: float = 0.6
+    min_should_match: int = 1
+
+
+@dataclass
+class SearchTraceStep:
+    """Per-stage trace (reference ``trace_models.py:15-75``)."""
+
+    stage: str
+    hits: int
+    best_score: float
+    took_ms: float
+    meta: dict = field(default_factory=dict)
+
+
+class HybridSearchPlan:
+    """Reusable hybrid searcher over a documents DataFrame (+ optional
+    embeddings table).  Precomputes postings/stats once (`.persist()` replaces
+    the reference's TTL caches, SURVEY.md §2.10)."""
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        embeddings: DataFrame | None = None,
+        text_col: str = "text",
+        embedding_dim: int = 64,
+    ):
+        self.docs = docs
+        self.text_col = text_col
+        self.embeddings = embeddings
+        self.embedding_dim = embedding_dim
+        self.postings = build_postings(docs, text_col, positions=False).persist()
+        self.dl = doc_lengths(docs, text_col).persist()
+        self.stats: CorpusStats = corpus_stats(docs, text_col)
+        self.dictionary = term_doc_freq(self.postings).persist()
+
+    # -- stages -----------------------------------------------------------
+
+    def ac_stage(self, query: str, k: int) -> DataFrame:
+        return bm25_topk(
+            self.docs,
+            query,
+            k=k,
+            text_col=self.text_col,
+            postings=self.postings,
+            dl=self.dl,
+            stats=self.stats,
+        ).select("doc_id", "score")
+
+    def fuzzy_stage(self, query: str, k: int, opts: SearchOpts) -> DataFrame:
+        """Expand each query term through the fuzzy dictionary (edit ≤ 1,
+        same-prefix buckets), then score docs via BM25 with each expanded
+        term's contribution discounted by its edit ratio."""
+        terms = query_terms(query)
+        expansions = []
+        for t in terms:
+            cand = fuzzy_term_candidates(
+                self.dictionary,
+                t,
+                max_edits=opts.fuzzy_max_edits,
+                max_expansions=opts.fuzzy_max_expansions,
+            ).select(
+                F.col("term"),
+                (
+                    1.0
+                    - F.col("edit_dist")
+                    / F.greatest(F.length("term"), F.lit(len(t)))
+                ).alias("term_weight"),
+            )
+            expansions.append(cand)
+        if not expansions:
+            return self.docs.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        expanded = expansions[0]
+        for e in expansions[1:]:
+            expanded = expanded.unionByName(e)
+        expanded = expanded.groupBy("term").agg(
+            F.max("term_weight").alias("term_weight")
+        )
+        exp_terms = [r["term"] for r in expanded.select("term").collect()]
+        if not exp_terms:
+            return self.docs.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        scored = score_terms(self.postings, self.dl, exp_terms, self.stats)
+        weighted = scored.join(F.broadcast(expanded), "term").withColumn(
+            "term_score", F.col("term_score") * F.col("term_weight")
+        )
+        return (
+            weighted.groupBy("doc_id")
+            .agg(F.sum("term_score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def vector_stage(self, query: str, k: int) -> DataFrame:
+        from ..functions.vectors import pseudo_embedding
+
+        if self.embeddings is None:
+            return self.docs.sparkSession.createDataFrame(
+                [], "doc_id long, score double"
+            )
+        qv = pseudo_embedding(query, self.embedding_dim)
+        res = knn_bruteforce(self.embeddings, qv, k=k)
+        return res.select(
+            F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("score")
+        )
+
+    # -- plan -------------------------------------------------------------
+
+    def search(
+        self, query: str, opts: SearchOpts | None = None
+    ) -> tuple[DataFrame, list[SearchTraceStep]]:
+        """Run the adaptive ladder; returns (results, trace)."""
+        import time
+
+        opts = opts or SearchOpts()
+        trace: list[SearchTraceStep] = []
+        k = opts.top_k
+
+        t0 = time.monotonic()
+        ac = self.ac_stage(query, k).persist()
+        ac_rows = ac.agg(
+            F.count("*").alias("n"), F.max("score").alias("best")
+        ).collect()[0]
+        ac_n, ac_best = int(ac_rows["n"]), float(ac_rows["best"] or 0.0)
+        trace.append(
+            SearchTraceStep("AC", ac_n, ac_best, (time.monotonic() - t0) * 1000)
+        )
+
+        # escalation decision (_should_escalate, hybrid_search_service.py:912-928)
+        escalate = opts.enable_escalation and (
+            ac_n == 0 or ac_best < opts.escalation_threshold
+        )
+
+        lexical = ac
+        if escalate:
+            t1 = time.monotonic()
+            fz = self.fuzzy_stage(query, k, opts)
+            lexical = dedup_keep_best(ac.unionByName(fz))
+            fz_best = (
+                fz.agg(F.max("score")).collect()[0][0] or 0.0
+            )
+            trace.append(
+                SearchTraceStep(
+                    "FUZZY", fz.count(), float(fz_best), (time.monotonic() - t1) * 1000
+                )
+            )
+
+        vector = None
+        if escalate and self.embeddings is not None:
+            t2 = time.monotonic()
+            vector = self.vector_stage(query, k)
+            v_best = vector.agg(F.max("score")).collect()[0][0] or 0.0
+            trace.append(
+                SearchTraceStep(
+                    "SEMANTIC",
+                    vector.count(),
+                    float(v_best),
+                    (time.monotonic() - t2) * 1000,
+                )
+            )
+
+        if vector is not None:
+            fused = combine_results(
+                lexical, vector, opts.ac_weight, opts.vector_weight
+            ).select("doc_id", "score")
+        else:
+            fused = lexical.select("doc_id", "score")
+
+        result = topk(dedup_keep_best(fused), k)
+        trace.append(SearchTraceStep("HYBRID", -1, ac_best, 0.0, {"escalated": escalate}))
+        return result, trace
