@@ -54,9 +54,13 @@ def score_terms(
     """
     matched = postings.where(F.col("term").isin(terms))
     tdf = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    with_dl = (
+        matched
+        if "doc_len" in matched.columns  # postings carry doc_len: no join
+        else matched.join(dl, "doc_id")
+    )
     scored = (
-        matched.join(F.broadcast(tdf), "term")
-        .join(dl, "doc_id")
+        with_dl.join(F.broadcast(tdf), "term")
         .withColumn(
             "term_score",
             idf_col(F.col("df"), stats.n_docs)

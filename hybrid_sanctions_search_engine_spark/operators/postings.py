@@ -48,9 +48,14 @@ def build_postings(docs: DataFrame, text_col: str = "text", positions: bool = Tr
     """
     toks = tokenized_documents(docs, text_col)
     exploded = toks.select(
-        "doc_id", F.posexplode("tokens").alias("pos", "term")
+        "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
     )
-    agg = [F.count("*").cast("int").alias("tf")]
+    # doc_len rides along (constant per doc) so downstream consumers need no
+    # doc-length join — one fewer shuffle in the index build.
+    agg = [
+        F.count("*").cast("int").alias("tf"),
+        F.max("doc_len").alias("doc_len"),
+    ]
     if positions:
         agg.append(F.sort_array(F.collect_list("pos")).alias("positions"))
     return exploded.groupBy("term", "doc_id").agg(*agg)

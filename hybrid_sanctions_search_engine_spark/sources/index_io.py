@@ -56,7 +56,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.codec import delta_encode, varint_encode
-from ..operators.postings import build_postings, corpus_stats, doc_lengths
+from ..operators.postings import CorpusStats, build_postings
 
 BLOCK_SIZE = 128
 
@@ -119,8 +119,15 @@ def completed_shards(index_dir: str, n_shards: int) -> list[int]:
     return done
 
 
-def _encode_shard(index_dir: str):
-    """Factory for the per-shard applyInPandas encoder."""
+def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float):
+    """Factory for the per-shard applyInPandas encoder.
+
+    Receives raw (term, chunk, doc_id, tf, doc_len) postings for one shard;
+    computes df (all of a term's postings are co-located here — that is the
+    point of hash-sharding by term) and the exact per-posting BM25
+    contribution in vectorized numpy, mirroring the JVM Column arithmetic of
+    ``operators.bm25`` term for term (same expression tree, so scores match
+    the DataFrame plan bitwise up to 1-ulp in ln)."""
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -129,6 +136,16 @@ def _encode_shard(index_dir: str):
         shard = int(key[0])
         t0 = time.monotonic()
         pdf = pdf.sort_values(["term", "chunk", "doc_id"], kind="mergesort")
+        # df per term, idf, tf-normalized BM25 contribution — vectorized
+        df_all = pdf.groupby("term", sort=False)["doc_id"].transform("size")
+        df_np = df_all.to_numpy(dtype=np.float64)
+        tf_np = pdf["tf"].to_numpy(dtype=np.float64)
+        dl_np = pdf["doc_len"].to_numpy(dtype=np.float64)
+        idf = np.log(1.0 + (float(n_docs) - df_np + 0.5) / (df_np + 0.5))
+        score_all = idf * (tf_np * (k1 + 1.0)) / (
+            tf_np + k1 * (1.0 - b + b * dl_np / float(avgdl))
+        )
+        pdf = pdf.assign(score=score_all, df=df_all.astype(np.int64))
         rows = []
         n_postings = 0
         for (term, chunk), grp in pdf.groupby(["term", "chunk"], sort=True):
@@ -224,47 +241,54 @@ def build_index(
     """Build (or resume) the compressed index; returns the build report."""
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.monotonic()
-    stats = corpus_stats(docs, text_col)
 
-    postings = build_postings(docs, text_col, positions=False)
-    dl = doc_lengths(docs, text_col)
-    tdf = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    scored = (
-        postings.join(dl, "doc_id")
-        .join(tdf, "term")
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(stats.n_docs)) - F.col("df") + 0.5)
-                / (F.col("df") + 0.5)
-            ),
+    # Parallelism guard: a narrow input (single parquet file, in-memory
+    # relation) would run the tokenize scan on one core.  At production scale
+    # the Iceberg scan has thousands of splits and this is a no-op.
+    default_par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < default_par:
+        docs = docs.repartition(default_par)
+
+    # ONE tokenize pass, TWO shuffles, ZERO joins:
+    #   shuffle 1: explode → groupBy(term, doc_id) postings (doc_len carried)
+    #   shuffle 2: repartition by shard for the encode stage
+    # Corpus stats come from a single cheap aggregate over the persisted
+    # postings (avgdl = Σtf / #docs — no per-doc grouping); document
+    # frequency + BM25 contributions are computed *inside* the per-shard
+    # encoder, where every term's postings are already co-located.
+    postings = build_postings(docs, text_col, positions=False).persist()
+    stats_row = postings.agg(
+        F.count_distinct("doc_id").alias("n"),
+        (F.sum("tf") / F.count_distinct("doc_id")).alias("avgdl"),
+    ).collect()[0]
+    stats = CorpusStats(n_docs=int(stats_row["n"]), avgdl=float(stats_row["avgdl"]))
+    sharded = (
+        postings.withColumn(
+            "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int")
         )
-        .withColumn(
-            "score",
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1.0))
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(stats.avgdl)))
-            ),
-        )
-        .withColumn("shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int"))
         .withColumn("chunk", F.shiftright("doc_id", chunk_bits).cast("long"))
-        .select("shard", "term", "chunk", "doc_id", "tf", "df", "score")
+        .select("shard", "term", "chunk", "doc_id", "tf", "doc_len")
     )
 
     skipped: list[int] = []
     if resume:
         skipped = completed_shards(index_dir, n_shards)
         if skipped:
-            scored = scored.where(~F.col("shard").isin(skipped))
+            sharded = sharded.where(~F.col("shard").isin(skipped))
 
+    # Explicit repartition by shard: the encode stage then runs one task per
+    # shard (hash distribution already satisfied -> no second shuffle), and
+    # AQE cannot coalesce the small test-scale groups below shard count.
     summary = (
-        scored.groupBy("shard")
-        .applyInPandas(_encode_shard(index_dir), SUMMARY_SCHEMA)
+        sharded.repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(
+            _encode_shard(index_dir, stats.n_docs, stats.avgdl, k1, b),
+            SUMMARY_SCHEMA,
+        )
         .collect()
     )
+    postings.unpersist()
 
     meta = IndexMeta(
         n_docs=stats.n_docs,

@@ -1,0 +1,114 @@
+"""Scaling-efficiency benchmark: the identical index-build job at two
+parallelism levels (local[8] vs local[32]) on the same input.
+
+The north rule's two-cluster-size criterion (throughput scaling efficiency
+≥ 0.8 from N to 4N executors) cannot use a real cluster in this sandbox, so —
+per the driver instruction — we run the same job at local[N] and local[4N]
+and report docs/s at both.  Each run is a separate JVM (subprocess) so the
+two measurements share nothing.
+
+Input: the sf documents table expanded deterministically ×REPLICATION (same
+expanded input for both runs; doc_ids remapped to stay unique).  Expansion
+gives each run enough work that task-scheduling overhead doesn't dominate —
+the corpus at full scale is 10^12 docs; 5k rows cannot exercise 32 cores.
+
+Usage:  python scale_bench.py            # parent: runs N=8 and N=32, reports
+        writes results into BENCH.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICATION = int(os.environ.get("SCALE_BENCH_REPLICATION", "48"))
+N_SHARDS = 64
+CORES_PAIR = (8, 32)
+
+
+def child(cores: int) -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.session import get_spark
+    from hybrid_sanctions_search_engine_spark.sources.index_io import build_index
+
+    spark = get_spark(f"scale-bench-{cores}", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    n_base = docs.count()
+    expanded = (
+        docs.crossJoin(
+            spark.range(REPLICATION).select(F.col("id").alias("rep"))
+        )
+        .withColumn("doc_id", F.col("doc_id") * REPLICATION + F.col("rep"))
+        .drop("rep")
+    ).persist()
+    n_docs = expanded.count()  # materialize input before timing
+
+    index_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
+    t0 = time.monotonic()
+    report = build_index(expanded, index_dir, n_shards=N_SHARDS, chunk_bits=12)
+    elapsed = time.monotonic() - t0
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "cores": cores,
+                "n_docs": n_docs,
+                "n_base": n_base,
+                "postings": report["postings"],
+                "elapsed_sec": round(elapsed, 3),
+                "docs_per_sec": round(n_docs / elapsed, 1),
+                "postings_per_sec": round(report["postings"] / elapsed, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]))
+        return
+
+    results = {}
+    for cores in CORES_PAIR:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cores)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")),
+            None,
+        )
+        if line is None:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            raise RuntimeError(f"child cores={cores} produced no result")
+        results[cores] = json.loads(line[len("CHILD_RESULT "):])
+
+    n, n4 = CORES_PAIR
+    eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / (n4 / n)
+    summary = {
+        "metric": f"index-build scaling efficiency local[{n}] -> local[{n4}]",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "runs": results,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "replication": REPLICATION,
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
