@@ -26,9 +26,9 @@ import tempfile
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICATION = int(os.environ.get("SCALE_BENCH_REPLICATION", "48"))
+REPLICATION = int(os.environ.get("SCALE_BENCH_REPLICATION", "96"))
 N_SHARDS = 64
-CORES_PAIR = (8, 32)
+CORES_PAIR = tuple(int(x) for x in os.environ.get("SCALE_BENCH_CORES", "2,8").split(","))
 
 
 def child(cores: int) -> None:
@@ -48,6 +48,7 @@ def child(cores: int) -> None:
         )
         .withColumn("doc_id", F.col("doc_id") * REPLICATION + F.col("rep"))
         .drop("rep")
+        .repartition(cores * 3)  # parallel input, like a real many-split scan
     ).persist()
     n_docs = expanded.count()  # materialize input before timing
 
