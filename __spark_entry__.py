@@ -441,6 +441,31 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_regex_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """D2-style regex extraction, oracle-checked (full ID extraction suite is
+    unit-tested in tests/test_signals_patterns.py)."""
+    cust = _tbl(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long").alias("extracted_id"),
+    )
+
+
+def q_birthdate_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """D3 roundtrip: format a date to dd.MM.yyyy text, re-normalize to ISO."""
+    from hybrid_sanctions_search_engine_spark.functions.signals import (
+        normalize_birthdate_col,
+    )
+
+    orders = _tbl(spark, sf, "orders").where(F.col("o_orderkey") < 500)
+    raw = F.date_format("o_orderdate", "dd.MM.yyyy")
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw_date"),
+        normalize_birthdate_col(raw).alias("norm_date"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # generated oracle fragments
 # ---------------------------------------------------------------------------
@@ -541,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_union": q_overlay_union,
         "confidence_normalize": q_confidence_normalize,
         "json_extract": q_json_extract,
+        "regex_extract": q_regex_extract,
+        "birthdate_normalize": q_birthdate_normalize,
     }
 
 
@@ -769,5 +796,15 @@ SELECT event_type,
        floor((avg(json_extract_string(props, '$.k')::INT)) * 10000 + 0.5) / 10000 AS avg_k,
        count(json_extract_string(props, '$.k'))::BIGINT AS n_k
 FROM events GROUP BY event_type
+""",
+        "regex_extract": """
+SELECT c_custkey, regexp_extract(c_name, 'Customer#(\\d+)', 1)::BIGINT AS extracted_id
+FROM customer
+""",
+        "birthdate_normalize": """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%d.%m.%Y') AS raw_date,
+       strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y')::DATE AS norm_date
+FROM orders WHERE o_orderkey < 500
 """,
     }
