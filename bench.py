@@ -83,9 +83,31 @@ def main() -> None:
             "window_rank",
             "score_fusion",
             "term_df_top20",
+            "minhash_pairs",
+            "simhash_pairs",
+            "knn_cosine",
+            "knn_lsh",
+            "lang_id",
+            "quality_score",
         ):
             if name in queries:
                 timed(f"q_{name}", lambda n=name: queries[n](spark, SF_DIR).collect())
+
+        # hybrid escalation ladder end-to-end
+        from hybrid_sanctions_search_engine_spark.plans.hybrid import (
+            HybridSearchPlan,
+            SearchOpts,
+        )
+
+        plan = HybridSearchPlan(docs)
+        timed(
+            "q_hybrid_strong",
+            lambda: plan.search("spark query join", SearchOpts(top_k=10))[0].collect(),
+        )
+        timed(
+            "q_hybrid_escalated",
+            lambda: plan.search("sparc quary", SearchOpts(top_k=10))[0].collect(),
+        )
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
 

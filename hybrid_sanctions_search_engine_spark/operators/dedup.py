@@ -100,6 +100,9 @@ def jaccard_pairs_blocked(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_MERSENNE31 = np.uint64((1 << 31) - 1)
+
+
 def minhash_signatures(
     docs: DataFrame,
     n_hashes: int = 64,
@@ -108,17 +111,48 @@ def minhash_signatures(
 ) -> DataFrame:
     """→ (doc_id, sig array<long>[n_hashes]).
 
-    sig[i] = min over shingles of xxhash64(shingle, seed=i), computed with
-    nested JVM array lambdas — no explode, no Python, no extra shuffle."""
-    shingles = shingle_col(F.col(text_col), shingle_n)
-    seeds = F.array(*[F.lit(i) for i in range(n_hashes)])
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(shingles, lambda sh: F.xxhash64(sh, s))
-        ),
-    )
-    return docs.select("doc_id", sig.alias("sig"))
+    Universal-hashing MinHash in one vectorized Arrow UDF: one FNV-1a base
+    hash per shingle folded to 31 bits, then sig[i] = min over shingles of
+    (a_i·h + b_i) mod (2^31−1) — a single uint64 numpy (shingles × seeds)
+    matrix op per row, no overflow, no explode, no shuffle.
+
+    (First implementation used nested JVM array lambdas — Spark evaluates
+    higher-order functions on the interpreted path and re-inlines the shingle
+    expression into every seed lambda: 229 s for 5k docs. This UDF: <1 s.)
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, int(_MERSENNE31), size=n_hashes).astype(np.uint64)
+    bvec = rng.integers(0, int(_MERSENNE31), size=n_hashes).astype(np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        empty = [int(_MERSENNE31)] * n_hashes
+        out = []
+        for text in texts.fillna(""):
+            toks = _simple_tokens(text)
+            if len(toks) < shingle_n:
+                shingles = [" ".join(toks)] if toks else []
+            else:
+                shingles = list(
+                    {
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    }
+                )
+            if not shingles:
+                out.append(empty)
+                continue
+            base = np.array([_hash64(sh) for sh in shingles], dtype=np.uint64)
+            h31 = (base ^ (base >> np.uint64(31))) & _MERSENNE31
+            # (shingles × seeds) matrix: a*h < 2^62 fits uint64
+            m = (h31[:, None] * a[None, :] + bvec[None, :]) % _MERSENNE31
+            out.append(m.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return docs.select("doc_id", sig_udf(F.col(text_col)).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -165,8 +199,17 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    shingles = docs.select(
-        "doc_id", F.array_distinct(shingle_col(F.col(text_col), shingle_n)).alias("sh")
+    # compute shingles only for docs that appear in candidate pairs — the
+    # shingle expression is an interpreted HOF, so prune before evaluating it
+    cand_ids = cand.select(F.col("id_a").alias("doc_id")).unionByName(
+        cand.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    shingles = (
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.array_distinct(shingle_col(F.col(text_col), shingle_n)).alias("sh"),
+        )
     )
     verified = (
         cand.join(shingles.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
