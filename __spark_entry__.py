@@ -40,7 +40,7 @@ BM25_QUERY_TERMS = ["spark", "query", "join"]
 _ORACLE_TOKS = """
 toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tokens
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), t -> t <> '') AS tokens
   FROM documents
 ),
 dl AS (SELECT doc_id, len(tokens) AS doc_len FROM toks),
@@ -441,6 +441,23 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BATCH_QUERIES = [
+    (1, "spark query join"),
+    (2, "window table"),
+    (3, "merge sort"),
+    (4, "customer data stream"),
+    (5, "zzznonexistent"),
+]
+
+
+def q_batch_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """S7/W1: the whole query set in one job, ranked per query."""
+    res = bm25_ops.batch_topk(_docs(spark, sf), BATCH_QUERIES, k=5)
+    return res.select(
+        "query_id", "doc_id", _r4("score").alias("score"), "rank", "n_terms_matched"
+    )
+
+
 def q_regex_extract(spark: SparkSession, sf: str) -> DataFrame:
     """D2-style regex extraction, oracle-checked (full ID extraction suite is
     unit-tested in tests/test_signals_patterns.py)."""
@@ -568,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "regex_extract": q_regex_extract,
         "birthdate_normalize": q_birthdate_normalize,
+        "batch_bm25": q_batch_bm25,
     }
 
 
@@ -806,5 +824,30 @@ SELECT o_orderkey,
        strftime(o_orderdate, '%d.%m.%Y') AS raw_date,
        strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y')::DATE AS norm_date
 FROM orders WHERE o_orderkey < 500
+""",
+        "batch_bm25": f"""
+WITH {_ORACLE_TOKS},
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+q(query_id, term) AS (VALUES {", ".join(f"({qid}, '{t}')" for qid, qtext in BATCH_QUERIES for t in dict.fromkeys(qtext.split()))}),
+tdf AS (SELECT term, count(*)::DOUBLE AS df FROM tfs WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.doc_len / s.avgdl))) AS score,
+         count(*)::INT AS n_terms_matched
+  FROM tfs t
+  JOIN tdf d USING (term)
+  JOIN q ON q.term = t.term
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, n_terms_matched,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, floor((score) * 10000 + 0.5) / 10000 AS score, rank, n_terms_matched
+FROM ranked WHERE rank <= 5
 """,
     }

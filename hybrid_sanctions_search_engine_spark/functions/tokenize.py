@@ -201,20 +201,26 @@ def tokenize_series(
 # Fast index tokenizer — pure Column expressions (JVM, codegen, SQL-mirrorable)
 # --------------------------------------------------------------------------
 
-INDEX_TOKEN_SPLIT_RE = "[^a-z0-9]+"
+INDEX_TOKEN_SPLIT_RE = r"[^\p{L}\p{N}]+"
+# Python `re` has no \p classes; [\W_] with UNICODE is the same token class
+# (word chars minus underscore) for the query strings we tokenize driver-side
+_PY_INDEX_SPLIT_RE = re.compile(r"[\W_]+", re.UNICODE)
+
+
+def py_index_tokens(text: str) -> list[str]:
+    """Driver-side (Python) twin of ``spark_index_tokens`` for query strings."""
+    return [t for t in _PY_INDEX_SPLIT_RE.split(text.lower()) if t]
 
 
 def spark_index_tokens(col: Column) -> Column:
-    """lower → split on non-alphanumeric → drop empty tokens.
-
-    DuckDB oracle mirror:
-      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')
-    """
+    """lower → split on non-letter/digit runs (Unicode classes; identical
+    semantics in Java regex and DuckDB RE2) → drop empty tokens."""
     return F.filter(F.split(F.lower(col), INDEX_TOKEN_SPLIT_RE), lambda t: t != "")
 
 
 def index_tokens_oracle_sql(expr: str = "text") -> str:
     """The DuckDB expression equivalent to ``spark_index_tokens``."""
     return (
-        f"list_filter(regexp_split_to_array(lower({expr}), '[^a-z0-9]+'), t -> t <> '')"
+        f"list_filter(regexp_split_to_array(lower({expr}), "
+        f"'[^\\p{{L}}\\p{{N}}]+'), t -> t <> '')"
     )

@@ -84,14 +84,9 @@ def bm25_topk(
     """Top-k BM25 → (doc_id, score, n_terms_matched), deterministic order
     (score desc, doc_id asc). Catalyst plans the limit as a distributed
     TakeOrderedAndProject — no global sort materialization."""
-    from ..functions.tokenize import INDEX_TOKEN_SPLIT_RE
-    import re
+    from ..functions.tokenize import py_index_tokens
 
-    terms = (
-        [t for t in re.split(INDEX_TOKEN_SPLIT_RE, query.lower()) if t]
-        if isinstance(query, str)
-        else list(query)
-    )
+    terms = py_index_tokens(query) if isinstance(query, str) else list(query)
     if postings is None:
         postings = build_postings(docs, text_col, positions=False)
     if dl is None:
@@ -107,6 +102,64 @@ def bm25_topk(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def batch_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    postings: DataFrame | None = None,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """Many queries in ONE job (the reference's msearch, S7): broadcast the
+    (query_id, term) set against the postings, aggregate per (query, doc),
+    rank per query with a window → (query_id, doc_id, score, rank ≤ k).
+
+    This is the scale-correct serving shape for Spark: per-query latency is
+    job-bound (~100ms floor), but a thousand queries cost one job — the
+    reference query set runs amortized, not sequentially.
+    """
+    from ..functions.tokenize import py_index_tokens
+    from pyspark.sql import Window
+
+    if postings is None:
+        postings = build_postings(docs, text_col, positions=False)
+    if stats is None:
+        stats = corpus_stats(docs, text_col)
+    spark = docs.sparkSession
+    pairs = [
+        (qid, t)
+        for qid, q in queries
+        for t in dict.fromkeys(py_index_tokens(q))
+    ]
+    qterms = spark.createDataFrame(pairs, "query_id long, term string")
+    all_terms = sorted({t for _, t in pairs})
+
+    matched = postings.where(F.col("term").isin(all_terms))
+    tdf = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        matched.join(F.broadcast(tdf), "term")
+        .join(F.broadcast(qterms), "term")
+        .withColumn(
+            "term_score",
+            idf_col(F.col("df"), stats.n_docs)
+            * tfnorm_col(F.col("tf"), F.col("doc_len"), stats.avgdl, k1, b),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank", "n_terms_matched")
     )
 
 

@@ -24,8 +24,6 @@ tests/test_wand.py.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -39,7 +37,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.codec import delta_decode
-from ..functions.tokenize import INDEX_TOKEN_SPLIT_RE
+from ..functions.tokenize import py_index_tokens
 from ..sources.index_io import IndexMeta, load_index
 
 RESULT_SCHEMA = StructType(
@@ -86,7 +84,7 @@ def _score_chunks(k: int):
 
 
 def query_terms(query: str) -> list[str]:
-    return [t for t in re.split(INDEX_TOKEN_SPLIT_RE, query.lower()) if t]
+    return py_index_tokens(query)
 
 
 def topk_search(
