@@ -49,13 +49,12 @@ RESULT_SCHEMA = StructType(
 )
 
 
-def _spark_shard_of_terms(spark: SparkSession, terms: list[str], n_shards: int) -> dict[str, int]:
-    """Driver-side xxhash64(term) % n_shards, computed by the same JVM
-    function the build used (one tiny local job, no guessing at the hash)."""
-    df = spark.createDataFrame([(t,) for t in terms], "term string").withColumn(
-        "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int")
-    )
-    return {r["term"]: r["shard"] for r in df.collect()}
+def _shard_of_terms(terms: list[str], n_shards: int) -> dict[str, int]:
+    """Driver-side pmod(xxhash64(term), n_shards) — bit-compatible pure-Python
+    XXH64 (tests/test_xxhash.py), so query routing costs zero Spark jobs."""
+    from ..functions.xxhash import shard_of_term
+
+    return {t: shard_of_term(t, n_shards) for t in terms}
 
 
 def _score_chunks(k: int):
@@ -103,7 +102,7 @@ def topk_search(
     terms = query_terms(query) if isinstance(query, str) else list(query)
     if not terms:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    shard_of = _spark_shard_of_terms(spark, terms, meta.n_shards)
+    shard_of = _shard_of_terms(terms, meta.n_shards)
     shards = sorted(set(shard_of.values()))
 
     matched = index_df.where(
@@ -131,6 +130,14 @@ def topk_search(
             .applyInPandas(score_fn, RESULT_SCHEMA)
         )
 
+    if len(chunk_ubs) <= seed_chunks * 2:
+        # small index: two-phase pruning can't win — one job, done
+        return (
+            run([c for c, _ in chunk_ubs])
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     seed = [c for c, _ in chunk_ubs[:seed_chunks]]
     seed_res = run(seed).orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     theta = seed_res[-1]["score"] if len(seed_res) >= k else float("-inf")
@@ -142,3 +149,88 @@ def topk_search(
     else:
         all_res = spark.createDataFrame(seed_res, RESULT_SCHEMA)
     return all_res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+PHRASE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_occurrences", IntegerType()),
+    ]
+)
+
+
+def _phrase_chunk_scorer(ordered_terms: list[str]):
+    """Per-chunk phrase matcher over decoded postings + position streams."""
+    from ..functions.codec import varint_decode
+
+    def match(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+        for _, row in pdf.iterrows():
+            ids = delta_decode(row["doc_gaps"])
+            tfs = varint_decode(row["tfs"]).astype(np.int64)
+            deltas = varint_decode(row["positions"]).astype(np.int64)
+            # split the flat delta stream into per-posting position lists
+            bounds = np.cumsum(tfs)[:-1]
+            plists = [np.cumsum(seg) for seg in np.split(deltas, bounds)]
+            per_term[row["term"]] = (ids, plists)
+        if any(t not in per_term for t in ordered_terms):
+            return pd.DataFrame({"doc_id": [], "n_occurrences": []}).astype(
+                {"doc_id": np.int64, "n_occurrences": np.int32}
+            )
+        # doc intersection across all phrase terms
+        common = per_term[ordered_terms[0]][0]
+        for t in ordered_terms[1:]:
+            common = np.intersect1d(common, per_term[t][0], assume_unique=True)
+        out_ids, out_n = [], []
+        for doc in common:
+            cand = None
+            for offset, t in enumerate(ordered_terms):
+                ids, plists = per_term[t]
+                pos = plists[int(np.searchsorted(ids, doc))] - offset
+                cand = pos if cand is None else np.intersect1d(cand, pos, assume_unique=True)
+                if cand.size == 0:
+                    break
+            if cand is not None and cand.size:
+                out_ids.append(int(doc))
+                out_n.append(int(cand.size))
+        return pd.DataFrame(
+            {"doc_id": np.array(out_ids, dtype=np.int64),
+             "n_occurrences": np.array(out_n, dtype=np.int32)}
+        )
+
+    return match
+
+
+def phrase_search(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: str | list[str],
+    index_df: DataFrame | None = None,
+    meta: IndexMeta | None = None,
+) -> DataFrame:
+    """Exact phrase match (slop=0) over a positions-enabled compressed index
+    → (doc_id, n_occurrences).  Same shard/row-group pruning as topk_search;
+    adjacency verified from the varint position streams per chunk.
+
+    Rank-identity vs the DataFrame ``operators.bm25.phrase_match`` is
+    asserted in tests/test_wand.py."""
+    if index_df is None or meta is None:
+        index_df, meta = load_index(spark, index_dir)
+    if not meta.has_positions:
+        raise ValueError(
+            "index was built without positions (store_positions=False); "
+            "rebuild with build_index(..., store_positions=True)"
+        )
+    terms = query_terms(phrase) if isinstance(phrase, str) else list(phrase)
+    if not terms:
+        return spark.createDataFrame([], PHRASE_SCHEMA)
+    shard_of = _shard_of_terms(terms, meta.n_shards)
+    shards = sorted(set(shard_of.values()))
+    matched = index_df.where(
+        F.col("shard").isin(shards) & F.col("term").isin(terms)
+    )
+    return (
+        matched.groupBy("chunk")
+        .applyInPandas(_phrase_chunk_scorer(terms), PHRASE_SCHEMA)
+        .orderBy("doc_id")
+    )

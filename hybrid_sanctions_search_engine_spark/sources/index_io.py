@@ -70,6 +70,7 @@ class IndexMeta:
     block_size: int
     k1: float
     b: float
+    has_positions: bool = False
 
     @staticmethod
     def load(index_dir: str) -> "IndexMeta":
@@ -87,6 +88,7 @@ SHARD_SCHEMA = StructType(
         StructField("doc_gaps", BinaryType()),
         StructField("tfs", BinaryType()),
         StructField("scores", BinaryType()),
+        StructField("positions", BinaryType()),  # varint position-deltas, segmented by tf
         StructField("block_max", ArrayType(DoubleType())),
     ]
 )
@@ -119,7 +121,7 @@ def completed_shards(index_dir: str, n_shards: int) -> list[int]:
     return done
 
 
-def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float):
+def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float, store_positions: bool):
     """Factory for the per-shard applyInPandas encoder.
 
     Receives raw (term, chunk, doc_id, tf, doc_len) postings for one shard;
@@ -154,6 +156,21 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
             scores = grp["score"].to_numpy(dtype=np.float64)
             n = ids.size
             n_postings += n
+            pos_blob = None
+            if store_positions:
+                # per-posting position lists -> within-doc deltas -> one
+                # varint stream; tf values segment it on decode
+                flat = []
+                for plist in grp["positions"]:
+                    arr = np.asarray(plist, dtype=np.int64)
+                    d = np.empty(arr.size, dtype=np.uint64)
+                    if arr.size:
+                        d[0] = np.uint64(arr[0])
+                        d[1:] = np.diff(arr).astype(np.uint64)
+                    flat.append(d)
+                pos_blob = varint_encode(
+                    np.concatenate(flat) if flat else np.empty(0, dtype=np.uint64)
+                )
             pad = (-n) % BLOCK_SIZE
             padded = (
                 np.concatenate([scores, np.full(pad, -np.inf)]) if pad else scores
@@ -169,6 +186,7 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
                     delta_encode(ids),
                     varint_encode(tfs),
                     scores.tobytes(),
+                    pos_blob,
                     block_max.tolist(),
                 )
             )
@@ -189,6 +207,7 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
                 ("doc_gaps", pa.binary()),
                 ("tfs", pa.binary()),
                 ("scores", pa.binary()),
+                ("positions", pa.binary()),
                 ("block_max", pa.list_(pa.float64())),
             ]
         )
@@ -237,8 +256,14 @@ def build_index(
     k1: float = 1.2,
     b: float = 0.75,
     resume: bool = True,
+    store_positions: bool = False,
 ) -> dict:
-    """Build (or resume) the compressed index; returns the build report."""
+    """Build (or resume) the compressed index; returns the build report.
+
+    ``store_positions=True`` adds varint-packed within-doc position deltas to
+    every (term, chunk) row (≈2-3× index size) and enables phrase queries
+    over the compressed index (``plans.wand.phrase_search``) — the Lucene
+    IndexOptions DOCS_AND_FREQS vs ..._AND_POSITIONS distinction."""
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.monotonic()
 
@@ -256,7 +281,7 @@ def build_index(
     # postings (avgdl = Σtf / #docs — no per-doc grouping); document
     # frequency + BM25 contributions are computed *inside* the per-shard
     # encoder, where every term's postings are already co-located.
-    postings = build_postings(docs, text_col, positions=False).persist()
+    postings = build_postings(docs, text_col, positions=store_positions).persist()
     stats_row = postings.agg(
         F.count_distinct("doc_id").alias("n"),
         (F.sum("tf") / F.count_distinct("doc_id")).alias("avgdl"),
@@ -267,7 +292,10 @@ def build_index(
             "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int")
         )
         .withColumn("chunk", F.shiftright("doc_id", chunk_bits).cast("long"))
-        .select("shard", "term", "chunk", "doc_id", "tf", "doc_len")
+        .select(
+            "shard", "term", "chunk", "doc_id", "tf", "doc_len",
+            *(["positions"] if store_positions else []),
+        )
     )
 
     skipped: list[int] = []
@@ -283,7 +311,7 @@ def build_index(
         sharded.repartition(n_shards, "shard")
         .groupBy("shard")
         .applyInPandas(
-            _encode_shard(index_dir, stats.n_docs, stats.avgdl, k1, b),
+            _encode_shard(index_dir, stats.n_docs, stats.avgdl, k1, b, store_positions),
             SUMMARY_SCHEMA,
         )
         .collect()
@@ -298,6 +326,7 @@ def build_index(
         block_size=BLOCK_SIZE,
         k1=k1,
         b=b,
+        has_positions=store_positions,
     )
     with open(os.path.join(index_dir, "_index_meta.json"), "w") as fh:
         json.dump(asdict(meta), fh)

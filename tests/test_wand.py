@@ -49,3 +49,52 @@ def test_rank_identity(spark, corpus, query, k):
 def test_empty_query(spark, corpus):
     _, index_dir, idx, meta = corpus
     assert topk_search(spark, index_dir, "", k=5, index_df=idx, meta=meta).count() == 0
+
+
+@pytest.fixture(scope="module")
+def pos_corpus(spark, sf_smoke_dir, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("pos_index"))
+    docs = spark.read.parquet(os.path.join(sf_smoke_dir, "documents.parquet"))
+    build_index(docs, index_dir, n_shards=4, chunk_bits=6, store_positions=True)
+    idx, meta = load_index(spark, index_dir)
+    return docs, index_dir, idx, meta
+
+
+@pytest.mark.parametrize(
+    "phrase", [["key", "order"], ["fast", "key", "order"], ["merge", "sort"], ["zz", "qq"]]
+)
+def test_phrase_identity_vs_dataframe(spark, pos_corpus, phrase):
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import phrase_match
+    from hybrid_sanctions_search_engine_spark.plans.wand import phrase_search
+
+    docs, index_dir, idx, meta = pos_corpus
+    expected = sorted(
+        (r["doc_id"], r["n_occurrences"]) for r in phrase_match(docs, phrase).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search(spark, index_dir, phrase, index_df=idx, meta=meta).collect()
+    )
+    assert got == expected
+
+
+def test_phrase_requires_positions(spark, corpus):
+    from hybrid_sanctions_search_engine_spark.plans.wand import phrase_search
+
+    _, index_dir, idx, meta = corpus
+    with pytest.raises(ValueError, match="without positions"):
+        phrase_search(spark, index_dir, "key order", index_df=idx, meta=meta)
+
+
+def test_scoring_identity_with_positions_index(spark, pos_corpus):
+    # positions in the index must not perturb BM25 scoring
+    docs, index_dir, idx, meta = pos_corpus
+    expected = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_topk(docs, "spark query join", k=10).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in topk_search(spark, index_dir, "spark query join", k=10, index_df=idx, meta=meta).collect()
+    ]
+    assert got == expected
