@@ -441,6 +441,41 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_screening(spark: SparkSession, sf: str) -> DataFrame:
+    """Full batch screening pipeline (rows-only: normalization UDF + pattern
+    generation aren't SQL-expressible; semantics covered by
+    tests/test_screening.py and the byte-parity suite)."""
+    from hybrid_sanctions_search_engine_spark.operators.patterns import (
+        generate_pattern_corpus,
+    )
+    from hybrid_sanctions_search_engine_spark.plans.screening import screen_texts
+
+    texts = (
+        _docs(spark, sf)
+        .where(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("text_id"), "text")
+    )
+    entities = spark.createDataFrame(
+        [
+            (1, "Customer Key Order", None, "1234567890", None, None, "person", []),
+            (2, "Window Merge Sort", None, None, None, None, "company", []),
+        ],
+        "id long, name string, name_en string, itn string, passport string, "
+        "iban string, entity_type string, aliases array<string>",
+    )
+    corpus = generate_pattern_corpus(entities)
+    pattern_docs = corpus.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("pattern").alias("text"),
+        "entity_id",
+        "tier",
+    )
+    res = screen_texts(texts, pattern_docs)
+    return res.select(
+        "text_id", "language", "n_dates", "n_ids", "total_matches", "risk"
+    )
+
+
 BATCH_QUERIES = [
     (1, "spark query join"),
     (2, "window table"),
@@ -586,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract": q_regex_extract,
         "birthdate_normalize": q_birthdate_normalize,
         "batch_bm25": q_batch_bm25,
+        "screening": q_screening,
     }
 
 

@@ -35,7 +35,6 @@ Design properties (north rule):
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 from dataclasses import asdict, dataclass
