@@ -120,7 +120,7 @@ def completed_shards(index_dir: str, n_shards: int) -> list[int]:
     return done
 
 
-def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float, store_positions: bool):
+def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float, store_positions: bool, salted: bool = False):
     """Factory for the per-shard applyInPandas encoder.
 
     Receives raw (term, chunk, doc_id, tf, doc_len) postings for one shard;
@@ -135,10 +135,15 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
         import pyarrow.parquet as pq
 
         shard = int(key[0])
+        salt = int(key[1]) if salted else None
         t0 = time.monotonic()
         pdf = pdf.sort_values(["term", "chunk", "doc_id"], kind="mergesort")
-        # df per term, idf, tf-normalized BM25 contribution — vectorized
-        df_all = pdf.groupby("term", sort=False)["doc_id"].transform("size")
+        if salted:
+            # a salted sub-group sees only part of a term's postings, so df
+            # arrives precomputed (one global agg) instead of derived here
+            df_all = pdf["df"]
+        else:
+            df_all = pdf.groupby("term", sort=False)["doc_id"].transform("size")
         df_np = df_all.to_numpy(dtype=np.float64)
         tf_np = pdf["tf"].to_numpy(dtype=np.float64)
         dl_np = pdf["doc_len"].to_numpy(dtype=np.float64)
@@ -195,7 +200,8 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
         )
         shard_dir = os.path.join(index_dir, f"shard={shard}")
         os.makedirs(shard_dir, exist_ok=True)
-        data_path = os.path.join(shard_dir, "data.parquet")
+        suffix = "" if salt is None else f"-{salt}"
+        data_path = os.path.join(shard_dir, f"data{suffix}.parquet")
         # `shard` comes back as the partition-directory column on read
         arrow_schema = pa.schema(
             [
@@ -219,6 +225,7 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
         manifest = {
             "status": "complete",
             "shard": shard,
+            "salt": salt,
             "terms": int(out["term"].nunique()),
             "chunks": int(len(out)),
             "docs": int(pdf["doc_id"].nunique()),
@@ -226,10 +233,15 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
             "bytes": int(nbytes),
             "elapsed_sec": round(elapsed, 4),
         }
-        tmp = _manifest_path(index_dir, shard) + ".tmp"
+        mpath = (
+            _manifest_path(index_dir, shard)
+            if salt is None
+            else os.path.join(shard_dir, f"_manifest{suffix}.json")
+        )
+        tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, _manifest_path(index_dir, shard))  # atomic commit
+        os.replace(tmp, mpath)  # atomic commit
         return pd.DataFrame(
             [
                 (
@@ -256,13 +268,23 @@ def build_index(
     b: float = 0.75,
     resume: bool = True,
     store_positions: bool = False,
+    sub_splits: int = 1,
 ) -> dict:
     """Build (or resume) the compressed index; returns the build report.
 
     ``store_positions=True`` adds varint-packed within-doc position deltas to
     every (term, chunk) row (≈2-3× index size) and enables phrase queries
     over the compressed index (``plans.wand.phrase_search``) — the Lucene
-    IndexOptions DOCS_AND_FREQS vs ..._AND_POSITIONS distinction."""
+    IndexOptions DOCS_AND_FREQS vs ..._AND_POSITIONS distinction.
+
+    ``sub_splits > 1`` is the explicit hot-shard salting path: each shard's
+    encode work splits into ``sub_splits`` tasks salted by chunk range
+    (``pmod(chunk, sub_splits)``), bounding the largest encode task when the
+    Zipf head concentrates in one shard; document frequencies are then
+    precomputed by one global aggregate (a term's postings no longer all
+    co-locate in a single task), sub-tasks write ``data-<salt>.parquet`` +
+    ``_manifest-<salt>.json``, and the driver merges the sub-manifests
+    tree-wise into the per-shard ``_manifest.json``."""
     os.makedirs(index_dir, exist_ok=True)
     t0 = time.monotonic()
 
@@ -302,19 +324,84 @@ def build_index(
         skipped = completed_shards(index_dir, n_shards)
         if skipped:
             sharded = sharded.where(~F.col("shard").isin(skipped))
+    # clear partial output of incomplete shards (stale sub-files from a
+    # previous differently-configured or interrupted run)
+    import shutil as _shutil
 
-    # Explicit repartition by shard: the encode stage then runs one task per
-    # shard (hash distribution already satisfied -> no second shuffle), and
-    # AQE cannot coalesce the small test-scale groups below shard count.
-    summary = (
-        sharded.repartition(n_shards, "shard")
-        .groupBy("shard")
-        .applyInPandas(
-            _encode_shard(index_dir, stats.n_docs, stats.avgdl, k1, b, store_positions),
-            SUMMARY_SCHEMA,
+    for s in range(n_shards):
+        if s not in skipped:
+            _shutil.rmtree(os.path.join(index_dir, f"shard={s}"), ignore_errors=True)
+
+    # Explicit repartition by the encode key: one task per shard (or per
+    # shard-salt sub-split), hash distribution already satisfied -> no second
+    # shuffle; AQE cannot coalesce the small test-scale groups below count.
+    if sub_splits > 1:
+        tdf = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+        salted = (
+            sharded.join(tdf, "term")
+            .withColumn("salt", F.pmod(F.col("chunk"), F.lit(sub_splits)).cast("int"))
         )
-        .collect()
-    )
+        summary = (
+            salted.repartition(n_shards * sub_splits, "shard", "salt")
+            .groupBy("shard", "salt")
+            .applyInPandas(
+                _encode_shard(
+                    index_dir, stats.n_docs, stats.avgdl, k1, b, store_positions,
+                    salted=True,
+                ),
+                SUMMARY_SCHEMA,
+            )
+            .collect()
+        )
+        # tree-wise merge: leaf sub-manifests -> per-shard manifest
+        from collections import defaultdict
+
+        per_shard: dict[int, list] = defaultdict(list)
+        for r in summary:
+            per_shard[r["shard"]].append(r)
+        for s, rows_ in per_shard.items():
+            subs = []
+            for salt in range(sub_splits):
+                mp = os.path.join(index_dir, f"shard={s}", f"_manifest-{salt}.json")
+                if os.path.exists(mp):
+                    with open(mp) as fh:
+                        subs.append(json.load(fh))
+            merged = {
+                "status": "complete",
+                "shard": s,
+                "sub_splits": sub_splits,
+                "terms": int(sum(m["terms"] for m in subs)),
+                "chunks": int(sum(m["chunks"] for m in subs)),
+                "docs": int(sum(m["docs"] for m in subs)),
+                "postings": int(sum(m["postings"] for m in subs)),
+                "bytes": int(sum(m["bytes"] for m in subs)),
+                "elapsed_sec": round(max(m["elapsed_sec"] for m in subs), 4),
+                "sub_manifests": subs,
+            }
+            tmp = _manifest_path(index_dir, s) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(merged, fh)
+            os.replace(tmp, _manifest_path(index_dir, s))
+        summary = [
+            type(summary[0])(
+                shard=s,
+                terms=sum(r["terms"] for r in rows_),
+                postings=sum(r["postings"] for r in rows_),
+                bytes=sum(r["bytes"] for r in rows_),
+                elapsed_sec=max(r["elapsed_sec"] for r in rows_),
+            )
+            for s, rows_ in per_shard.items()
+        ]
+    else:
+        summary = (
+            sharded.repartition(n_shards, "shard")
+            .groupBy("shard")
+            .applyInPandas(
+                _encode_shard(index_dir, stats.n_docs, stats.avgdl, k1, b, store_positions),
+                SUMMARY_SCHEMA,
+            )
+            .collect()
+        )
     postings.unpersist()
 
     meta = IndexMeta(

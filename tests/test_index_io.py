@@ -78,3 +78,39 @@ def test_index_readable_with_pruning(built_index, spark):
     assert len(some) >= 1
     total_postings = df.agg({"n_docs": "sum"}).collect()[0][0]
     assert total_postings > 0
+
+
+def test_salted_sub_split_build(spark, sf_smoke_dir, tmp_path_factory):
+    """sub_splits>1: salted encode tasks, tree-wise manifest merge, and
+    byte-level equivalence of query results with the unsalted build."""
+    import json
+
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import bm25_topk
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+
+    docs = spark.read.parquet(os.path.join(sf_smoke_dir, "documents.parquet"))
+    plain_dir = str(tmp_path_factory.mktemp("plain_idx"))
+    salted_dir = str(tmp_path_factory.mktemp("salted_idx"))
+    rep_plain = build_index(docs, plain_dir, n_shards=4, chunk_bits=6)
+    rep_salted = build_index(docs, salted_dir, n_shards=4, chunk_bits=6, sub_splits=3)
+    assert rep_salted["postings"] == rep_plain["postings"]
+
+    with open(os.path.join(salted_dir, "shard=0", "_manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["sub_splits"] == 3 and len(m["sub_manifests"]) >= 1
+    assert m["postings"] == sum(s["postings"] for s in m["sub_manifests"])
+
+    for q in ["spark query join", "window", "scan merge sort hash agg"]:
+        expected = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in bm25_topk(docs, q, k=10).collect()
+        ]
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, salted_dir, q, k=10).collect()
+        ]
+        assert got == expected, q
+
+    # resume over a salted index: everything skipped
+    rep3 = build_index(docs, salted_dir, n_shards=4, chunk_bits=6, sub_splits=3)
+    assert rep3["shards_built"] == [] and sorted(rep3["shards_skipped"]) == [0, 1, 2, 3]
