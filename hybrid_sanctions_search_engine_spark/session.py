@@ -20,6 +20,13 @@ def get_spark(app_name: str = "hybrid-fulltext-spark", cores: int | None = None)
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # tmpfs for shuffle/spill when available: the sandbox's virtual disk
+    # serializes concurrent writers, which caps shuffle-heavy jobs well below
+    # CPU speed (on a real cluster each executor has its own local disks)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -33,4 +40,6 @@ def get_spark(app_name: str = "hybrid-fulltext-spark", cores: int | None = None)
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()

@@ -295,19 +295,22 @@ def build_index(
     if docs.rdd.getNumPartitions() < default_par:
         docs = docs.repartition(default_par)
 
-    # ONE tokenize pass, TWO shuffles, ZERO joins:
+    # TWO shuffles, ZERO joins, ZERO caching:
     #   shuffle 1: explode → groupBy(term, doc_id) postings (doc_len carried)
     #   shuffle 2: repartition by shard for the encode stage
-    # Corpus stats come from a single cheap aggregate over the persisted
-    # postings (avgdl = Σtf / #docs — no per-doc grouping); document
+    # Corpus stats come from a scan-only tokenize aggregate (no distinct, no
+    # shuffle; n_docs counts ALL docs incl. empty ones — consistent with
+    # ``operators.postings.corpus_stats`` and the DuckDB oracle); document
     # frequency + BM25 contributions are computed *inside* the per-shard
     # encoder, where every term's postings are already co-located.
-    postings = build_postings(docs, text_col, positions=store_positions).persist()
-    stats_row = postings.agg(
-        F.count_distinct("doc_id").alias("n"),
-        (F.sum("tf") / F.count_distinct("doc_id")).alias("avgdl"),
-    ).collect()[0]
-    stats = CorpusStats(n_docs=int(stats_row["n"]), avgdl=float(stats_row["avgdl"]))
+    from ..operators.postings import tokenized_documents
+
+    n_docs = docs.count()
+    total_tokens = (
+        tokenized_documents(docs, text_col).agg(F.sum("doc_len")).collect()[0][0] or 0
+    )
+    stats = CorpusStats(n_docs=n_docs, avgdl=float(total_tokens) / max(n_docs, 1))
+    postings = build_postings(docs, text_col, positions=store_positions)
     sharded = (
         postings.withColumn(
             "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int")
@@ -402,7 +405,6 @@ def build_index(
             )
             .collect()
         )
-    postings.unpersist()
 
     meta = IndexMeta(
         n_docs=stats.n_docs,
