@@ -828,8 +828,9 @@ WITH p AS (
 )
 SELECT c_custkey, s_suppkey,
        floor((
-         (1.0 - levenshtein(a, b) / greatest(length(a), length(b), 1)) * 0.55
-         + (CASE WHEN a = b THEN 1.0 ELSE 0.0 END) * 0.45
+         (1.0 - levenshtein(a, b) / greatest(length(a), length(b), 1)) * 0.4
+         + (1.0 - levenshtein(a, b) / greatest(length(a), length(b), 1)) * (1.0 / 3.0)
+         + (CASE WHEN a = b THEN 1.0 ELSE 0.0 END) * (0.8 / 3.0)
        ) * 10000 + 0.5) / 10000 AS sim_score
 FROM p
 """,

@@ -124,12 +124,17 @@ def similarity_blend(
     right_col: str,
     out_col: str = "sim_score",
 ) -> Column | DataFrame:
-    """Weighted blend of character ratio (Levenshtein-normalized) and
-    token-set Jaccard over string pair rows — the Spark-native counterpart of
-    the reference's rapidfuzz ratio/token_sort blend
-    (``fuzzy_search_service.py:46-49``, weights renormalized to the two
-    measures expressible without quadratic DP in the JVM: 0.55 char / 0.45
-    token)."""
+    """Weighted blend of three similarity measures over string-pair rows —
+    the Spark-native counterpart of the reference's rapidfuzz fusion
+    (``fuzzy_search_service.py:46-49``: ratio 0.3 / partial 0.25 /
+    token_sort 0.25 / token_set 0.2).  partial_ratio needs quadratic
+    substring alignment the JVM can't express, so its weight is renormalized
+    across the other three (0.4 / 0.333 / 0.267):
+
+      * char ratio        — Levenshtein similarity of the raw strings
+      * token-sort ratio  — Levenshtein similarity after sorting tokens
+      * token-set Jaccard — set overlap of distinct tokens
+    """
     a = F.lower(F.col(left_col))
     b = F.lower(F.col(right_col))
     char_ratio = 1.0 - F.levenshtein(a, b) / F.greatest(
@@ -137,10 +142,17 @@ def similarity_blend(
     )
     ta = F.array_distinct(F.split(a, r"\s+"))
     tb = F.array_distinct(F.split(b, r"\s+"))
+    sa = F.concat_ws(" ", F.array_sort(F.split(a, r"\s+")))
+    sb = F.concat_ws(" ", F.array_sort(F.split(b, r"\s+")))
+    token_sort_ratio = 1.0 - F.levenshtein(sa, sb) / F.greatest(
+        F.length(sa), F.length(sb), F.lit(1)
+    )
     jac = F.size(F.array_intersect(ta, tb)) / F.greatest(
         F.size(F.array_union(ta, tb)), F.lit(1)
     )
-    return pairs.withColumn(out_col, char_ratio * 0.55 + jac * 0.45)
+    return pairs.withColumn(
+        out_col, char_ratio * 0.4 + token_sort_ratio * (1.0 / 3.0) + jac * (0.8 / 3.0)
+    )
 
 
 # ---------------------------------------------------------------------------
