@@ -441,6 +441,17 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_smartfilter(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 smart pre-filter confidence over raw texts."""
+    from hybrid_sanctions_search_engine_spark.functions.smartfilter import (
+        smartfilter_confidence_col,
+    )
+
+    return _docs(spark, sf).select(
+        "doc_id", _r4(smartfilter_confidence_col(F.col("text"))).alias("sf_confidence")
+    )
+
+
 def q_screening(spark: SparkSession, sf: str) -> DataFrame:
     """Full batch screening pipeline (rows-only: normalization UDF + pattern
     generation aren't SQL-expressible; semantics covered by
@@ -557,6 +568,18 @@ FROM withbest
 _LANG_ID_ORACLE = _lang_id_oracle()
 
 
+def _smartfilter_oracle() -> str:
+    from hybrid_sanctions_search_engine_spark.functions.smartfilter import (
+        smartfilter_oracle_sql,
+    )
+
+    expr = smartfilter_oracle_sql("text")
+    return f"""
+SELECT doc_id, floor(({expr}) * 10000 + 0.5) / 10000 AS sf_confidence
+FROM documents
+"""
+
+
 def _knn_oracle_sql() -> str:
     vec = _knn_query_vec()
     lits = ", ".join(repr(v) for v in vec)
@@ -622,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "birthdate_normalize": q_birthdate_normalize,
         "batch_bm25": q_batch_bm25,
         "screening": q_screening,
+        "smartfilter": q_smartfilter,
     }
 
 
@@ -887,4 +911,5 @@ ranked AS (
 SELECT query_id, doc_id, floor((score) * 10000 + 0.5) / 10000 AS score, rank, n_terms_matched
 FROM ranked WHERE rank <= 5
 """,
+        "smartfilter": _smartfilter_oracle(),
     }

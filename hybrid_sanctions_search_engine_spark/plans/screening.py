@@ -49,6 +49,19 @@ def _lang_udf():
     return lang
 
 
+def _homoglyph_udf():
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    from ..functions.normalize import fold_homoglyphs
+
+    @pandas_udf(BooleanType())
+    def hg(s: pd.Series) -> pd.Series:
+        return s.fillna("").map(lambda t: fold_homoglyphs(t)[1] > 0)
+
+    return hg
+
+
 def screen_texts(
     texts: DataFrame,
     pattern_docs: DataFrame,
@@ -63,14 +76,19 @@ def screen_texts(
     (text_id, normalized, language, n_dates, n_ids, best_entity_id,
     best_score, total_matches, risk_score, risk).
     """
+    from ..functions.smartfilter import smartfilter_confidence_col
+
     norm_udf = _normalize_udf()
     lang_udf = _lang_udf()
+    hg_udf = _homoglyph_udf()
 
     enriched = (
         texts.withColumn("normalized", norm_udf(F.col("text")))
         .withColumn("language", lang_udf(F.col("normalized")))
         .withColumn("n_dates", F.size(extract_dates_col(F.col("text"))))
         .withColumn("n_ids", F.size(extract_ids_col(F.col("text"))))
+        .withColumn("sf_confidence", smartfilter_confidence_col(F.col("text")))
+        .withColumn("homoglyph_detected", hg_udf(F.col("normalized")))
     ).persist()
 
     # --- batched watchlist search: all texts, one posting join ------------
@@ -143,7 +161,7 @@ def screen_texts(
             F.when(F.col("exact_confidence").isNotNull(), F.col("exact_confidence"))
             .otherwise(0.0),
         )
-        .withColumn("smartfilter_confidence", F.lit(0.0))
+        .withColumn("smartfilter_confidence", F.col("sf_confidence"))
     )
     decided = score_decisions(combined, weights)
     enriched.unpersist()
