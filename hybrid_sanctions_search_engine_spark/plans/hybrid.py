@@ -77,19 +77,54 @@ class HybridSearchPlan:
         embeddings: DataFrame | None = None,
         text_col: str = "text",
         embedding_dim: int = 64,
+        index_dir: str | None = None,
     ):
+        """``index_dir``: serve the AC stage from a prebuilt compressed index
+        (``sources.index_io.build_index`` output) instead of recomputing
+        postings — the production shape. The fuzzy dictionary then also comes
+        from the index's term rows (no extra tokenize pass)."""
         self.docs = docs
         self.text_col = text_col
         self.embeddings = embeddings
         self.embedding_dim = embedding_dim
-        self.postings = build_postings(docs, text_col, positions=False).persist()
-        self.dl = doc_lengths(docs, text_col).persist()
-        self.stats: CorpusStats = corpus_stats(docs, text_col)
-        self.dictionary = term_doc_freq(self.postings).persist()
+        self.index_dir = index_dir
+        if index_dir is not None:
+            from ..sources.index_io import load_index
+
+            self.index_df, self.index_meta = load_index(docs.sparkSession, index_dir)
+            self.index_df = self.index_df.persist()
+            self.stats = CorpusStats(
+                n_docs=self.index_meta.n_docs, avgdl=self.index_meta.avgdl
+            )
+            self.postings = None
+            self.dl = None
+            self.dictionary = (
+                self.index_df.groupBy("term")
+                .agg(F.max("df").alias("df"))
+                .persist()
+            )
+        else:
+            self.index_df = None
+            self.index_meta = None
+            self.postings = build_postings(docs, text_col, positions=False).persist()
+            self.dl = doc_lengths(docs, text_col).persist()
+            self.stats: CorpusStats = corpus_stats(docs, text_col)
+            self.dictionary = term_doc_freq(self.postings).persist()
 
     # -- stages -----------------------------------------------------------
 
     def ac_stage(self, query: str, k: int) -> DataFrame:
+        if self.index_df is not None:
+            from .wand import topk_search
+
+            return topk_search(
+                self.docs.sparkSession,
+                self.index_dir,
+                query,
+                k=k,
+                index_df=self.index_df,
+                meta=self.index_meta,
+            ).select("doc_id", "score")
         return bm25_topk(
             self.docs,
             query,
@@ -131,12 +166,26 @@ class HybridSearchPlan:
         expanded = expanded.groupBy("term").agg(
             F.max("term_weight").alias("term_weight")
         )
-        exp_terms = [r["term"] for r in expanded.select("term").collect()]
-        if not exp_terms:
+        weights = {
+            r["term"]: float(r["term_weight"]) for r in expanded.collect()
+        }
+        if not weights:
             return self.docs.sparkSession.createDataFrame(
                 [], "doc_id long, score double"
             )
-        scored = score_terms(self.postings, self.dl, exp_terms, self.stats)
+        if self.index_df is not None:
+            from .wand import topk_search
+
+            return topk_search(
+                self.docs.sparkSession,
+                self.index_dir,
+                list(weights),
+                k=k,
+                index_df=self.index_df,
+                meta=self.index_meta,
+                term_weights=weights,
+            ).select("doc_id", "score")
+        scored = score_terms(self.postings, self.dl, list(weights), self.stats)
         weighted = scored.join(F.broadcast(expanded), "term").withColumn(
             "term_score", F.col("term_score") * F.col("term_weight")
         )

@@ -57,13 +57,16 @@ def _shard_of_terms(terms: list[str], n_shards: int) -> dict[str, int]:
     return {t: shard_of_term(t, n_shards) for t in terms}
 
 
-def _score_chunks(k: int):
+def _score_chunks(k: int, term_weights: dict[str, float] | None = None):
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ids_parts = []
         score_parts = []
-        for gaps, scores in zip(pdf["doc_gaps"], pdf["scores"]):
+        for term, gaps, scores in zip(pdf["term"], pdf["doc_gaps"], pdf["scores"]):
             ids_parts.append(delta_decode(gaps))
-            score_parts.append(np.frombuffer(scores, dtype=np.float64))
+            contrib = np.frombuffer(scores, dtype=np.float64)
+            if term_weights is not None:
+                contrib = contrib * term_weights.get(term, 1.0)
+            score_parts.append(contrib)
         ids = np.concatenate(ids_parts)
         contrib = np.concatenate(score_parts)
         uniq, inv = np.unique(ids, return_inverse=True)
@@ -94,9 +97,14 @@ def topk_search(
     seed_chunks: int = 4,
     index_df: DataFrame | None = None,
     meta: IndexMeta | None = None,
+    term_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 over the compressed index → (doc_id, score,
-    n_terms_matched) ordered (score desc, doc_id asc)."""
+    n_terms_matched) ordered (score desc, doc_id asc).
+
+    ``term_weights`` scales each term's stored contribution (the fuzzy
+    stage's edit-ratio discounts); chunk upper bounds stay valid because
+    weights are ≤ 1."""
     if index_df is None or meta is None:
         index_df, meta = load_index(spark, index_dir)
     terms = query_terms(query) if isinstance(query, str) else list(query)
@@ -121,7 +129,7 @@ def topk_search(
         return spark.createDataFrame([], RESULT_SCHEMA)
     chunk_ubs = [(int(r["chunk"]), float(r["ub"])) for r in ubs]
 
-    score_fn = _score_chunks(k)
+    score_fn = _score_chunks(k, term_weights)
 
     def run(chunks: list[int]) -> DataFrame:
         return (

@@ -60,3 +60,26 @@ def test_fusion_bonus_applied(plan):
     res, trace = plan.search("sparc", SearchOpts(top_k=5))
     assert res.columns == ["doc_id", "score"]
     assert all(t.took_ms >= 0 for t in trace)
+
+
+def test_index_backed_plan_matches_dataframe_plan(spark, sf_smoke_dir, tmp_path_factory):
+    """Hybrid ladder over the compressed index == ladder over DataFrame
+    postings (AC stage rank-identity carries through the whole plan)."""
+    import os
+
+    from hybrid_sanctions_search_engine_spark.sources.index_io import build_index
+
+    docs = spark.read.parquet(os.path.join(sf_smoke_dir, "documents.parquet"))
+    index_dir = str(tmp_path_factory.mktemp("hybrid_idx"))
+    build_index(docs, index_dir, n_shards=4, chunk_bits=7)
+
+    plan_df = HybridSearchPlan(docs)
+    plan_idx = HybridSearchPlan(docs, index_dir=index_dir)
+
+    for q in ["spark query join window", "sparc"]:
+        a, trace_a = plan_df.search(q, SearchOpts(top_k=10))
+        b, trace_b = plan_idx.search(q, SearchOpts(top_k=10))
+        ra = [(r["doc_id"], round(r["score"], 9)) for r in a.collect()]
+        rb = [(r["doc_id"], round(r["score"], 9)) for r in b.collect()]
+        assert ra == rb, q
+        assert [t.stage for t in trace_a] == [t.stage for t in trace_b]
