@@ -220,16 +220,20 @@ class HybridSearchPlan:
         opts = opts or SearchOpts()
         trace: list[SearchTraceStep] = []
         k = opts.top_k
+        spark = self.docs.sparkSession
+        schema = "doc_id long, score double"
 
+        # stage results are ≤ k rows — materialize each once on the driver
+        # (one job per stage) instead of persist+agg+reuse (three jobs + a
+        # cache leak per search call)
         t0 = time.monotonic()
-        ac = self.ac_stage(query, k).persist()
-        ac_rows = ac.agg(
-            F.count("*").alias("n"), F.max("score").alias("best")
-        ).collect()[0]
-        ac_n, ac_best = int(ac_rows["n"]), float(ac_rows["best"] or 0.0)
+        ac_rows = self.ac_stage(query, k).collect()
+        ac_n = len(ac_rows)
+        ac_best = max((r["score"] for r in ac_rows), default=0.0)
         trace.append(
             SearchTraceStep("AC", ac_n, ac_best, (time.monotonic() - t0) * 1000)
         )
+        ac = spark.createDataFrame(ac_rows, schema)
 
         # escalation decision (_should_escalate, hybrid_search_service.py:912-928)
         escalate = opts.enable_escalation and (
@@ -239,27 +243,28 @@ class HybridSearchPlan:
         lexical = ac
         if escalate:
             t1 = time.monotonic()
-            fz = self.fuzzy_stage(query, k, opts)
+            fz_rows = self.fuzzy_stage(query, k, opts).collect()
+            fz = spark.createDataFrame(fz_rows, schema)
             lexical = dedup_keep_best(ac.unionByName(fz))
-            fz_best = (
-                fz.agg(F.max("score")).collect()[0][0] or 0.0
-            )
             trace.append(
                 SearchTraceStep(
-                    "FUZZY", fz.count(), float(fz_best), (time.monotonic() - t1) * 1000
+                    "FUZZY",
+                    len(fz_rows),
+                    max((r["score"] for r in fz_rows), default=0.0),
+                    (time.monotonic() - t1) * 1000,
                 )
             )
 
         vector = None
         if escalate and self.embeddings is not None:
             t2 = time.monotonic()
-            vector = self.vector_stage(query, k)
-            v_best = vector.agg(F.max("score")).collect()[0][0] or 0.0
+            vec_rows = self.vector_stage(query, k).collect()
+            vector = spark.createDataFrame(vec_rows, schema)
             trace.append(
                 SearchTraceStep(
                     "SEMANTIC",
-                    vector.count(),
-                    float(v_best),
+                    len(vec_rows),
+                    max((r["score"] for r in vec_rows), default=0.0),
                     (time.monotonic() - t2) * 1000,
                 )
             )
