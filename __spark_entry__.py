@@ -441,6 +441,29 @@ def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_threshold_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Offline eval: precision/recall/F1 at every candidate threshold
+    (labels: purchase events are 'positives', score: value)."""
+    from hybrid_sanctions_search_engine_spark.operators.calibration import (
+        threshold_metrics,
+    )
+
+    ev = _tbl(spark, sf, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").alias("label"),
+    )
+    m = threshold_metrics(ev)
+    return m.select(
+        _r4("threshold").alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        _r4("precision").alias("precision"),
+        _r4("recall").alias("recall"),
+        _r4("f1").alias("f1"),
+    )
+
+
 def q_smartfilter(spark: SparkSession, sf: str) -> DataFrame:
     """L2 smart pre-filter confidence over raw texts."""
     from hybrid_sanctions_search_engine_spark.functions.smartfilter import (
@@ -646,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25": q_batch_bm25,
         "screening": q_screening,
         "smartfilter": q_smartfilter,
+        "threshold_calibration": q_threshold_calibration,
     }
 
 
@@ -912,4 +936,26 @@ SELECT query_id, doc_id, floor((score) * 10000 + 0.5) / 10000 AS score, rank, n_
 FROM ranked WHERE rank <= 5
 """,
         "smartfilter": _smartfilter_oracle(),
+        "threshold_calibration": """
+WITH scored AS (
+  SELECT value AS score, (event_type = 'purchase') AS label FROM events
+),
+cum AS (
+  SELECT score AS threshold,
+         sum(label::BIGINT) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         count(*) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred,
+         sum(label::BIGINT) OVER () AS total_pos
+  FROM scored
+),
+per_t AS (
+  SELECT threshold, max(tp) AS tp, max(n_pred) AS n_pred, max(total_pos) AS total_pos
+  FROM cum GROUP BY threshold
+)
+SELECT floor((threshold) * 10000 + 0.5) / 10000 AS threshold,
+       tp, (n_pred - tp) AS fp, (total_pos - tp) AS fn,
+       floor((tp / n_pred) * 10000 + 0.5) / 10000 AS precision,
+       floor((tp / total_pos) * 10000 + 0.5) / 10000 AS recall,
+       floor((2 * tp / (n_pred + total_pos)) * 10000 + 0.5) / 10000 AS f1
+FROM per_t
+""",
     }

@@ -1,0 +1,69 @@
+"""Offline threshold calibration — the reference's eval layer.
+
+Re-expresses ``/root/reference/src/ai_service/eval/threshold_calibration.py``
+(sweep candidate thresholds over labeled scores, pick the one maximizing an
+objective) as one window plan: sort by score desc, cumulative TP/FP counts
+give precision/recall *at every distinct score simultaneously* — no
+per-threshold rescan, fully JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def threshold_metrics(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """→ (threshold, tp, fp, fn, precision, recall, f1) for every distinct
+    score value, where threshold means `predict positive iff score ≥ t`."""
+    total_pos = F.sum(F.col("y")).over(Window.partitionBy())
+    w = (
+        Window.partitionBy()
+        .orderBy(F.desc("threshold"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        scored.select(
+            F.col(score_col).alias("threshold"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .withColumn("tp", F.sum("y").over(w))
+        .withColumn("n_pred", F.count("*").over(w))
+        .withColumn("total_pos", total_pos)
+    )
+    # ties: keep the last row per distinct score (threshold includes all ties)
+    per_t = cum.groupBy("threshold").agg(
+        F.max("tp").alias("tp"),
+        F.max("n_pred").alias("n_pred"),
+        F.max("total_pos").alias("total_pos"),
+    )
+    return per_t.select(
+        "threshold",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("total_pos") - F.col("tp")).alias("fn"),
+        (F.col("tp") / F.col("n_pred")).alias("precision"),
+        (F.col("tp") / F.col("total_pos")).alias("recall"),
+        (
+            2 * F.col("tp") / (F.col("n_pred") + F.col("total_pos"))
+        ).alias("f1"),
+    )
+
+
+def calibrate_threshold(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    objective: str = "f1",
+) -> dict:
+    """Best threshold by the objective (deterministic tie-break: higher
+    threshold wins, favoring precision like the reference calibrator)."""
+    best = (
+        threshold_metrics(scored, score_col, label_col)
+        .orderBy(F.desc(objective), F.desc("threshold"))
+        .limit(1)
+        .collect()[0]
+    )
+    return {k: best[k] for k in ("threshold", "precision", "recall", "f1")}
