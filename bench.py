@@ -46,6 +46,7 @@ def main() -> None:
         return out
 
     index_dir = tempfile.mkdtemp(prefix="bench_index_")
+    big_dir = tempfile.mkdtemp(prefix="bench_index_big_")
     try:
         report = timed(
             "index_build",
@@ -56,6 +57,31 @@ def main() -> None:
             "postings": report["postings"],
             "bytes": report["bytes"],
         }
+
+        # throughput at a scale where fixed costs amortize (×48 expansion →
+        # ~240k docs): the number comparable to the reference's bulk-load rate
+        from pyspark.sql import functions as F
+
+        cores = CPUS
+        expanded = (
+            docs.crossJoin(spark.range(48).select(F.col("id").alias("rep")))
+            .withColumn("doc_id", F.col("doc_id") * 48 + F.col("rep"))
+            .drop("rep")
+            .repartition(cores * 3)
+        ).persist()
+        n_big = expanded.count()
+        big_report = timed(
+            "index_build_240k",
+            lambda: build_index(expanded, big_dir, n_shards=64, chunk_bits=12),
+        )
+        extra["index_build_at_scale"] = {
+            "n_docs": n_big,
+            "docs_per_sec": big_report["docs_per_sec"],
+            "postings_per_sec": round(
+                big_report["postings"] / timings["index_build_240k"], 1
+            ),
+        }
+        expanded.unpersist()
         idx, meta = load_index(spark, index_dir)
         idx = idx.cache()
         idx.count()
@@ -132,6 +158,7 @@ def main() -> None:
         )
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
+        shutil.rmtree(big_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     print(
