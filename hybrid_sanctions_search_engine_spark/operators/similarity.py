@@ -17,6 +17,7 @@ equivalents:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -94,6 +95,80 @@ def knn_lsh(
     qsig = lsh_signature_of(query_vec, dim, n_planes, seed)
     hamming = F.bit_count(F.col(sig_col).bitwiseXOR(F.lit(qsig)))
     candidates = embeddings_with_sig.where(hamming <= max_hamming)
+    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-pruned scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """k-means centroids from a bounded driver-side sample (deterministic).
+
+    The sample cap makes this O(sample·dim·iters) regardless of corpus size —
+    the standard IVF training shape (train on a sample, assign everything)."""
+    rows = embeddings.select(vec_col).limit(sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def assign_ivf_cells(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Add the nearest-centroid cell id (vectorized Arrow UDF; at scale the
+    table is written `partitionBy(ivf_cell)` so probes prune partitions)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    cent = centroids  # broadcast via closure
+
+    @pandas_udf(IntegerType())
+    def cell(vs: pd.Series) -> pd.Series:
+        x = np.array(vs.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ cent.T).argmax(axis=1).astype(np.int32))
+
+    return embeddings.withColumn(out_col, cell(F.col(vec_col)))
+
+
+def knn_ivf(
+    embeddings_with_cell: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """ANN top-k: probe the ``n_probe`` cells nearest the query, exact cosine
+    inside them. Recall/latency dial = n_probe (n_probe = n_centroids ⇒
+    exact)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    candidates = embeddings_with_cell.where(F.col(cell_col).isin(probe))
     return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
 
 

@@ -97,3 +97,38 @@ def test_knn_bruteforce_and_lsh(spark):
     with_sig = add_lsh_signature(emb, dim=dim, n_planes=12)
     ann = knn_lsh(with_sig, q, dim=dim, k=3, n_planes=12, max_hamming=4).collect()
     assert ann[0]["vec_id"] == 0 and abs(ann[0]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_knn_ivf_recall(spark):
+    """IVF probe recovers the exact top-k on clustered data."""
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        assign_ivf_cells,
+        knn_bruteforce,
+        knn_ivf,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, per_cluster = 16, 40
+    centers = rng.standard_normal((4, dim)) * 5
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = c + rng.standard_normal(dim) * 0.3
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+            i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(emb, n_centroids=4, iters=8)
+    with_cell = assign_ivf_cells(emb, cents).persist()
+    # cells should be balanced-ish (4 clusters of 40)
+    sizes = [r["n"] for r in with_cell.groupBy("ivf_cell").count().withColumnRenamed("count", "n").collect()]
+    assert len(sizes) == 4 and min(sizes) >= 20
+
+    q = rows[5][1]  # a member of cluster 0
+    exact = [r["vec_id"] for r in knn_bruteforce(emb, q, k=10).collect()]
+    ann = [r["vec_id"] for r in knn_ivf(with_cell, cents, q, k=10, n_probe=1).collect()]
+    # single-probe IVF recovers the full exact top-10 on well-separated clusters
+    assert ann == exact
