@@ -163,6 +163,32 @@ def gender_variants(surname: str) -> list[str]:
     return out
 
 
+# F11 essentials: ordered person-name reconstruction from role-tagged tokens
+_ROLE_ORDER = {"given": 0, "patronymic": 1, "surname": 2, "initial": 0, "other": 3}
+
+
+def assemble_name(tokens: list[str], roles: list[str] | None = None) -> str:
+    """Reassemble a person name in canonical order (given, patronymic,
+    surname) with title case, preserving hyphenated-surname and initial
+    punctuation — the reference's name_assembler essentials
+    (``layers/normalization/name_assembler.py``, behaviour essentials)."""
+    if roles is None:
+        roles = [tag_role(t) for t in tokens]
+    ordered = sorted(
+        zip(tokens, roles), key=lambda tr: _ROLE_ORDER.get(tr[1], 3)
+    )
+
+    def title(token: str) -> str:
+        if token.endswith(".") and len(token) <= 3:  # initial
+            return token[:1].upper() + token[1:]
+        return "-".join(
+            part[:1].upper() + part[1:].lower() if part else part
+            for part in token.split("-")
+        )
+
+    return " ".join(title(t) for t, _ in ordered)
+
+
 def to_latin_series(s: pd.Series) -> pd.Series:
     return s.fillna("").map(to_latin)
 

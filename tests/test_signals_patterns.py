@@ -142,3 +142,12 @@ def test_redact_columns(spark):
     df = spark.createDataFrame([(1, "1234567890", "ok")], "id long, itn string, note string")
     out = redact_columns(df, ["itn", "missing"]).collect()[0]
     assert out["itn"] == "[REDACTED]" and out["note"] == "ok"
+
+
+def test_assemble_name():
+    from hybrid_sanctions_search_engine_spark.functions.translit import assemble_name
+
+    # canonical ordering regardless of input order; title case restored
+    assert assemble_name(["ИВАНОВ", "иван", "петрович"]) == "Иван Петрович Иванов"
+    assert assemble_name(["петрова-сидорова", "анна"]) == "Анна Петрова-Сидорова"
+    assert assemble_name(["и.", "иванов"]) == "И. Иванов"
