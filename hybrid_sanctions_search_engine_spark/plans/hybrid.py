@@ -228,6 +228,23 @@ class HybridSearchPlan:
         # cache leak per search call)
         t0 = time.monotonic()
         ac_rows = self.ac_stage(query, k).collect()
+        # homoglyph permutation search (reference: _handle_search_layer
+        # multi-search, unified_orchestrator.py:647-731): when the query mixes
+        # scripts, also search the homoglyph-folded variant, keep best per doc
+        from ..functions.normalize import fold_homoglyphs
+
+        folded, n_folds = fold_homoglyphs(query)
+        if n_folds > 0 and folded != query:
+            folded_rows = self.ac_stage(folded, k).collect()
+            best: dict[int, float] = {}
+            for r in list(ac_rows) + list(folded_rows):
+                doc, sc = r["doc_id"], r["score"]
+                if doc not in best or sc > best[doc]:
+                    best[doc] = sc
+            ac_rows = [
+                {"doc_id": d, "score": s}
+                for d, s in sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            ]
         ac_n = len(ac_rows)
         ac_best = max((r["score"] for r in ac_rows), default=0.0)
         trace.append(

@@ -83,3 +83,13 @@ def test_index_backed_plan_matches_dataframe_plan(spark, sf_smoke_dir, tmp_path_
         rb = [(r["doc_id"], round(r["score"], 9)) for r in b.collect()]
         assert ra == rb, q
         assert [t.stage for t in trace_a] == [t.stage for t in trace_b]
+
+
+def test_homoglyph_query_permutation(plan):
+    # 'sраrk' with Cyrillic а/р folds to 'spark' (Latin-dominant) and must
+    # find the same docs as the clean query
+    clean, _ = plan.search("spark query join window", SearchOpts(top_k=5))
+    mixed, _ = plan.search("sраrk query join window", SearchOpts(top_k=5))
+    a = [(r["doc_id"], round(r["score"], 6)) for r in clean.collect()]
+    b = [(r["doc_id"], round(r["score"], 6)) for r in mixed.collect()]
+    assert a == b
