@@ -1,0 +1,78 @@
+"""Adversarial corpora: index + query stack vs an independent pure-Python
+BM25 oracle on edge-case inputs the synthetic corpus can't produce."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from hybrid_sanctions_search_engine_spark.operators.bm25 import bm25_topk
+from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+from hybrid_sanctions_search_engine_spark.sources.index_io import build_index
+
+
+def python_bm25_topk(docs: list[tuple[int, str]], query: str, k: int):
+    """Independent reference scorer (pure python, no shared code paths)."""
+    tokenized = {d: [t for t in re.split(r"[\W_]+", txt.lower()) if t] for d, txt in docs}
+    n = len(docs)
+    avgdl = sum(len(ts) for ts in tokenized.values()) / max(n, 1)
+    terms = [t for t in re.split(r"[\W_]+", query.lower()) if t]
+    df = {t: sum(1 for ts in tokenized.values() if t in ts) for t in terms}
+    scores = {}
+    for d, ts in tokenized.items():
+        s = 0.0
+        matched = 0
+        for t in set(terms):
+            tf = ts.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(ts) / avgdl))
+            matched += 1
+        if matched:
+            scores[d] = s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(d, round(s, 9)) for d, s in ranked]
+
+
+CORPORA = {
+    "tf_over_blocksize": [
+        (0, "hot " * 300 + "cold"),          # tf=300 > varint 1-byte & block 128
+        (1, "hot cold other words here"),
+        (2, "cold only text with filler terms"),
+    ],
+    "empty_and_sparse_ids": [
+        (0, ""),                              # empty doc (counts in N/avgdl)
+        (7, "alpha beta gamma"),
+        (10**9 + 7, "alpha delta"),           # huge sparse doc_id (chunking)
+        (10**12 + 3, "beta beta beta gamma"),
+        (5, "   "),                           # whitespace-only
+    ],
+    "single_doc": [(42, "lonely document about spark")],
+    "all_same_text": [(i, "same words every time") for i in range(10)],
+}
+
+QUERIES = ["hot cold", "alpha beta", "spark lonely", "same time", "absent"]
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_adversarial_rank_identity(spark, tmp_path_factory, name):
+    docs_list = CORPORA[name]
+    docs = spark.createDataFrame(docs_list, "doc_id long, text string")
+    index_dir = str(tmp_path_factory.mktemp(f"adv_{name}"))
+    report = build_index(docs, index_dir, n_shards=2, chunk_bits=4)
+    assert report["n_docs"] == len(docs_list)
+
+    for q in QUERIES:
+        expected = python_bm25_topk(docs_list, q, k=5)
+        via_df = [
+            (r["doc_id"], round(r["score"], 9)) for r in bm25_topk(docs, q, k=5).collect()
+        ]
+        via_index = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, index_dir, q, k=5).collect()
+        ]
+        assert via_df == expected, (name, q, "dataframe")
+        assert via_index == expected, (name, q, "index")
