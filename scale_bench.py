@@ -26,7 +26,7 @@ import tempfile
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICATION = int(os.environ.get("SCALE_BENCH_REPLICATION", "96"))
+REPLICATION = int(os.environ.get("SCALE_BENCH_REPLICATION", "192"))
 N_SHARDS = 64
 CORES_PAIR = tuple(int(x) for x in os.environ.get("SCALE_BENCH_CORES", "1,4").split(","))
 
