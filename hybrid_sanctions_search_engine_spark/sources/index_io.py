@@ -6,18 +6,20 @@ Elasticsearch ``_bulk`` deployment dataflow
 single ES node ingesting NDJSON batches, the index IS a partitioned parquet
 dataset built by one Spark job:
 
-    documents ──tokenize/posexplode──▶ postings(term, doc_id, tf)
-        ──join doc_len, broadcast(df/idf)──▶ scored postings
-        ──shard = pmod(xxhash64(term), n_shards)──▶ one shuffle
-        ──applyInPandas per shard──▶ per-(term, chunk) rows:
-              doc-id gaps (LEB128 varint), tf varints,
-              float64 BM25 contributions, 128-posting block-max array
+    documents ──tokenize/posexplode──▶ [shuffle 1] postings(term, doc_id,
+        tf, doc_len)  ──shard = pmod(xxhash64(term), n_shards)──▶
+        [shuffle 2] ──applyInPandas per shard──▶ per-(term, chunk) rows:
+              doc-id gaps (LEB128 varint), tf varints, float64 BM25
+              contributions (df/idf computed in-encoder — a term's postings
+              are co-located by construction), optional position streams,
+              128-posting block-max array
         ──▶ index_dir/shard=NNNN/data.parquet + _manifest.json
 
 Design properties (north rule):
-  * **One shuffle.** The posting aggregation shuffle already hashes by
-    (term, doc_id); the shard stage repartitions by shard only — postings move
-    once to their final shard.
+  * **Two shuffles, zero joins, zero caching.** The postings aggregation
+    hashes by (term, doc_id) with map-side combine; the shard stage moves
+    each posting once more to its final shard; corpus stats come from a
+    scan-only aggregate.
   * **Skew.** Hot (Zipf-head) terms are bounded by the (term, chunk) row
     granularity: a term's postings are split into doc-id-range chunks
     (``doc_id >> chunk_bits``), so no single row or reducer holds an unbounded
