@@ -952,7 +952,9 @@ per_t AS (
   FROM cum GROUP BY threshold
 )
 SELECT floor((threshold) * 10000 + 0.5) / 10000 AS threshold,
-       tp, (n_pred - tp) AS fp, (total_pos - tp) AS fn,
+       -- DuckDB windowed sum(BIGINT) yields HUGEINT (INT128); cast back so the
+       -- driver's value-hasher sees the same physical type as Spark's longs
+       tp::BIGINT AS tp, (n_pred - tp)::BIGINT AS fp, (total_pos - tp)::BIGINT AS fn,
        floor((tp / n_pred) * 10000 + 0.5) / 10000 AS precision,
        floor((tp / total_pos) * 10000 + 0.5) / 10000 AS recall,
        floor((2 * tp / (n_pred + total_pos)) * 10000 + 0.5) / 10000 AS f1

@@ -26,6 +26,13 @@ from pyspark.sql.types import LongType
 
 from ..functions.tokenize import spark_index_tokens
 
+
+def _round4(col):
+    """Driver-contract rounding: floor(x*1e4+0.5)/1e4 — pure IEEE double ops,
+    bit-identical between Spark and the DuckDB oracles (never engine round())."""
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -92,7 +99,7 @@ def jaccard_pairs_blocked(
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("id_a", "id_b", _round4(F.col("jaccard")).alias("jaccard"))
     )
 
 
@@ -220,7 +227,7 @@ def minhash_lsh_pairs(
             / F.size(F.array_union("sh_a", "sh_b")),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("id_a", "id_b", _round4(F.col("jaccard")).alias("jaccard"))
     )
     return verified
 

@@ -38,20 +38,25 @@ def compare_shadow(
         F.col("score").alias("score_b"),
     )
     joined = a.join(b, [query_col, "doc_id"], "full_outer")
-    return joined.groupBy(query_col).agg(
+    agg = joined.groupBy(query_col).agg(
         F.count(F.col("rank_a")).cast("int").alias("n_active"),
         F.count(F.col("rank_b")).cast("int").alias("n_shadow"),
         F.count(F.when(F.col("rank_a").isNotNull() & F.col("rank_b").isNotNull(), 1))
         .cast("int")
         .alias("n_shared"),
-        (
-            F.count(
-                F.when(F.col("rank_a").isNotNull() & F.col("rank_b").isNotNull(), 1)
-            )
-            / k
-        ).alias("overlap_at_k"),
         F.avg(F.abs(F.col("rank_a") - F.col("rank_b"))).alias("rank_mae"),
         F.max(F.abs(F.col("score_a") - F.col("score_b"))).alias("max_score_drift"),
+    )
+    # normalize by the achievable overlap, not the constant k: selective
+    # queries where both engines return < k docs can still reach 1.0 under
+    # perfect agreement (a group always has ≥1 row, so the divisor is ≥1)
+    return agg.withColumn(
+        "overlap_at_k",
+        F.col("n_shared")
+        / F.least(F.lit(k), F.greatest(F.col("n_active"), F.col("n_shadow"))),
+    ).select(
+        query_col, "n_active", "n_shadow", "n_shared",
+        "overlap_at_k", "rank_mae", "max_score_drift",
     )
 
 

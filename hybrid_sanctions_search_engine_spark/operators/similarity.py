@@ -109,16 +109,38 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """k-means centroids from a bounded driver-side sample (deterministic).
 
     The sample cap makes this O(sample·dim·iters) regardless of corpus size —
-    the standard IVF training shape (train on a sample, assign everything)."""
-    rows = embeddings.select(vec_col).limit(sample).collect()
+    the standard IVF training shape (train on a sample, assign everything).
+
+    Sampling orders by ``xxhash64(id)`` and takes the first ``sample`` rows:
+    a TakeOrderedAndProject (no full sort shuffle) that is (a) *uniform* in
+    the hash order — immune to source-clustered / id-sorted inputs that made
+    a bare ``limit()`` pick one cluster's head — and (b) *deterministic*
+    across runs and partition layouts (``limit`` on unordered data is not)."""
+    rows = (
+        embeddings.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    # farthest-point init (deterministic, k-means++-style): each next seed is
+    # the point least similar to its nearest chosen seed — on separated
+    # clusters this places exactly one seed per cluster, unlike random choice
+    k_eff = min(n_centroids, len(x))
+    seeds = [0]
+    best_sim = x @ x[0]
+    for _ in range(1, k_eff):
+        nxt = int(np.argmin(best_sim))
+        seeds.append(nxt)
+        best_sim = np.maximum(best_sim, x @ x[nxt])
+    cent = x[seeds].copy()
     for _ in range(iters):
         sims = x @ cent.T
         assign = sims.argmax(axis=1)

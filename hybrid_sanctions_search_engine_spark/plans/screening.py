@@ -164,7 +164,11 @@ def screen_texts(
         .withColumn("smartfilter_confidence", F.col("sf_confidence"))
     )
     decided = score_decisions(combined, weights)
-    enriched.unpersist()
+    # `enriched` stays persisted: the returned (lazy) DataFrame references it
+    # on two branches (qterms + final join); unpersisting here would drop the
+    # cache before the caller ever materializes, recomputing the Arrow-UDF
+    # normalization per branch.  Spark evicts LRU; callers may unpersist after
+    # their action if they hold many screening plans.
     return decided.select(
         "text_id",
         "normalized",
