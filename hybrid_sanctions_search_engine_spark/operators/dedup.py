@@ -33,6 +33,16 @@ def _round4(col):
     return F.floor(col * 10000 + F.lit(0.5)) / 10000
 
 
+def _widen_narrow_scan(docs: DataFrame) -> DataFrame:
+    """Repartition a narrow input (single parquet file / in-memory relation)
+    so UDF-heavy scans use every core.  At production scale the source scan
+    has thousands of splits and this is a no-op."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -118,48 +128,134 @@ def minhash_signatures(
 ) -> DataFrame:
     """→ (doc_id, sig array<long>[n_hashes]).
 
-    Universal-hashing MinHash in one vectorized Arrow UDF: one FNV-1a base
-    hash per shingle folded to 31 bits, then sig[i] = min over shingles of
-    (a_i·h + b_i) mod (2^31−1) — a single uint64 numpy (shingles × seeds)
-    matrix op per row, no overflow, no explode, no shuffle.
+    Universal-hashing MinHash in one vectorized Arrow UDF with ZERO
+    per-shingle (and near-zero per-token) Python:
+
+      1. tokenize per doc, flatten the batch's tokens, ``pd.factorize`` them
+         and FNV-1a-hash only the *unique* tokens (vocabulary ≪ token count);
+      2. shingle hashes are rolling n-token windows over the flat token-hash
+         array — XOR of odd-constant-multiplied neighbors — computed with n
+         shifted numpy views over a zero-padded buffer (padding makes doc
+         tails/short docs fall out of the same formula, since a zero hash is
+         XOR-neutral);
+      3. sig[i] = min over the doc's windows of (a_i·h + b_i) mod (2^31−1),
+         one flat pass + ``minimum.reduceat`` per seed (O(total_windows)
+         memory, not O(windows × seeds)).
 
     (First implementation used nested JVM array lambdas — Spark evaluates
     higher-order functions on the interpreted path and re-inlines the shingle
-    expression into every seed lambda: 229 s for 5k docs. This UDF: <1 s.)
+    expression into every seed lambda: 229 s for 5k docs.  Second built
+    per-shingle Python strings + a per-character FNV loop: 18 s of the 51 s
+    round-1 bench.  This one: all numpy.)
     """
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import ArrayType
 
-    rng = np.random.default_rng(42)
-    a = rng.integers(1, int(_MERSENNE31), size=n_hashes).astype(np.uint64)
-    bvec = rng.integers(0, int(_MERSENNE31), size=n_hashes).astype(np.uint64)
-
     @pandas_udf(ArrayType(LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
         empty = [int(_MERSENNE31)] * n_hashes
-        out = []
-        for text in texts.fillna(""):
-            toks = _simple_tokens(text)
-            if len(toks) < shingle_n:
-                shingles = [" ".join(toks)] if toks else []
-            else:
-                shingles = list(
-                    {
-                        " ".join(toks[i : i + shingle_n])
-                        for i in range(len(toks) - shingle_n + 1)
-                    }
-                )
-            if not shingles:
-                out.append(empty)
-                continue
-            base = np.array([_hash64(sh) for sh in shingles], dtype=np.uint64)
-            h31 = (base ^ (base >> np.uint64(31))) & _MERSENNE31
-            # (shingles × seeds) matrix: a*h < 2^62 fits uint64
-            m = (h31[:, None] * a[None, :] + bvec[None, :]) % _MERSENNE31
-            out.append(m.min(axis=0).astype(np.int64).tolist())
+        sigs: list = [empty] * len(texts)
+        doc_rows, sig_mat = _minhash_sig_mat(texts, n_hashes, shingle_n)
+        for j, row in enumerate(doc_rows):
+            sigs[row] = sig_mat[j].tolist()
+        return pd.Series(sigs)
+
+    docs = _widen_narrow_scan(docs)
+    return docs.select("doc_id", sig_udf(F.col(text_col)).alias("sig"))
+
+
+def _minhash_sig_mat(
+    texts: pd.Series, n_hashes: int, shingle_n: int
+) -> tuple[list[int], np.ndarray]:
+    """Batch MinHash core → (row indices of non-empty docs, int64 matrix
+    [n_nonempty × n_hashes]).  All numpy; see ``minhash_signatures``."""
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, int(_MERSENNE31), size=n_hashes).astype(np.uint64)
+    bvec = rng.integers(0, int(_MERSENNE31), size=n_hashes).astype(np.uint64)
+    # odd multipliers decorrelating the n window positions (splitmix64-style)
+    pos_mult = np.array(
+        [0x9E3779B97F4A7C15 * (2 * k + 1) & 0xFFFFFFFFFFFFFFFF for k in range(shingle_n)],
+        dtype=np.uint64,
+    )
+    flat_toks: list[str] = []
+    doc_rows: list[int] = []
+    doc_lens: list[int] = []
+    for row, text in enumerate(texts.fillna("")):
+        toks = _simple_tokens(text)
+        if not toks:
+            continue
+        doc_rows.append(row)
+        doc_lens.append(len(toks))
+        flat_toks.extend(toks)
+    if not flat_toks:
+        return [], np.empty((0, n_hashes), dtype=np.int64)
+    codes, uniques = pd.factorize(np.asarray(flat_toks, dtype=object))
+    th = _fnv1a_batch(list(uniques))[codes]
+    lens = np.asarray(doc_lens, dtype=np.int64)
+    total = th.size
+    pad = shingle_n - 1
+    # scatter each doc's hashes into a buffer with `pad` zeros between docs
+    tgt = np.arange(total, dtype=np.int64) + np.repeat(
+        np.arange(len(lens), dtype=np.int64) * pad, lens
+    )
+    th_pad = np.zeros(total + pad * len(lens), dtype=np.uint64)
+    th_pad[tgt] = th
+    w = th_pad.size - pad
+    sh = th_pad[:w] * pos_mult[0]
+    for k in range(1, shingle_n):
+        sh = sh ^ (th_pad[k : k + w] * pos_mult[k])
+    # every token position is a valid window start (trailing windows XOR
+    # in padding zeros = partial suffix shingles); max(tgt) == w-1 since
+    # the buffer ends with the last doc's own padding
+    sh = sh[tgt]
+    h31 = (sh ^ (sh >> np.uint64(31))) & _MERSENNE31
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    sig_mat = np.empty((len(lens), n_hashes), dtype=np.int64)
+    for i in range(n_hashes):
+        m = (h31 * a[i] + bvec[i]) % _MERSENNE31
+        sig_mat[:, i] = np.minimum.reduceat(m, starts).astype(np.int64)
+    return doc_rows, sig_mat
+
+
+def minhash_band_buckets(
+    docs: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, band, bucket): LSH band buckets computed *inside* the
+    signature UDF (an FNV fold over each band's signature rows, vectorized
+    across the batch) — the earlier JVM banding used interpreted higher-order
+    functions that re-inlined the slice per band (the CLAUDE.md HOF trap)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType
+
+    rows_per_band = n_hashes // bands
+
+    @pandas_udf(ArrayType(LongType()))
+    def bucket_udf(texts: pd.Series) -> pd.Series:
+        out: list = [None] * len(texts)
+        doc_rows, sig_mat = _minhash_sig_mat(texts, n_hashes, shingle_n)
+        if doc_rows:
+            u = sig_mat.astype(np.uint64)
+            buckets = np.empty((len(doc_rows), bands), dtype=np.int64)
+            for bnd in range(bands):
+                h = np.full(len(doc_rows), _FNV_OFFSET, dtype=np.uint64)
+                for r in range(rows_per_band):
+                    h = (h ^ u[:, bnd * rows_per_band + r]) * _FNV_PRIME
+                buckets[:, bnd] = h.astype(np.int64)
+            for j, row in enumerate(doc_rows):
+                out[row] = buckets[j].tolist()
         return pd.Series(out)
 
-    return docs.select("doc_id", sig_udf(F.col(text_col)).alias("sig"))
+    docs = _widen_narrow_scan(docs)
+    return (
+        docs.select("doc_id", bucket_udf(F.col(text_col)).alias("buckets"))
+        .where(F.col("buckets").isNotNull())
+        .select("doc_id", F.posexplode("buckets").alias("band", "bucket"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -171,32 +267,16 @@ def minhash_lsh_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Near-duplicate pairs: band-bucket candidates, then exact shingle
-    Jaccard ≥ threshold verification. → (id_a, id_b, jaccard)."""
-    rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(docs, n_hashes, shingle_n, text_col)
-    band_ids = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                band_ids,
-                lambda bnd: F.struct(
-                    bnd.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("sig"), bnd * rows_per_band + 1, rows_per_band
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    Jaccard ≥ threshold verification. → (id_a, id_b, jaccard).
+
+    Dataflow (the 100 TB shape): one UDF scan emits (doc_id, band, bucket) —
+    24 bytes × bands per doc, never the text — which self-joins on (band,
+    bucket) so only same-bucket collisions shuffle.  The banded frame is
+    persisted because a self-join otherwise evaluates the signature UDF
+    twice; candidates are persisted because they feed both the semi-join
+    pruning of the verify scan and the verify join itself."""
+    docs = _widen_narrow_scan(docs)
+    banded = minhash_band_buckets(docs, n_hashes, bands, shingle_n, text_col).persist()
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -205,6 +285,7 @@ def minhash_lsh_pairs(
             F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
         )
         .distinct()
+        .persist()
     )
     # compute shingles only for docs that appear in candidate pairs — the
     # shingle expression is an interpreted HOF, so prune before evaluating it
@@ -212,6 +293,8 @@ def minhash_lsh_pairs(
         cand.select(F.col("id_b").alias("doc_id"))
     ).distinct()
     shingles = (
+        # no broadcast hint: at web scale the candidate set can approach
+        # corpus size (dup-heavy crawls) — AQE picks broadcast when it's small
         docs.join(cand_ids, "doc_id", "left_semi")
         .select(
             "doc_id",
@@ -246,23 +329,36 @@ def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     @pandas_udf(LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
+        # flatten all docs' tokens, hash once with the vectorized FNV-1a, then
+        # per-bit vote tallies via reduceat (64 flat passes — O(total_tokens)
+        # memory instead of an O(tokens × 64) bit matrix)
+        flat: list[str] = []
+        doc_rows: list[int] = []
+        doc_starts: list[int] = []
+        doc_lens: list[int] = []
         for row, text in enumerate(texts.fillna("")):
-            toks = [t for t in _simple_tokens(text)]
+            toks = _simple_tokens(text)
             if not toks:
                 continue
-            hashes = np.array(
-                [_hash64(t) for t in toks], dtype=np.uint64
-            )
-            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                fp |= np.uint64(1) << np.uint64(i)
-            out[row] = np.int64(fp.astype(np.int64))
+            doc_rows.append(row)
+            doc_starts.append(len(flat))
+            doc_lens.append(len(toks))
+            flat.extend(toks)
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            hashes = _fnv1a_batch(list(uniques))[codes]
+            starts = np.asarray(doc_starts, dtype=np.int64)
+            n_toks = np.asarray(doc_lens, dtype=np.int64)
+            fp = np.zeros(len(doc_rows), dtype=np.uint64)
+            for bit in range(64):
+                ones = ((hashes >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
+                pos = np.add.reduceat(ones, starts)
+                # votes = ones - zeros = 2*pos - n_tokens
+                fp |= ((2 * pos > n_toks).astype(np.uint64)) << np.uint64(bit)
+            out[np.asarray(doc_rows)] = fp.astype(np.int64)
         return pd.Series(out)
 
+    docs = _widen_narrow_scan(docs)
     return docs.select("doc_id", simhash_udf(F.col(text_col)).alias("simhash"))
 
 
@@ -273,10 +369,41 @@ def _simple_tokens(text: str) -> list[str]:
 
 
 def _hash64(token: str) -> int:
-    """Deterministic 64-bit FNV-1a (stable across processes, unlike hash())."""
+    """Deterministic 64-bit FNV-1a (stable across processes, unlike hash()).
+    Scalar reference implementation — the hot paths use ``_fnv1a_batch``,
+    which is asserted byte-identical to this in tests."""
     h = 0xCBF29CE484222325
     for ch in token.encode("utf-8"):
         h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv1a_batch(strings: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a over many strings at once → uint64[len(strings)].
+
+    Column-at-a-time over a single flat UTF-8 buffer: iteration j updates the
+    hash lane of every string with ≥ j+1 bytes (h = (h ^ byte) * prime, uint64
+    wraparound is numpy's native unsigned semantics).  Python cost is
+    O(max_len) numpy calls per batch instead of O(total_bytes) interpreted
+    loop steps — this was the round-1 bench hotspot (18 s of the 51 s suite)."""
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    encoded = [s.encode("utf-8") for s in strings]
+    lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    active = np.arange(n)
+    for j in range(int(lens.max(initial=0))):
+        active = active[lens[active] > j]
+        chunk = flat[starts[active] + j].astype(np.uint64)
+        h[active] = (h[active] ^ chunk) * _FNV_PRIME
     return h
 
 

@@ -132,3 +132,28 @@ def test_knn_ivf_recall(spark):
     ann = [r["vec_id"] for r in knn_ivf(with_cell, cents, q, k=10, n_probe=1).collect()]
     # single-probe IVF recovers the full exact top-10 on well-separated clusters
     assert ann == exact
+
+
+def test_fnv1a_batch_matches_scalar():
+    """The vectorized batch hash must stay byte-identical to the scalar
+    FNV-1a reference (signatures/fingerprints depend on it bit-for-bit)."""
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_spark.operators.dedup import (
+        _fnv1a_batch,
+        _hash64,
+    )
+
+    strs = [
+        "",
+        "a",
+        "hello world",
+        "привет мир дуже довгий рядок",
+        "日本語テスト",
+        "x" * 257,
+        "mixed 123 éüß",
+    ]
+    batch = _fnv1a_batch(strs)
+    ref = np.array([_hash64(s) for s in strs], dtype=np.uint64)
+    assert (batch == ref).all()
+    assert _fnv1a_batch([]).size == 0
