@@ -117,17 +117,25 @@ def topk_search(
         F.col("shard").isin(shards) & F.col("term").isin(terms)
     )
 
-    # chunk upper bounds from block-max metadata only (no binary decode)
-    ubs = (
+    # Chunk upper bounds from block-max metadata only (no binary decode),
+    # kept IN THE CLUSTER: chunk count grows linearly with the corpus
+    # (doc_id >> chunk_bits ⇒ ~15M chunks at 10^12 docs), so the driver only
+    # ever collects a bounded head of the UB ranking — never the full frame.
+    ubs_df = (
         matched.select("chunk", F.array_max("block_max").alias("term_ub"))
         .groupBy("chunk")
         .agg(F.sum("term_ub").alias("ub"))
-        .orderBy(F.desc("ub"))
+    )
+    # bounded probe: TakeOrderedAndProject of the 2·seed+1 most promising
+    # chunks — enough to (a) pick the seed set and (b) detect the small-index
+    # case without counting the chunk frame
+    probe = (
+        ubs_df.orderBy(F.desc("ub"), F.asc("chunk"))
+        .limit(seed_chunks * 2 + 1)
         .collect()
     )
-    if not ubs:
+    if not probe:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    chunk_ubs = [(int(r["chunk"]), float(r["ub"])) for r in ubs]
 
     score_fn = _score_chunks(k, term_weights)
 
@@ -138,24 +146,31 @@ def topk_search(
             .applyInPandas(score_fn, RESULT_SCHEMA)
         )
 
-    if len(chunk_ubs) <= seed_chunks * 2:
+    if len(probe) <= seed_chunks * 2:
         # small index: two-phase pruning can't win — one job, done
         return (
-            run([c for c, _ in chunk_ubs])
+            run([int(r["chunk"]) for r in probe])
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
 
-    seed = [c for c, _ in chunk_ubs[:seed_chunks]]
+    seed = [int(r["chunk"]) for r in probe[:seed_chunks]]
     seed_res = run(seed).orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     theta = seed_res[-1]["score"] if len(seed_res) >= k else float("-inf")
 
-    survivors = [c for c, ub in chunk_ubs[seed_chunks:] if ub >= theta]
-    if survivors:
-        rest = run(survivors)
-        all_res = spark.createDataFrame(seed_res, RESULT_SCHEMA).unionByName(rest)
-    else:
-        all_res = spark.createDataFrame(seed_res, RESULT_SCHEMA)
+    # θ pruning expressed as a DataFrame filter + semi-join: only chunks whose
+    # upper bound can still beat θ are decoded (exact — a pruned chunk cannot
+    # contain a doc scoring above θ; ties at θ are kept for the doc_id
+    # tiebreak).  The O(chunks) frame never leaves the executors.
+    survivor_chunks = ubs_df.where(
+        (F.col("ub") >= theta) & ~F.col("chunk").isin(seed)
+    ).select("chunk")
+    rest = (
+        matched.join(survivor_chunks, "chunk", "left_semi")
+        .groupBy("chunk")
+        .applyInPandas(score_fn, RESULT_SCHEMA)
+    )
+    all_res = spark.createDataFrame(seed_res, RESULT_SCHEMA).unionByName(rest)
     return all_res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -98,3 +98,39 @@ def test_scoring_identity_with_positions_index(spark, pos_corpus):
         for r in topk_search(spark, index_dir, "spark query join", k=10, index_df=idx, meta=meta).collect()
     ]
     assert got == expected
+
+
+def test_topk_collect_is_bounded(spark, sf_smoke_dir, tmp_path_factory, monkeypatch):
+    """The driver must never collect an O(corpus) frame: with chunk_bits=2
+    the index has ~10× more chunks than the default fixture, yet every
+    ``collect()`` during topk_search stays bounded by the seed/probe/k
+    constants (this guards the in-cluster θ-pruning design)."""
+    import os as _os
+
+    index_dir = str(tmp_path_factory.mktemp("wand_many_chunks"))
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    build_index(docs, index_dir, n_shards=4, chunk_bits=2)
+    idx, meta = load_index(spark, index_dir)
+
+    n_chunks = idx.select("chunk").distinct().count()
+    assert n_chunks > 20  # the fixture really is chunk-heavy
+
+    # patch the CONCRETE class (pyspark 4's pyspark.sql.DataFrame is an ABC;
+    # instances are pyspark.sql.classic.dataframe.DataFrame)
+    DataFrame = type(idx)
+    collected_sizes: list[int] = []
+    orig_collect = DataFrame.collect
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    k, seed_chunks = 10, 4
+    res = topk_search(spark, index_dir, "spark query join", k=k,
+                      seed_chunks=seed_chunks, index_df=idx, meta=meta)
+    monkeypatch.undo()
+    assert res.count() <= k
+    bound = max(k, seed_chunks * 2 + 1)
+    assert collected_sizes and max(collected_sizes) <= bound
