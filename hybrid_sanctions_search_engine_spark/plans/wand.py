@@ -57,13 +57,29 @@ def _shard_of_terms(terms: list[str], n_shards: int) -> dict[str, int]:
     return {t: shard_of_term(t, n_shards) for t in terms}
 
 
-def _score_chunks(k: int, term_weights: dict[str, float] | None = None):
+def _score_chunks(k: int, meta: IndexMeta, term_weights: dict[str, float] | None = None):
+    """Per-chunk scorer: decodes tf + doc_len streams and computes the exact
+    BM25 contribution from IndexMeta (idf from the stored per-term df) — the
+    same float64 numpy expression the old in-encoder scoring used, so results
+    stay bitwise identical to the DataFrame plan."""
+    from ..functions.codec import varint_decode
+
+    k1, b = meta.k1, meta.b
+    n_docs, avgdl = float(meta.n_docs), float(meta.avgdl)
+
     def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ids_parts = []
         score_parts = []
-        for term, gaps, scores in zip(pdf["term"], pdf["doc_gaps"], pdf["scores"]):
+        for term, gaps, tfs_blob, dls_blob, df in zip(
+            pdf["term"], pdf["doc_gaps"], pdf["tfs"], pdf["doc_lens"], pdf["df"]
+        ):
             ids_parts.append(delta_decode(gaps))
-            contrib = np.frombuffer(scores, dtype=np.float64)
+            tf = varint_decode(tfs_blob).astype(np.float64)
+            dl = varint_decode(dls_blob).astype(np.float64)
+            idf = np.log(1.0 + (n_docs - float(df) + 0.5) / (float(df) + 0.5))
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * dl / avgdl)
+            )
             if term_weights is not None:
                 contrib = contrib * term_weights.get(term, 1.0)
             score_parts.append(contrib)
@@ -117,12 +133,35 @@ def topk_search(
         F.col("shard").isin(shards) & F.col("term").isin(terms)
     )
 
-    # Chunk upper bounds from block-max metadata only (no binary decode),
-    # kept IN THE CLUSTER: chunk count grows linearly with the corpus
+    # Chunk upper bounds from block metadata only (no binary decode), kept
+    # IN THE CLUSTER: chunk count grows linearly with the corpus
     # (doc_id >> chunk_bits ⇒ ~15M chunks at 10^12 docs), so the driver only
     # ever collects a bounded head of the UB ranking — never the full frame.
+    # UB per (term, chunk) = idf(df) · max over blocks of f(max_tf, min_dl):
+    # BM25's tf-part is monotone ↑tf ↓dl, so this bounds every posting.  The
+    # tiny (1+1e-12) inflation absorbs JVM-vs-numpy 1-ulp log() differences
+    # so the bound can never under-estimate a numpy-computed score.
+    k1, b = meta.k1, meta.b
+    n_docs_f, avgdl = float(meta.n_docs), float(meta.avgdl)
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n_docs_f) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = F.zip_with(
+        "block_max_tf",
+        "block_min_dl",
+        lambda t, d: (t.cast("double") * (k1 + 1.0))
+        / (t.cast("double") + k1 * (1.0 - b + b * d.cast("double") / avgdl)),
+    )
+    term_ub = idf * F.array_max(tf_part) * F.lit(1.0 + 1e-12)
+    if term_weights is not None:
+        # weights are ≤ 1 multipliers on a term's contribution; scale the
+        # bound identically so pruning stays exact under weighted scoring
+        wmap = F.create_map(
+            *[F.lit(x) for kv in term_weights.items() for x in kv]
+        )
+        term_ub = term_ub * F.coalesce(wmap[F.col("term")], F.lit(1.0))
     ubs_df = (
-        matched.select("chunk", F.array_max("block_max").alias("term_ub"))
+        matched.select("chunk", term_ub.alias("term_ub"))
         .groupBy("chunk")
         .agg(F.sum("term_ub").alias("ub"))
     )
@@ -137,7 +176,7 @@ def topk_search(
     if not probe:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    score_fn = _score_chunks(k, term_weights)
+    score_fn = _score_chunks(k, meta, term_weights)
 
     def run(chunks: list[int]) -> DataFrame:
         return (

@@ -6,20 +6,26 @@ Elasticsearch ``_bulk`` deployment dataflow
 single ES node ingesting NDJSON batches, the index IS a partitioned parquet
 dataset built by one Spark job:
 
-    documents ──tokenize/posexplode──▶ [shuffle 1] postings(term, doc_id,
-        tf, doc_len)  ──shard = pmod(xxhash64(term), n_shards)──▶
+    documents ──tokenize(+Observation: n_docs, Σdoc_len)/posexplode──▶
+        [shuffle 1] postings(term, doc_id, tf, doc_len)
+        ──shard = pmod(xxhash64(term), n_shards)──▶
         [shuffle 2] ──applyInPandas per shard──▶ per-(term, chunk) rows:
-              doc-id gaps (LEB128 varint), tf varints, float64 BM25
-              contributions (df/idf computed in-encoder — a term's postings
-              are co-located by construction), optional position streams,
-              128-posting block-max array
+              doc-id gaps (LEB128 varint), tf varints, doc_len varints,
+              df (computed in-encoder — a term's postings are co-located by
+              construction), optional position streams, per-128-posting
+              (max_tf, min_dl) block aggregates
         ──▶ index_dir/shard=NNNN/data.parquet + _manifest.json
 
+    BM25 contributions are computed at QUERY time from IndexMeta
+    (``plans.wand``): shards carry no corpus statistics, so incremental
+    compaction can rebuild only delta-touched shards without leaving the
+    untouched ones scored under stale n_docs/avgdl.
+
 Design properties (north rule):
-  * **Two shuffles, zero joins, zero caching.** The postings aggregation
-    hashes by (term, doc_id) with map-side combine; the shard stage moves
-    each posting once more to its final shard; corpus stats come from a
-    scan-only aggregate.
+  * **One corpus pass, two shuffles, zero joins, zero caching.** The
+    postings aggregation hashes by (term, doc_id) with map-side combine; the
+    shard stage moves each posting once more to its final shard; corpus
+    stats ride the same pass via an Observation on the tokenized node.
   * **Skew.** Hot (Zipf-head) terms are bounded by the (term, chunk) row
     granularity: a term's postings are split into doc-id-range chunks
     (``doc_id >> chunk_bits``), so no single row or reducer holds an unbounded
@@ -57,7 +63,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.codec import delta_encode, varint_encode
-from ..operators.postings import CorpusStats, build_postings
+from ..operators.postings import CorpusStats
 
 BLOCK_SIZE = 128
 
@@ -88,9 +94,14 @@ SHARD_SCHEMA = StructType(
         StructField("n_docs", IntegerType()),
         StructField("doc_gaps", BinaryType()),
         StructField("tfs", BinaryType()),
-        StructField("scores", BinaryType()),
+        StructField("doc_lens", BinaryType()),  # varint doc_len per posting
         StructField("positions", BinaryType()),  # varint position-deltas, segmented by tf
-        StructField("block_max", ArrayType(DoubleType())),
+        # per-128-posting block aggregates: BM25 contribution is monotone
+        # ↑tf ↓dl, so f(max_tf, min_dl) upper-bounds every posting in the
+        # block; idf/avgdl are applied at QUERY time from IndexMeta, so
+        # stored shards carry no corpus statistics (see build_index)
+        StructField("block_max_tf", ArrayType(IntegerType())),
+        StructField("block_min_dl", ArrayType(IntegerType())),
     ]
 )
 
@@ -122,15 +133,17 @@ def completed_shards(index_dir: str, n_shards: int) -> list[int]:
     return done
 
 
-def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float, store_positions: bool, salted: bool = False):
+def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False):
     """Factory for the per-shard applyInPandas encoder.
 
     Receives raw (term, chunk, doc_id, tf, doc_len) postings for one shard;
     computes df (all of a term's postings are co-located here — that is the
-    point of hash-sharding by term) and the exact per-posting BM25
-    contribution in vectorized numpy, mirroring the JVM Column arithmetic of
-    ``operators.bm25`` term for term (same expression tree, so scores match
-    the DataFrame plan bitwise up to 1-ulp in ln)."""
+    point of hash-sharding by term) and stores the raw tf + doc_len streams.
+    BM25 contributions are computed at QUERY time (``plans.wand``) from
+    IndexMeta — shards are corpus-statistics-free, so a delta compaction
+    that changes global n_docs/avgdl never leaves untouched shards scored
+    under stale stats (df per term is safe: a term's df only changes when
+    the delta contains that term, and then its shard is rebuilt)."""
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
@@ -146,20 +159,13 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
             df_all = pdf["df"]
         else:
             df_all = pdf.groupby("term", sort=False)["doc_id"].transform("size")
-        df_np = df_all.to_numpy(dtype=np.float64)
-        tf_np = pdf["tf"].to_numpy(dtype=np.float64)
-        dl_np = pdf["doc_len"].to_numpy(dtype=np.float64)
-        idf = np.log(1.0 + (float(n_docs) - df_np + 0.5) / (df_np + 0.5))
-        score_all = idf * (tf_np * (k1 + 1.0)) / (
-            tf_np + k1 * (1.0 - b + b * dl_np / float(avgdl))
-        )
-        pdf = pdf.assign(score=score_all, df=df_all.astype(np.int64))
+        pdf = pdf.assign(df=df_all.astype(np.int64))
         rows = []
         n_postings = 0
         for (term, chunk), grp in pdf.groupby(["term", "chunk"], sort=True):
             ids = grp["doc_id"].to_numpy(dtype=np.int64)
             tfs = grp["tf"].to_numpy(dtype=np.uint64)
-            scores = grp["score"].to_numpy(dtype=np.float64)
+            dls = grp["doc_len"].to_numpy(dtype=np.uint64)
             n = ids.size
             n_postings += n
             pos_blob = None
@@ -178,10 +184,14 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
                     np.concatenate(flat) if flat else np.empty(0, dtype=np.uint64)
                 )
             pad = (-n) % BLOCK_SIZE
-            padded = (
-                np.concatenate([scores, np.full(pad, -np.inf)]) if pad else scores
+            tf_pad = np.concatenate([tfs, np.zeros(pad, np.uint64)]) if pad else tfs
+            dl_pad = (
+                np.concatenate([dls, np.full(pad, np.iinfo(np.int32).max, np.uint64)])
+                if pad
+                else dls
             )
-            block_max = padded.reshape(-1, BLOCK_SIZE).max(axis=1)
+            block_max_tf = tf_pad.reshape(-1, BLOCK_SIZE).max(axis=1).astype(np.int32)
+            block_min_dl = dl_pad.reshape(-1, BLOCK_SIZE).min(axis=1).astype(np.int32)
             rows.append(
                 (
                     shard,
@@ -191,9 +201,10 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
                     int(n),
                     delta_encode(ids),
                     varint_encode(tfs),
-                    scores.tobytes(),
+                    varint_encode(dls),
                     pos_blob,
-                    block_max.tolist(),
+                    block_max_tf.tolist(),
+                    block_min_dl.tolist(),
                 )
             )
         out = pd.DataFrame(
@@ -213,9 +224,10 @@ def _encode_shard(index_dir: str, n_docs: int, avgdl: float, k1: float, b: float
                 ("n_docs", pa.int32()),
                 ("doc_gaps", pa.binary()),
                 ("tfs", pa.binary()),
-                ("scores", pa.binary()),
+                ("doc_lens", pa.binary()),
                 ("positions", pa.binary()),
-                ("block_max", pa.list_(pa.float64())),
+                ("block_max_tf", pa.list_(pa.int32())),
+                ("block_min_dl", pa.list_(pa.int32())),
             ]
         )
         table = pa.Table.from_pandas(
@@ -297,22 +309,34 @@ def build_index(
     if docs.rdd.getNumPartitions() < default_par:
         docs = docs.repartition(default_par)
 
-    # TWO shuffles, ZERO joins, ZERO caching:
+    # ONE tokenize pass, TWO shuffles, ZERO joins, ZERO caching:
     #   shuffle 1: explode → groupBy(term, doc_id) postings (doc_len carried)
     #   shuffle 2: repartition by shard for the encode stage
-    # Corpus stats come from a scan-only tokenize aggregate (no distinct, no
-    # shuffle; n_docs counts ALL docs incl. empty ones — consistent with
-    # ``operators.postings.corpus_stats`` and the DuckDB oracle); document
-    # frequency + BM25 contributions are computed *inside* the per-shard
-    # encoder, where every term's postings are already co-located.
+    # Corpus stats (n_docs incl. empty docs + Σdoc_len — consistent with
+    # ``operators.postings.corpus_stats`` and the DuckDB oracle) ride the
+    # SAME pass via an Observation on the pre-explode tokenized node, so at
+    # 100 TB the dominant tokenize cost is paid exactly once.  Document
+    # frequency is computed *inside* the per-shard encoder, where every
+    # term's postings are already co-located; BM25 contributions are NOT
+    # baked into the shards at all (query-time scoring from IndexMeta keeps
+    # incremental compaction stat-consistent).
+    from pyspark.sql import Observation
+
     from ..operators.postings import tokenized_documents
 
-    n_docs = docs.count()
-    total_tokens = (
-        tokenized_documents(docs, text_col).agg(F.sum("doc_len")).collect()[0][0] or 0
+    obs = Observation("corpus_stats")
+    toks = tokenized_documents(docs, text_col).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("doc_len"), F.lit(0)).alias("total_tokens"),
     )
-    stats = CorpusStats(n_docs=n_docs, avgdl=float(total_tokens) / max(n_docs, 1))
-    postings = build_postings(docs, text_col, positions=store_positions)
+    exploded = toks.select(
+        "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
+    )
+    agg = [F.count("*").cast("int").alias("tf"), F.max("doc_len").alias("doc_len")]
+    if store_positions:
+        agg.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    postings = exploded.groupBy("term", "doc_id").agg(*agg)
     sharded = (
         postings.withColumn(
             "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int")
@@ -329,6 +353,22 @@ def build_index(
         skipped = completed_shards(index_dir, n_shards)
         if skipped:
             sharded = sharded.where(~F.col("shard").isin(skipped))
+    if len(skipped) == n_shards and os.path.exists(
+        os.path.join(index_dir, "_index_meta.json")
+    ):
+        # fully-resumed build: nothing to encode, keep the existing meta —
+        # and skip the corpus pass entirely
+        meta = IndexMeta.load(index_dir)
+        return {
+            "n_docs": meta.n_docs,
+            "avgdl": meta.avgdl,
+            "shards_built": [],
+            "shards_skipped": skipped,
+            "postings": 0,
+            "bytes": 0,
+            "elapsed_sec": round(time.monotonic() - t0, 3),
+            "docs_per_sec": None,
+        }
     # clear partial output of incomplete shards (stale sub-files from a
     # previous differently-configured or interrupted run)
     import shutil as _shutil
@@ -341,7 +381,17 @@ def build_index(
     # shard-salt sub-split), hash distribution already satisfied -> no second
     # shuffle; AQE cannot coalesce the small test-scale groups below count.
     if sub_splits > 1:
-        tdf = postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+        # salted path trade-off: df needs a global aggregate over a SECOND
+        # tokenize lineage (a term's postings no longer co-locate in one
+        # encode task) — the extra pass buys bounded encode tasks under
+        # extreme Zipf skew.  Kept off the Observation branch so stats are
+        # counted exactly once.
+        tdf = (
+            tokenized_documents(docs, text_col)
+            .select("doc_id", F.explode("tokens").alias("term"))
+            .groupBy("term")
+            .agg(F.count_distinct("doc_id").cast("long").alias("df"))
+        )
         salted = (
             sharded.join(tdf, "term")
             .withColumn("salt", F.pmod(F.col("chunk"), F.lit(sub_splits)).cast("int"))
@@ -350,10 +400,7 @@ def build_index(
             salted.repartition(n_shards * sub_splits, "shard", "salt")
             .groupBy("shard", "salt")
             .applyInPandas(
-                _encode_shard(
-                    index_dir, stats.n_docs, stats.avgdl, k1, b, store_positions,
-                    salted=True,
-                ),
+                _encode_shard(index_dir, store_positions, salted=True),
                 SUMMARY_SCHEMA,
             )
             .collect()
@@ -402,11 +449,19 @@ def build_index(
             sharded.repartition(n_shards, "shard")
             .groupBy("shard")
             .applyInPandas(
-                _encode_shard(index_dir, stats.n_docs, stats.avgdl, k1, b, store_positions),
+                _encode_shard(index_dir, store_positions),
                 SUMMARY_SCHEMA,
             )
             .collect()
         )
+
+    # the encode action above is the build's ONLY pass over the corpus; the
+    # observed metrics become the query-time scoring statistics
+    observed = obs.get
+    stats = CorpusStats(
+        n_docs=int(observed["n_docs"]),
+        avgdl=float(observed["total_tokens"]) / max(int(observed["n_docs"]), 1),
+    )
 
     meta = IndexMeta(
         n_docs=stats.n_docs,

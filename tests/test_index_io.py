@@ -114,3 +114,37 @@ def test_salted_sub_split_build(spark, sf_smoke_dir, tmp_path_factory):
     # resume over a salted index: everything skipped
     rep3 = build_index(docs, salted_dir, n_shards=4, chunk_bits=6, sub_splits=3)
     assert rep3["shards_built"] == [] and sorted(rep3["shards_skipped"]) == [0, 1, 2, 3]
+
+
+def test_build_is_single_pass(spark, sf_smoke_dir, tmp_path_factory, monkeypatch):
+    """The build must touch the corpus exactly once: one action (the encode
+    collect) with corpus stats riding it via Observation — no docs.count(),
+    no separate tokenize-for-avgdl aggregate (the round-1 build paid the
+    dominant tokenize cost twice plus a count scan)."""
+    from hybrid_sanctions_search_engine_spark.sources.index_io import build_index
+
+    docs = spark.read.parquet(os.path.join(sf_smoke_dir, "documents.parquet"))
+    DataFrame = type(docs)
+    actions: list[str] = []
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+
+    def spy_collect(self):
+        actions.append("collect")
+        return orig_collect(self)
+
+    def spy_count(self):
+        actions.append("count")
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    monkeypatch.setattr(DataFrame, "count", spy_count)
+    index_dir = str(tmp_path_factory.mktemp("single_pass_idx"))
+    report = build_index(docs, index_dir, n_shards=4, chunk_bits=6, resume=False)
+    monkeypatch.undo()
+    assert actions == ["collect"]
+    # Observation stats match the scan-only reference aggregate
+    from hybrid_sanctions_search_engine_spark.operators.postings import corpus_stats
+
+    ref = corpus_stats(docs)
+    assert report["n_docs"] == ref.n_docs
+    assert abs(report["avgdl"] - ref.avgdl) < 1e-9
