@@ -12,6 +12,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -475,6 +477,47 @@ def q_smartfilter(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PERSONA_TEXTS = [
+    (1, "Иванов Иван Петрович", "ru"),
+    (2, "платёж Ивану Петрову", "ru"),
+    (3, "переказ Олені Петренко", "uk"),
+    (4, "Сашка Пушкин", "ru"),
+    (5, "Dr. John A. Smith Jr.", "en"),
+    (6, "Оплата ТОВ \"ПРИВАТБАНК\" Ивану Петрову, 1980-01-01", "uk"),
+    (7, "Иван Петров, Мария Иванова", "ru"),
+    (8, "John Smith та Олена Петренко", "auto"),
+    (9, "и в у о к з", "ru"),
+    (10, "O'Connor, Sean", "en"),
+]
+
+
+def q_personas(spark: SparkSession, sf: str) -> DataFrame:
+    """F7-F11 person-name normalization (role FSM + to-nominative morphology
+    + diminutives + gender) over a deterministic multilingual corpus.
+    Rows-only: the rule-table morphology isn't SQL-expressible; semantics are
+    pinned by tests/test_golden_cases.py against the reference's own 31
+    golden cases (all green)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    from hybrid_sanctions_search_engine_spark.functions.person_names import (
+        personas_series,
+    )
+
+    @pandas_udf(ArrayType(StringType()))
+    def personas_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        return personas_series(texts, langs)
+
+    df = spark.createDataFrame(PERSONA_TEXTS, "text_id int, text string, lang string")
+    return (
+        df.select(
+            "text_id",
+            F.posexplode(personas_udf("text", "lang")).alias("persona_idx", "persona"),
+        )
+        .orderBy("text_id", "persona_idx")
+    )
+
+
 def q_screening(spark: SparkSession, sf: str) -> DataFrame:
     """Full batch screening pipeline (rows-only: normalization UDF + pattern
     generation aren't SQL-expressible; semantics covered by
@@ -667,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract": q_regex_extract,
         "birthdate_normalize": q_birthdate_normalize,
         "batch_bm25": q_batch_bm25,
+        "personas": q_personas,
         "screening": q_screening,
         "smartfilter": q_smartfilter,
         "threshold_calibration": q_threshold_calibration,

@@ -1,0 +1,270 @@
+"""RU/UK/EN name morphology: to-nominative rules, gender, diminutives (F7/F9/F10).
+
+A rule-table engine replacing round-1's thin suffix heuristics.  The reference
+normalizes names with pymorphy3 dictionaries
+(``/root/reference/src/ai_service/layers/normalization/morphology_adapter.py:74-300``)
+plus rule-based fallbacks (same file, lines 316-424) and gender tables
+(``morphology/gender_rules.py``).  pymorphy3 is not installable in this
+environment, so the declension behavior is re-expressed as explicit ending
+tables — patronymic oblique→nominative, surname oblique→nominative (gender
+aware), and dictionary-gated given-name case stripping.  Pure Python by
+design: the Spark entry points wrap these in Arrow pandas UDFs
+(``functions.person_names``), never per-row JVM calls.
+"""
+
+from __future__ import annotations
+
+from .names_data import (
+    DIMINUTIVES_RU,
+    DIMINUTIVES_UK,
+    EN_GIVEN_EXTRA,
+    EN_GIVEN_NAMES,
+    EN_NICKNAMES,
+)
+
+# ---------------------------------------------------------------------------
+# character classes
+# ---------------------------------------------------------------------------
+
+CYR = set("абвгдеёжзийклмнопрстуфхцчшщъыьэюяіїєґ’'")
+UK_ONLY = set("іїєґ")
+
+
+def script_of(token: str) -> str:
+    """'cyr', 'lat', 'mixed' or 'other' (used for homoglyph preservation)."""
+    has_cyr = any(c.lower() in CYR and c.lower() not in "’'" for c in token if c.isalpha())
+    has_lat = any("a" <= c.lower() <= "z" for c in token if c.isalpha())
+    if has_cyr and has_lat:
+        return "mixed"
+    if has_cyr:
+        return "cyr"
+    if has_lat:
+        return "lat"
+    return "other"
+
+
+# ---------------------------------------------------------------------------
+# patronymics (reference morphology_adapter.py:316-424, completed to the
+# full oblique paradigm)
+# ---------------------------------------------------------------------------
+
+# masculine -ович/-евич/-йович/-ич: strip the case ending back to the stem
+_PATRONYMIC_M_OBLIQUE = ("а", "у", "ем", "ом", "е", "і")
+_PATRONYMIC_M_STEMS = ("ович", "евич", "йович", "ьович", "іч", "ич")
+# feminine: oblique ending → nominative ending
+_PATRONYMIC_F_RULES = [
+    # ru: -овна/-евна/-ична
+    ("овны", "овна"), ("овне", "овна"), ("овну", "овна"), ("овной", "овна"), ("овни", "овна"),
+    ("евны", "евна"), ("евне", "евна"), ("евну", "евна"), ("евной", "евна"), ("евни", "евна"),
+    ("ичны", "ична"), ("ичне", "ична"), ("ичну", "ична"), ("ичной", "ична"),
+    # uk: -івна/-ївна
+    ("івни", "івна"), ("івні", "івна"), ("івну", "івна"), ("івною", "івна"),
+    ("ївни", "ївна"), ("ївні", "ївна"), ("ївну", "ївна"), ("ївною", "ївна"),
+]
+PATRONYMIC_SUFFIXES = (
+    "ович", "евич", "йович", "ьович", "івна", "ївна", "овна", "евна", "ична",
+    "овича", "евича", "овичу", "евичу", "овичем", "евичем",
+    "овны", "овне", "овну", "овной", "евны", "евні", "івни", "ївни",
+)
+
+
+def is_patronymic(token: str) -> bool:
+    t = token.lower()
+    return any(t.endswith(s) for s in PATRONYMIC_SUFFIXES) and len(t) > 5
+
+
+def patronymic_to_nominative(token: str) -> str:
+    t = token.lower()
+    for obl, nom in _PATRONYMIC_F_RULES:
+        if t.endswith(obl):
+            return token[: len(token) - len(obl)] + nom
+    for stem in _PATRONYMIC_M_STEMS:
+        for case_end in _PATRONYMIC_M_OBLIQUE:
+            if t.endswith(stem + case_end):
+                return token[: len(token) - len(case_end)]
+    return token
+
+
+# ---------------------------------------------------------------------------
+# surnames (reference gender_rules.py SURNAME_RULES + INVARIABLE_SURNAME_
+# SUFFIXES, re-derived as oblique→nominative ending tables)
+# ---------------------------------------------------------------------------
+
+# never gender-adjusted or declined (gender_rules.py:79-81)
+INVARIABLE_SURNAME_SUFFIXES = (
+    "енко", "швили", "ишвили", "дзе", "иа", "ія", "ия",
+)
+
+# (oblique ending, masculine nominative, feminine nominative or None).
+# Order matters: longest / most specific first.  A None feminine means the
+# rule only ever applies to masculine forms.
+_SURNAME_OBLIQUE = [
+    # -ский / -ская (ru), -цкий / -цкая
+    ("ского", "ский", None), ("скому", "ский", None), ("ским", "ский", None), ("ском", "ский", None),
+    ("цкого", "цкий", None), ("цкому", "цкий", None), ("цким", "цкий", None), ("цком", "цкий", None),
+    ("ской", None, "ская"), ("скую", None, "ская"), ("скою", None, "ская"),
+    ("цкой", None, "цкая"), ("цкую", None, "цкая"),
+    # -ський / -ська, -цький / -цька (uk)
+    ("ського", "ський", None), ("ському", "ський", None), ("ським", "ський", None),
+    ("цького", "цький", None), ("цькому", "цький", None), ("цьким", "цький", None),
+    ("ської", None, "ська"), ("ську", None, "ська"), ("ською", None, "ська"),
+    ("цької", None, "цька"), ("цьку", None, "цька"), ("цькою", None, "цька"),
+    # -ов/-ев/-ёв/-ин/-ын oblique; feminine nominative is -ова etc.
+    ("овым", "ов", None), ("овом", "ов", None), ("ове", "ов", None),
+    ("евым", "ев", None), ("евом", "ев", None), ("еве", "ев", None),
+    ("иным", "ин", None), ("ином", "ин", None), ("ине", "ин", None),
+    ("ыным", "ын", None), ("ыном", "ын", None),
+    ("овой", None, "ова"), ("евой", None, "ева"), ("иной", None, "ина"), ("ыной", None, "ына"),
+    ("овою", None, "ова"), ("евою", None, "ева"), ("іним", "ін", None), ("іну", "ін", None),
+    # ambiguous: -ова/-ову = masc gen/dat OR fem nom/acc — resolved by gender
+    ("ова", "ов", "ова"), ("ову", "ов", "ова"),
+    ("ева", "ев", "ева"), ("еву", "ев", "ева"),
+    ("ина", "ин", "ина"), ("ину", "ин", "ина"),
+    ("ына", "ын", "ына"), ("ыну", "ын", "ына"),
+    # uk masculine -енку/-енка → -енко (invariable nominative)
+    ("енку", "енко", "енко"), ("енка", "енко", "енко"),
+    # -ук/-юк/-чук oblique
+    ("ука", "ук", "ук"), ("уку", "ук", "ук"), ("уком", "ук", "ук"),
+    ("юка", "юк", "юк"), ("юку", "юк", "юк"), ("юком", "юк", "юк"),
+]
+
+SURNAME_SUFFIXES = (
+    "ов", "ев", "ёв", "ин", "ын", "ін", "ова", "ева", "ёва", "ина", "ына", "іна",
+    "ский", "ская", "цкий", "цкая", "ський", "ська", "цький", "цька",
+    "енко", "ко", "ук", "юк", "чук", "швили", "ишвили", "дзе", "ский",
+    "ского", "скому", "ским", "ской", "ову", "еву", "ину", "овой", "евой", "иной",
+    "овым", "евым", "иным", "ського", "ської", "енку", "енка",
+)
+
+
+def is_surname_like(token: str) -> bool:
+    t = token.lower().replace("’", "'")
+    core = t.split("-")[-1].split("'")[-1]
+    return any(core.endswith(s) for s in SURNAME_SUFFIXES) and len(core) > 3
+
+
+def surname_to_nominative(token: str, gender: str | None = None) -> str:
+    """Oblique surname → nominative.  ``gender`` ('male'/'female'/None) breaks
+    the -ова/-ову style ambiguity; feminine nominatives are preserved
+    (reference gender_rules preserve-feminine behavior)."""
+    if "-" in token:
+        return "-".join(surname_to_nominative(p, gender) for p in token.split("-"))
+    t = token.lower()
+    if any(t.endswith(s) for s in INVARIABLE_SURNAME_SUFFIXES):
+        return token
+    for obl, masc, fem in _SURNAME_OBLIQUE:
+        if not t.endswith(obl) or len(t) <= len(obl) + 1:
+            continue
+        stem = token[: len(token) - len(obl)]
+        if masc is not None and fem is not None:
+            # ambiguous form: feminine keeps the nominative-looking form
+            return stem + (fem if gender == "female" else masc)
+        if fem is not None:
+            return stem + fem
+        return stem + masc
+    return token
+
+
+def surname_gender_variant(surname: str, to_gender: str) -> str:
+    """Masculine↔feminine surname pairing (tier-2 variant generation), per
+    the reference's FEMALE_SUFFIXES_* tables."""
+    pairs = [
+        ("ский", "ская"), ("цкий", "цкая"), ("ський", "ська"), ("цький", "цька"),
+        ("ов", "ова"), ("ев", "ева"), ("ёв", "ёва"), ("ин", "ина"), ("ын", "ына"), ("ін", "іна"),
+    ]
+    t = surname.lower()
+    if any(t.endswith(s) for s in INVARIABLE_SURNAME_SUFFIXES):
+        return surname
+    for masc, fem in pairs:
+        if to_gender == "female" and t.endswith(masc) and not t.endswith(fem):
+            return surname + fem[len(masc):]
+        if to_gender == "male" and t.endswith(fem):
+            return surname[: len(surname) - (len(fem) - len(masc))]
+    return surname
+
+
+# ---------------------------------------------------------------------------
+# given names: dictionary-gated oblique stripping + diminutives + ё-restore
+# ---------------------------------------------------------------------------
+
+_GIVEN_RU = set(DIMINUTIVES_RU) | set(DIMINUTIVES_RU.values())
+_GIVEN_UK = set(DIMINUTIVES_UK) | set(DIMINUTIVES_UK.values())
+_GIVEN_EN = (
+    set(EN_NICKNAMES) | set(EN_NICKNAMES.values()) | EN_GIVEN_NAMES | EN_GIVEN_EXTRA
+)
+
+# oblique ending → candidate nominative endings (tried in order, accepted
+# only when the result is a known given name — avoids mangling unknowns)
+_GIVEN_OBLIQUE = [
+    ("ієві", ["ій"]), ("ієм", ["ій"]), ("ією", ["ія"]),
+    ("ої", ["а", "ая"]), ("ою", ["а", "я"]), ("ею", ["я", "а"]),
+    ("ии", ["ия", "ий"]), ("ія", ["ій"]), ("ію", ["ія", "ій"]), ("ії", ["ія"]),
+    ("ьи", ["ья"]), ("ье", ["ья"]), ("ью", ["ья"]),
+    ("ені", ["ена"]), ("ене", ["ена"]),
+    ("і", ["а", "я", ""]), ("и", ["а", "я", ""]), ("е", ["а", ""]),
+    ("у", ["", "а", "о"]), ("ю", ["ь", "я", ""]), ("я", ["ь", ""]), ("а", ["", "о"]),
+    ("ом", [""]), ("ем", ["ь", ""]), ("ой", ["а"]), ("ові", ["о", ""]), ("єві", ["й"]),
+]
+
+# е→ё restoration for canonical RU given names (ru_context_words golden case)
+YO_RESTORE = {
+    "петр": "пётр", "федор": "фёдор", "семен": "семён", "артем": "артём",
+    "алена": "алёна", "федора": "фёдора",
+}
+
+# RU-spelled given name → UK canonical (applied when the text language is uk)
+RU2UK_GIVEN = {
+    "иван": "іван", "петр": "петро", "александр": "олександр",
+    "владимир": "володимир", "елена": "олена", "сергей": "сергій",
+    "николай": "микола", "михаил": "михайло", "дмитрий": "дмитро",
+    "екатерина": "катерина", "алексей": "олексій", "андрей": "андрій",
+    "евгений": "євген", "анна": "анна", "мария": "марія", "ольга": "ольга",
+    "наталья": "наталія", "юрий": "юрій", "павел": "павло", "григорий": "григорій",
+}
+
+
+def is_given_name(token: str, lang: str) -> bool:
+    t = token.lower().replace("ё", "е")
+    if lang == "uk":
+        return t in _GIVEN_UK or t in _GIVEN_RU or _strip_given_oblique(t, "uk") is not None
+    if lang == "ru":
+        return t in _GIVEN_RU or _strip_given_oblique(t, "ru") is not None
+    return t in _GIVEN_EN
+
+
+def _strip_given_oblique(t: str, lang: str) -> str | None:
+    vocab = _GIVEN_UK | _GIVEN_RU if lang == "uk" else _GIVEN_RU
+    for obl, noms in _GIVEN_OBLIQUE:
+        if not t.endswith(obl) or len(t) <= len(obl) + 1:
+            continue
+        stem = t[: len(t) - len(obl)]
+        for nom in noms:
+            if stem + nom in vocab:
+                return stem + nom
+    return None
+
+
+def given_to_nominative(token: str, lang: str) -> str:
+    """Given name → canonical nominative: oblique strip (dictionary-gated) →
+    diminutive/nickname resolution → ё-restore → cross-language canonical."""
+    t = token.lower().replace("ё", "е")
+    if lang == "en":
+        return EN_NICKNAMES.get(t, t)
+    if lang == "uk":
+        nom = t if (t in _GIVEN_UK or t in _GIVEN_RU) else (_strip_given_oblique(t, "uk") or t)
+        nom = DIMINUTIVES_UK.get(nom) or DIMINUTIVES_RU.get(nom) or nom
+        return RU2UK_GIVEN.get(nom, nom)
+    nom = t if t in _GIVEN_RU else (_strip_given_oblique(t, "ru") or t)
+    nom = DIMINUTIVES_RU.get(nom, nom)
+    return YO_RESTORE.get(nom, nom)
+
+
+def given_gender(token: str, lang: str) -> str | None:
+    """Gender from the canonical given-name ending (reference gender_rules
+    female-suffix heuristics)."""
+    nom = given_to_nominative(token, lang)
+    if nom.endswith(("а", "я", "ія", "ия")) and nom not in {"микита", "илья", "ілля", "никита"}:
+        return "female"
+    if nom and nom[-1] in "бвгджзйклмнпрстфхцчшщьо" or nom.endswith(("ий", "ій")):
+        return "male"
+    return None

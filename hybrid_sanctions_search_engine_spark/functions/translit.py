@@ -115,51 +115,49 @@ SURNAME_SUFFIXES = (
     "енко", "чук", "юк", "як", "ук", "ко",
 )
 
-# F9 essentials: common diminutive → canonical given name (extensible config)
-DIMINUTIVES_RU: dict[str, str] = {
-    "ваня": "иван", "саша": "александр", "шура": "александр",
-    "дима": "дмитрий", "коля": "николай", "петя": "петр", "вова": "владимир",
-    "володя": "владимир", "миша": "михаил", "женя": "евгений",
-    "сережа": "сергей", "катя": "екатерина", "маша": "мария",
-    "наташа": "наталья", "лена": "елена", "таня": "татьяна",
-}
-
 
 def tag_role(token: str) -> str:
-    """Classify a name token: initial | patronymic | surname | given."""
+    """Classify a name token: initial | patronymic | surname | given.
+
+    Backed by the full F8 tables in ``functions.morphology`` (dictionary
+    given names, complete patronymic paradigm, gender-aware surname
+    suffixes) — validated end-to-end by tests/test_golden_cases.py."""
+    from . import morphology as M
+
     if len(token) <= 2 and token.endswith("."):
         return "initial"
     low = token.lower().rstrip(".")
-    if any(low.endswith(s) for s in PATRONYMIC_SUFFIXES):
+    if any(low.endswith(s) for s in PATRONYMIC_SUFFIXES) or M.is_patronymic(token):
         return "patronymic"
-    if any(low.endswith(s) for s in SURNAME_SUFFIXES):
+    if low in M._GIVEN_RU or low in M._GIVEN_UK:
+        return "given"
+    if any(low.endswith(s) for s in SURNAME_SUFFIXES) or M.is_surname_like(token):
         return "surname"
     return "given"
 
 
 def resolve_diminutive(token: str) -> str:
-    """Ваня → Иван (case restored to title)."""
-    canon = DIMINUTIVES_RU.get(token.lower())
-    if canon is None:
+    """Ваня → Иван (case restored to title) — full reference dictionaries
+    (2,062 RU + 710 UK entries, functions/names_data.py)."""
+    from .names_data import DIMINUTIVES_RU, DIMINUTIVES_UK
+
+    low = token.lower()
+    canon = DIMINUTIVES_RU.get(low) or DIMINUTIVES_UK.get(low)
+    if canon is None or canon == low:
         return token
     return canon.capitalize() if token[:1].isupper() else canon
 
 
-# F10 essentials: surname gender flip (ов→ова, ский→ская, ...)
-_GENDER_PAIRS = [("ский", "ская"), ("ський", "ська"), ("ов", "ова"), ("ев", "ева"), ("ин", "ина")]
-
-
 def gender_variants(surname: str) -> list[str]:
-    """Masculine↔feminine surname forms (both directions), excluding self."""
-    low = surname.lower()
+    """Masculine↔feminine surname forms (both directions), excluding self —
+    full F10 pairing incl. invariable suffixes (functions.morphology)."""
+    from . import morphology as M
+
     out = []
-    for masc, fem in _GENDER_PAIRS:
-        if low.endswith(masc) and not low.endswith(fem):
-            out.append(surname[: len(surname) - len(masc)] + fem)
-            break
-        if low.endswith(fem):
-            out.append(surname[: len(surname) - len(fem)] + masc)
-            break
+    for g in ("female", "male"):
+        v = M.surname_gender_variant(surname, g)
+        if v != surname and v not in out:
+            out.append(v)
     return out
 
 
