@@ -580,6 +580,37 @@ def q_regex_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_identifier_checksums(spark: SparkSession, sf: str) -> DataFrame:
+    """D2 check-digit validation (RU/UA INN, EDRPOU, OGRN) over candidate
+    strings derived deterministically from order keys — pure Column
+    arithmetic, mirrored exactly in DuckDB SQL."""
+    from hybrid_sanctions_search_engine_spark.functions.identifiers import (
+        edrpou_valid,
+        inn_ru10_valid,
+        inn_ua10_valid,
+        ogrn_valid,
+    )
+
+    o = _tbl(spark, sf, "orders")
+    cand10 = F.lpad(((F.col("o_orderkey") * 7919) % 10000000000).cast("string"), 10, "0")
+    cand8 = F.lpad(((F.col("o_orderkey") * 104729) % 100000000).cast("string"), 8, "0")
+    cand13 = F.lpad(
+        ((F.col("o_orderkey") * 15485863) % 10000000000000).cast("string"), 13, "0"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            cand10.alias("inn_cand"),
+            inn_ru10_valid(cand10).alias("inn_ru_valid"),
+            inn_ua10_valid(cand10).alias("inn_ua_valid"),
+            edrpou_valid(cand8).alias("edrpou_valid"),
+            ogrn_valid(cand13).alias("ogrn_valid"),
+        )
+        .orderBy("o_orderkey")
+        .limit(2000)
+    )
+
+
 def q_birthdate_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """D3 roundtrip: format a date to dd.MM.yyyy text, re-normalize to ISO."""
     from hybrid_sanctions_search_engine_spark.functions.signals import (
@@ -708,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confidence_normalize": q_confidence_normalize,
         "json_extract": q_json_extract,
         "regex_extract": q_regex_extract,
+        "identifier_checksums": q_identifier_checksums,
         "birthdate_normalize": q_birthdate_normalize,
         "batch_bm25": q_batch_bm25,
         "personas": q_personas,
@@ -715,6 +747,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smartfilter": q_smartfilter,
         "threshold_calibration": q_threshold_calibration,
     }
+
+
+def _identifier_checksums_oracle() -> str:
+    from hybrid_sanctions_search_engine_spark.functions.identifiers import (
+        duckdb_checksum_sql,
+    )
+
+    c10 = "lpad(CAST((o_orderkey * 7919) % 10000000000 AS VARCHAR), 10, '0')"
+    c8 = "lpad(CAST((o_orderkey * 104729) % 100000000 AS VARCHAR), 8, '0')"
+    c13 = "lpad(CAST((o_orderkey * 15485863) % 10000000000000 AS VARCHAR), 13, '0')"
+    return f"""
+SELECT o_orderkey,
+       {c10} AS inn_cand,
+       {duckdb_checksum_sql(c10, "inn_ru10")} AS inn_ru_valid,
+       {duckdb_checksum_sql(c10, "inn_ua10")} AS inn_ua_valid,
+       {duckdb_checksum_sql(c8, "edrpou8")} AS edrpou_valid,
+       {duckdb_checksum_sql(c13, "ogrn13")} AS ogrn_valid
+FROM orders ORDER BY o_orderkey LIMIT 2000
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -948,6 +999,7 @@ FROM events GROUP BY event_type
 SELECT c_custkey, regexp_extract(c_name, 'Customer#(\\d+)', 1)::BIGINT AS extracted_id
 FROM customer
 """,
+        "identifier_checksums": _identifier_checksums_oracle(),
         "birthdate_normalize": """
 SELECT o_orderkey,
        strftime(o_orderdate, '%d.%m.%Y') AS raw_date,

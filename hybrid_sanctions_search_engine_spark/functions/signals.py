@@ -22,7 +22,8 @@ DATE_PATTERNS = [
     r"\b(\d{1,2}/\d{1,2}/\d{4})\b",
 ]
 
-# D2: identifier patterns (the reference's core set, re-derived)
+# D2: identifier patterns (the reference's suite, re-derived; context-gated
+# patterns follow identifiers.py:93-101 OGRN/OGRNIP shapes)
 ID_PATTERNS: dict[str, str] = {
     "inn_12": r"\b(\d{12})\b",           # RU personal INN
     "inn_10": r"\b(\d{10})\b",           # RU org INN / UA IPN
@@ -30,7 +31,31 @@ ID_PATTERNS: dict[str, str] = {
     "passport": r"\b([A-Z]{2}\d{6})\b",  # AA123456
     "iban_ua": r"\b(UA\d{2}[A-Z0-9]{25})\b",
     "swift": r"\b([A-Z]{6}[A-Z0-9]{2}(?:[A-Z0-9]{3})?)\b",
+    "ogrn": r"\b(?:ОГРН|огрн|OGRN|ogrn)[:\s]*(\d{13})\b",
+    "ogrnip": r"\b(?:ОГРНИП|огрнип|OGRNIP|ogrnip)[:\s]*(\d{15})\b",
+    "vat_eu": r"\b([A-Z]{2}\d{8,12})\b",
 }
+
+# kinds whose candidates must also pass check-digit validation before they
+# count as ID anchors (rejects any-10-digit-run false positives — the
+# reference's get_validation_function gating)
+CHECKSUM_KINDS = {"inn_12", "inn_10", "edrpou", "ogrn"}
+
+
+def id_checksum_valid_col(kind: str, value_col: Column) -> Column:
+    """Check-digit validation per kind (functions.identifiers); kinds without
+    a checksum always pass."""
+    from .identifiers import edrpou_valid, inn_ru12_valid, inn_valid, ogrn_valid
+
+    if kind == "inn_10":
+        return inn_valid(value_col)
+    if kind == "inn_12":
+        return inn_ru12_valid(value_col)
+    if kind == "edrpou":
+        return edrpou_valid(value_col)
+    if kind == "ogrn":
+        return ogrn_valid(value_col)
+    return F.lit(True)
 
 
 def extract_dates_col(text_col: Column) -> Column:
@@ -42,17 +67,28 @@ def extract_dates_col(text_col: Column) -> Column:
     return out
 
 
-def extract_ids_col(text_col: Column, kinds: list[str] | None = None) -> Column:
-    """Identifier matches as array<struct<kind,value>>."""
+def extract_ids_col(
+    text_col: Column, kinds: list[str] | None = None, validate: bool = True
+) -> Column:
+    """Identifier matches as array<struct<kind,value>>.
+
+    With ``validate=True`` (default), candidates of CHECKSUM_KINDS must pass
+    their check-digit algorithm — an arbitrary 10-digit run no longer
+    anchors a screening boost (D2 false-positive fix)."""
     kinds = kinds or list(ID_PATTERNS)
     def _tagger(kind_name: str):
         # NB: a `kind=kind` default arg would make Spark treat this as a
         # two-parameter array lambda; close over the name instead
         return lambda v: F.struct(F.lit(kind_name).alias("kind"), v.alias("value"))
 
+    def _checker(kind_name: str):
+        return lambda v: id_checksum_valid_col(kind_name, v)
+
     structs = []
     for kind in kinds:
         matches = F.regexp_extract_all(text_col, F.lit(ID_PATTERNS[kind]), 1)
+        if validate and kind in CHECKSUM_KINDS:
+            matches = F.filter(matches, _checker(kind))
         structs.append(F.transform(matches, _tagger(kind)))
     out = structs[0]
     for s in structs[1:]:

@@ -47,7 +47,7 @@ def test_decision_scoring(spark):
 def watchlist(spark):
     entities = spark.createDataFrame(
         [
-            (1, "Иванов Иван Петрович", "Ivanov Ivan", "1234567890", "AA123456", None, "person", []),
+            (1, "Иванов Иван Петрович", "Ivanov Ivan", "7707083893", "AA123456", None, "person", []),
             (2, "Коваленко Олена", "Kovalenko Olena", None, None, None, "person", []),
         ],
         "id long, name string, name_en string, itn string, passport string, iban string, entity_type string, aliases array<string>",
@@ -67,7 +67,7 @@ def test_screen_texts_end_to_end(spark, watchlist):
             (1, "перевод средств Иванов Иван Петрович 15.05.1985"),
             (2, "payment to Kovalenko Olena for services"),
             (3, "совершенно безобидный текст про погоду"),
-            (4, "оплата ИНН 1234567890"),
+            (4, "оплата ИНН 7707083893"),  # checksum-valid (D2 gating)
         ],
         "text_id long, text string",
     )

@@ -107,7 +107,7 @@ def test_pattern_corpus_spark(spark):
 def test_signals_extraction(spark):
     df = spark.createDataFrame(
         [
-            (1, "born 15.05.1985 in kyiv, inn 1234567890, passport AA123456"),
+            (1, "born 15.05.1985 in kyiv, inn 7707083893, passport AA123456"),
             (2, "meeting on 2021-03-04 and 1/2/1999"),
             (3, "iban UA213223130000026007233566001 swift PBANUA2X"),
         ],
@@ -122,12 +122,14 @@ def test_signals_extraction(spark):
     by_id = {r["id"]: r for r in out}
     assert by_id[1]["dates"] == ["15.05.1985"]
     kinds1 = {(s["kind"], s["value"]) for s in by_id[1]["ids"]}
-    assert ("inn_10", "1234567890") in kinds1
+    # checksum-valid INN extracted (arbitrary digit runs are now rejected —
+    # see test_extract_ids_checksum_gating)
+    assert ("inn_10", "7707083893") in kinds1
     assert ("passport", "AA123456") in kinds1
     assert sorted(by_id[2]["dates"]) == ["1/2/1999", "2021-03-04"]
     kinds3 = {s["kind"] for s in by_id[3]["ids"]}
     assert "iban_ua" in kinds3 and "swift" in kinds3
-    assert "[ID]" in by_id[1]["masked"] and "1234567890" not in by_id[1]["masked"]
+    assert "[ID]" in by_id[1]["masked"] and "7707083893" not in by_id[1]["masked"]
 
     bd = spark.createDataFrame(
         [("15.05.1985",), ("1985-05-15",), ("1/2/1999",), ("garbage",)], "raw string"
@@ -151,3 +153,76 @@ def test_assemble_name():
     assert assemble_name(["ИВАНОВ", "иван", "петрович"]) == "Иван Петрович Иванов"
     assert assemble_name(["петрова-сидорова", "анна"]) == "Анна Петрова-Сидорова"
     assert assemble_name(["и.", "иванов"]) == "И. Иванов"
+
+
+def test_identifier_checksums(spark):
+    """Known-real identifiers validate; single-digit corruptions don't
+    (D2 checksum algorithms, reference identifiers.py:328-455)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.functions.identifiers import (
+        edrpou_valid,
+        inn_ru10_valid,
+        inn_ru12_valid,
+        inn_ua10_valid,
+        inn_valid,
+        ogrn_valid,
+        ogrnip_valid,
+    )
+
+    rows = [
+        # (value, kind, expected)
+        ("7707083893", "ru10", True),    # Sberbank INN
+        ("7707083894", "ru10", False),
+        ("500100732259", "ru12", True),  # canonical test INN
+        ("500100732258", "ru12", False),
+        ("00032129", "edrpou", True),    # NBU EDRPOU
+        ("00032120", "edrpou", False),
+        ("123456", "edrpou", True),      # 6-digit: length-only
+        ("1027700132195", "ogrn", True), # Sberbank OGRN
+        ("1027700132190", "ogrn", False),
+        ("304500116000157", "ogrnip", True),
+        ("304500116000150", "ogrnip", False),
+    ]
+    df = spark.createDataFrame(
+        [(v, k, e) for v, k, e in rows], "value string, kind string, expected boolean"
+    )
+    checks = {
+        "ru10": inn_ru10_valid, "ru12": inn_ru12_valid,
+        "edrpou": edrpou_valid, "ogrn": ogrn_valid, "ogrnip": ogrnip_valid,
+    }
+    got = df.withColumn(
+        "valid",
+        F.coalesce(
+            *[F.when(F.col("kind") == k, fn(F.col("value"))) for k, fn in checks.items()]
+        ),
+    ).collect()
+    for r in got:
+        assert r["valid"] == r["expected"], (r["value"], r["kind"])
+
+    # inn_valid accepts RU-or-UA per the reference's validate_inn
+    ua = spark.createDataFrame([("1234567895",)], "v string")  # Σ(1..9)%10 = 5
+    assert ua.select(inn_ua10_valid(F.col("v")).alias("x")).collect()[0]["x"] is True
+    assert ua.select(inn_valid(F.col("v")).alias("x")).collect()[0]["x"] is True
+
+
+def test_extract_ids_checksum_gating(spark):
+    """A random 10-digit run is no longer an ID anchor; a checksum-valid INN
+    still is (screening false-positive fix)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.functions.signals import (
+        extract_ids_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "account 9999999999 is not an INN"),
+         (2, "INN 7707083893 of the org"),
+         (3, "ОГРН: 1027700132195 registered")],
+        "id int, text string",
+    )
+    out = {r["id"]: r["ids"] for r in df.select(
+        "id", extract_ids_col(F.col("text")).alias("ids")).collect()}
+    assert all(i["kind"] != "inn_10" for i in out[1])
+    assert any(i["kind"] == "inn_10" and i["value"] == "7707083893" for i in out[2])
+    assert any(i["kind"] == "ogrn" and i["value"] == "1027700132195" for i in out[3])
