@@ -402,6 +402,31 @@ def q_similarity_blend(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_similarity_blend_full(spark: SparkSession, sf: str) -> DataFrame:
+    """L8 complete: the reference's exact 4-measure rapidfuzz fusion
+    (0.3/0.25/0.25/0.2 incl. partial_ratio).  Rows-only — partial_ratio's
+    matching-block window alignment isn't SQL-expressible; semantics are
+    unit-tested (tests/test_fuzzy.py)."""
+    from hybrid_sanctions_search_engine_spark.operators.fuzzy import (
+        similarity_blend_full,
+    )
+
+    cust = (
+        _tbl(spark, sf, "customer")
+        .where(F.col("c_custkey") < 20)
+        .select("c_custkey", "c_name")
+    )
+    supp = (
+        _tbl(spark, sf, "supplier")
+        .where(F.col("s_suppkey") < 20)
+        .select("s_suppkey", "s_name")
+    )
+    pairs = cust.crossJoin(supp)
+    return similarity_blend_full(pairs, "c_name", "s_name").select(
+        "c_custkey", "s_suppkey", _r4("sim_score").alias("sim_score")
+    )
+
+
 def q_overlay_union(spark: SparkSession, sf: str) -> DataFrame:
     from hybrid_sanctions_search_engine_spark.operators.fusion import overlay_union
 
@@ -735,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_candidates": q_fuzzy_candidates,
         "fuzzy_rescore": q_fuzzy_rescore,
         "similarity_blend": q_similarity_blend,
+        "similarity_blend_full": q_similarity_blend_full,
         "overlay_union": q_overlay_union,
         "confidence_normalize": q_confidence_normalize,
         "json_extract": q_json_extract,

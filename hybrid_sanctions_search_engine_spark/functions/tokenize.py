@@ -25,22 +25,11 @@ from pyspark.sql import functions as F
 
 from .normalize import normalize_text
 
-# Compact multilingual stop-word set (own curation: ru/uk/en function words +
-# payment-domain words mirroring the reference's data/dicts/stopwords.py role;
-# that file is config data — callers may pass their own set).
-DEFAULT_STOPWORDS: frozenset[str] = frozenset(
-    """
-    и в на с по за от до из у о об не но а или же как так что это тот этот
-    для при про без над под между через после перед около возле
-    і в на з по за від до у о про не але а або ж як так що це той цей
-    для при через після перед біля можна треба
-    ооо зао оао пао тов тзов фоп іп ип ooo llc ltd inc corp gmbh
-    оплата платеж платіж перевод переказ счет рахунок квитанция документ
-    the a an of in on at by for with from to and or as is are was were be
-    been it its this that these those not no
-    payment transfer invoice receipt document bank card cash
-    """.split()
-)
+# Full stop-word dictionary, ported as data from the reference's
+# data/dicts/stopwords.py STOP_ALL (functions/stopwords_data.py, 1,888
+# lowercased entries) — P8 complete; callers may still pass their own set
+# (the reference treats it as config data).
+from .stopwords_data import STOP_ALL as DEFAULT_STOPWORDS
 
 # Exclusion regexes applied to the lowercased token (reference behaviour:
 # smart_filter_patterns.EXCLUSION_PATTERNS, re.match + IGNORECASE).

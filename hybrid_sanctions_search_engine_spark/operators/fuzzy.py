@@ -155,6 +155,77 @@ def similarity_blend(
     )
 
 
+def partial_ratio_series(left: "pd.Series", right: "pd.Series") -> "pd.Series":
+    """Best-window similarity of the shorter string inside the longer — the
+    canonical fuzzywuzzy/rapidfuzz ``partial_ratio`` algorithm (matching
+    blocks seed candidate windows; each window scored with a sequence
+    ratio).  Pure stdlib difflib, deterministic (autojunk off)."""
+    import pandas as pd
+    from difflib import SequenceMatcher
+
+    def pr(s1: str, s2: str) -> float:
+        s1, s2 = (s1 or "").lower(), (s2 or "").lower()
+        if not s1 or not s2:
+            return 1.0 if s1 == s2 else 0.0
+        shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+        m = SequenceMatcher(None, shorter, longer, autojunk=False)
+        best = 0.0
+        for i, j, _n in m.get_matching_blocks():
+            start = max(j - i, 0)
+            window = longer[start : start + len(shorter)]
+            r = SequenceMatcher(None, shorter, window, autojunk=False).ratio()
+            if r > best:
+                best = r
+            if best == 1.0:
+                break
+        return best
+
+    return pd.Series([pr(a, b) for a, b in zip(left, right)])
+
+
+def similarity_blend_full(
+    pairs: DataFrame,
+    left_col: str,
+    right_col: str,
+    out_col: str = "sim_score",
+) -> DataFrame:
+    """The reference's EXACT 4-measure rapidfuzz fusion
+    (``fuzzy_search_service.py:46-49, 175-310``): ratio 0.3 / partial_ratio
+    0.25 / token_sort 0.25 / token_set 0.2.  The three JVM-expressible
+    measures stay Column expressions; partial_ratio (quadratic substring
+    alignment) runs as an Arrow pandas UDF over the already-pruned candidate
+    pairs — the one place Python is allowed, per the repo rule."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def partial_udf(a, b):
+        return partial_ratio_series(a, b)
+
+    x = F.lower(F.col(left_col))
+    y = F.lower(F.col(right_col))
+    char_ratio = 1.0 - F.levenshtein(x, y) / F.greatest(
+        F.length(x), F.length(y), F.lit(1)
+    )
+    ta = F.array_distinct(F.split(x, r"\s+"))
+    tb = F.array_distinct(F.split(y, r"\s+"))
+    sa = F.concat_ws(" ", F.array_sort(F.split(x, r"\s+")))
+    sb = F.concat_ws(" ", F.array_sort(F.split(y, r"\s+")))
+    token_sort_ratio = 1.0 - F.levenshtein(sa, sb) / F.greatest(
+        F.length(sa), F.length(sb), F.lit(1)
+    )
+    jac = F.size(F.array_intersect(ta, tb)) / F.greatest(
+        F.size(F.array_union(ta, tb)), F.lit(1)
+    )
+    return pairs.withColumn(
+        out_col,
+        char_ratio * 0.3
+        + partial_udf(F.col(left_col), F.col(right_col)) * 0.25
+        + token_sort_ratio * 0.25
+        + jac * 0.2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # L10: DoB / ID anchor boosts
 # ---------------------------------------------------------------------------

@@ -64,6 +64,7 @@ from pyspark.sql.types import (
 
 from ..functions.codec import delta_encode, varint_encode
 from ..operators.postings import CorpusStats
+from .fs import LocalIndexFS, fs_for
 
 BLOCK_SIZE = 128
 
@@ -81,8 +82,8 @@ class IndexMeta:
 
     @staticmethod
     def load(index_dir: str) -> "IndexMeta":
-        with open(os.path.join(index_dir, "_index_meta.json")) as fh:
-            return IndexMeta(**json.load(fh))
+        fs = fs_for(index_dir)
+        return IndexMeta(**fs.read_json(os.path.join(index_dir, "_index_meta.json")))
 
 
 SHARD_SCHEMA = StructType(
@@ -120,20 +121,20 @@ def _manifest_path(index_dir: str, shard: int) -> str:
     return os.path.join(index_dir, f"shard={shard}", "_manifest.json")
 
 
-def completed_shards(index_dir: str, n_shards: int) -> list[int]:
+def completed_shards(index_dir: str, n_shards: int, fs=None) -> list[int]:
+    fs = fs or fs_for(index_dir)
     done = []
     for s in range(n_shards):
         p = _manifest_path(index_dir, s)
         try:
-            with open(p) as fh:
-                if json.load(fh).get("status") == "complete":
-                    done.append(s)
+            if fs.read_json(p).get("status") == "complete":
+                done.append(s)
         except (OSError, json.JSONDecodeError):
             continue
     return done
 
 
-def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False):
+def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False, fs=None):
     """Factory for the per-shard applyInPandas encoder.
 
     Receives raw (term, chunk, doc_id, tf, doc_len) postings for one shard;
@@ -143,11 +144,15 @@ def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False):
     IndexMeta — shards are corpus-statistics-free, so a delta compaction
     that changes global n_docs/avgdl never leaves untouched shards scored
     under stale stats (df per term is safe: a term's df only changes when
-    the delta contains that term, and then its shard is rebuilt)."""
+    the delta contains that term, and then its shard is rebuilt).
+
+    All writes route through the pluggable ``fs`` (sources/fs.py): POSIX
+    rename-commit locally, rename-free single-PUT commit on object stores —
+    the executor no longer assumes ``index_dir`` is a shared POSIX path."""
+    fs = fs or LocalIndexFS()
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         shard = int(key[0])
         salt = int(key[1]) if salted else None
@@ -212,7 +217,7 @@ def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False):
             columns=[f.name for f in SHARD_SCHEMA.fields],
         )
         shard_dir = os.path.join(index_dir, f"shard={shard}")
-        os.makedirs(shard_dir, exist_ok=True)
+        fs.makedirs(shard_dir)
         suffix = "" if salt is None else f"-{salt}"
         data_path = os.path.join(shard_dir, f"data{suffix}.parquet")
         # `shard` comes back as the partition-directory column on read
@@ -233,8 +238,8 @@ def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False):
         table = pa.Table.from_pandas(
             out.drop(columns=["shard"]), schema=arrow_schema, preserve_index=False
         )
-        pq.write_table(table, data_path, compression="zstd")
-        nbytes = os.path.getsize(data_path)
+        fs.write_parquet(table, data_path, compression="zstd")
+        nbytes = fs.getsize(data_path)
         elapsed = time.monotonic() - t0
         manifest = {
             "status": "complete",
@@ -252,10 +257,7 @@ def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False):
             if salt is None
             else os.path.join(shard_dir, f"_manifest{suffix}.json")
         )
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, mpath)  # atomic commit
+        fs.commit_json(mpath, manifest)  # atomic commit (rename or single PUT)
         return pd.DataFrame(
             [
                 (
@@ -299,7 +301,8 @@ def build_index(
     co-locate in a single task), sub-tasks write ``data-<salt>.parquet`` +
     ``_manifest-<salt>.json``, and the driver merges the sub-manifests
     tree-wise into the per-shard ``_manifest.json``."""
-    os.makedirs(index_dir, exist_ok=True)
+    fs = fs_for(index_dir)
+    fs.makedirs(index_dir)
     t0 = time.monotonic()
 
     # Parallelism guard: a narrow input (single parquet file, in-memory
@@ -350,10 +353,10 @@ def build_index(
 
     skipped: list[int] = []
     if resume:
-        skipped = completed_shards(index_dir, n_shards)
+        skipped = completed_shards(index_dir, n_shards, fs)
         if skipped:
             sharded = sharded.where(~F.col("shard").isin(skipped))
-    if len(skipped) == n_shards and os.path.exists(
+    if len(skipped) == n_shards and fs.exists(
         os.path.join(index_dir, "_index_meta.json")
     ):
         # fully-resumed build: nothing to encode, keep the existing meta —
@@ -371,11 +374,9 @@ def build_index(
         }
     # clear partial output of incomplete shards (stale sub-files from a
     # previous differently-configured or interrupted run)
-    import shutil as _shutil
-
     for s in range(n_shards):
         if s not in skipped:
-            _shutil.rmtree(os.path.join(index_dir, f"shard={s}"), ignore_errors=True)
+            fs.rmtree(os.path.join(index_dir, f"shard={s}"))
 
     # Explicit repartition by the encode key: one task per shard (or per
     # shard-salt sub-split), hash distribution already satisfied -> no second
@@ -400,7 +401,7 @@ def build_index(
             salted.repartition(n_shards * sub_splits, "shard", "salt")
             .groupBy("shard", "salt")
             .applyInPandas(
-                _encode_shard(index_dir, store_positions, salted=True),
+                _encode_shard(index_dir, store_positions, salted=True, fs=fs),
                 SUMMARY_SCHEMA,
             )
             .collect()
@@ -415,9 +416,8 @@ def build_index(
             subs = []
             for salt in range(sub_splits):
                 mp = os.path.join(index_dir, f"shard={s}", f"_manifest-{salt}.json")
-                if os.path.exists(mp):
-                    with open(mp) as fh:
-                        subs.append(json.load(fh))
+                if fs.exists(mp):
+                    subs.append(fs.read_json(mp))
             merged = {
                 "status": "complete",
                 "shard": s,
@@ -430,10 +430,7 @@ def build_index(
                 "elapsed_sec": round(max(m["elapsed_sec"] for m in subs), 4),
                 "sub_manifests": subs,
             }
-            tmp = _manifest_path(index_dir, s) + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(merged, fh)
-            os.replace(tmp, _manifest_path(index_dir, s))
+            fs.commit_json(_manifest_path(index_dir, s), merged)
         summary = [
             type(summary[0])(
                 shard=s,
@@ -449,7 +446,7 @@ def build_index(
             sharded.repartition(n_shards, "shard")
             .groupBy("shard")
             .applyInPandas(
-                _encode_shard(index_dir, store_positions),
+                _encode_shard(index_dir, store_positions, fs=fs),
                 SUMMARY_SCHEMA,
             )
             .collect()
@@ -473,8 +470,7 @@ def build_index(
         b=b,
         has_positions=store_positions,
     )
-    with open(os.path.join(index_dir, "_index_meta.json"), "w") as fh:
-        json.dump(asdict(meta), fh)
+    fs.commit_json(os.path.join(index_dir, "_index_meta.json"), asdict(meta))
 
     built = [r.asDict() for r in summary]
     report = {

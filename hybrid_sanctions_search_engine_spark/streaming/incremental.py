@@ -149,10 +149,11 @@ def compact_delta(
         .collect()
     )
     touched_ids = sorted(r["shard"] for r in touched)
+    from ..sources.fs import fs_for
+
+    fs = fs_for(index_dir)
     for s in touched_ids:
-        manifest = os.path.join(index_dir, f"shard={s}", "_manifest.json")
-        if os.path.exists(manifest):
-            os.remove(manifest)
+        fs.delete(os.path.join(index_dir, f"shard={s}", "_manifest.json"))
     all_docs = docs_base.unionByName(delta_docs, allowMissingColumns=True)
     report = build_index(
         all_docs,

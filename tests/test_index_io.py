@@ -148,3 +148,59 @@ def test_build_is_single_pass(spark, sf_smoke_dir, tmp_path_factory, monkeypatch
     ref = corpus_stats(docs)
     assert report["n_docs"] == ref.n_docs
     assert abs(report["avgdl"] - ref.avgdl) < 1e-9
+
+
+def test_fs_abstraction_roundtrip(tmp_path):
+    """LocalIndexFS + ArrowIndexFS expose the same contract; the Arrow
+    implementation works against local paths via pyarrow.fs (the same code
+    path an s3:// URI takes on a cluster)."""
+    import pyarrow as pa
+
+    from hybrid_sanctions_search_engine_spark.sources.fs import (
+        ArrowIndexFS,
+        LocalIndexFS,
+        fs_for,
+    )
+
+    assert isinstance(fs_for("/tmp/x"), LocalIndexFS)
+    assert isinstance(fs_for("s3://bucket/index"), ArrowIndexFS)
+
+    for fs in (LocalIndexFS(), ArrowIndexFS()):
+        base = str(tmp_path / type(fs).__name__)
+        fs.makedirs(base)
+        mpath = os.path.join(base, "_manifest.json")
+        fs.commit_json(mpath, {"status": "complete", "n": 3})
+        assert fs.exists(mpath)
+        assert fs.read_json(mpath) == {"status": "complete", "n": 3}
+        table = pa.table({"a": [1, 2, 3]})
+        ppath = os.path.join(base, "data.parquet")
+        fs.write_parquet(table, ppath)
+        assert fs.getsize(ppath) > 0
+        fs.delete(mpath)
+        assert not fs.exists(mpath)
+        fs.rmtree(base)
+        assert not fs.exists(ppath)
+
+
+def test_build_through_arrow_fs(spark, sf_smoke_dir, tmp_path, monkeypatch):
+    """End-to-end index build + query with the encoder forced through
+    ArrowIndexFS (the object-store code path) — results identical to the
+    POSIX build."""
+    import hybrid_sanctions_search_engine_spark.sources.index_io as mod
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+    from hybrid_sanctions_search_engine_spark.sources.fs import ArrowIndexFS
+    from hybrid_sanctions_search_engine_spark.sources.index_io import (
+        build_index,
+        load_index,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_smoke_dir, "documents.parquet"))
+    monkeypatch.setattr(mod, "fs_for", lambda path: ArrowIndexFS())
+    index_dir = str(tmp_path / "arrow_idx")
+    report = build_index(docs, index_dir, n_shards=4, chunk_bits=6, resume=False)
+    monkeypatch.undo()
+    assert report["postings"] > 0
+    idx, meta = load_index(spark, index_dir)
+    res = topk_search(spark, index_dir, "spark query join", k=5,
+                      index_df=idx, meta=meta).collect()
+    assert len(res) == 5

@@ -172,3 +172,15 @@ def test_tokenizer_stopword_fallback():
     assert tokens == []
     tokens, _ = strip_noise_and_tokenize("⁇")  # excluded punct, non-stop input
     assert tokens == ["⁇"]
+
+
+def test_default_stopwords_match_reference():
+    """P8: the engine's DEFAULT stop-word set equals the reference's full
+    STOP_ALL dictionary (lowercased), not a curated subset."""
+    from ai_service.data.dicts.stopwords import STOP_ALL as REF
+
+    from hybrid_sanctions_search_engine_spark.functions.tokenize import (
+        DEFAULT_STOPWORDS,
+    )
+
+    assert DEFAULT_STOPWORDS == {w.lower() for w in REF if isinstance(w, str) and w.strip()}
