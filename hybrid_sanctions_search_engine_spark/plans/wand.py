@@ -114,9 +114,13 @@ def topk_search(
     index_df: DataFrame | None = None,
     meta: IndexMeta | None = None,
     term_weights: dict[str, float] | None = None,
+    max_driver_chunks: int = 4096,
 ) -> DataFrame:
     """Exact top-k BM25 over the compressed index → (doc_id, score,
     n_terms_matched) ordered (score desc, doc_id asc).
+
+    ``max_driver_chunks`` caps how many chunk-UB rows the driver may hold
+    (constant, corpus-independent); past the cap, pruning runs in-cluster.
 
     ``term_weights`` scales each term's stored contribution (the fuzzy
     stage's edit-ratio discounts); chunk upper bounds stay valid because
@@ -137,22 +141,24 @@ def topk_search(
     # IN THE CLUSTER: chunk count grows linearly with the corpus
     # (doc_id >> chunk_bits ⇒ ~15M chunks at 10^12 docs), so the driver only
     # ever collects a bounded head of the UB ranking — never the full frame.
-    # UB per (term, chunk) = idf(df) · max over blocks of f(max_tf, min_dl):
-    # BM25's tf-part is monotone ↑tf ↓dl, so this bounds every posting.  The
-    # tiny (1+1e-12) inflation absorbs JVM-vs-numpy 1-ulp log() differences
+    # UB per (term, chunk) = idf(df) · f(max over blocks tf, min over blocks
+    # dl): BM25's tf-part is monotone ↑tf ↓dl, so this bounds every posting
+    # (row-level max/min is a hair looser than per-block f but keeps the
+    # whole expression in whole-stage codegen — array_max/array_min are
+    # native functions; a zip_with lambda here runs interpreted per row).
+    # The (1+1e-12) inflation absorbs JVM-vs-numpy 1-ulp log() differences
     # so the bound can never under-estimate a numpy-computed score.
     k1, b = meta.k1, meta.b
     n_docs_f, avgdl = float(meta.n_docs), float(meta.avgdl)
     idf = F.log(
         F.lit(1.0) + (F.lit(n_docs_f) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
-    tf_part = F.zip_with(
-        "block_max_tf",
-        "block_min_dl",
-        lambda t, d: (t.cast("double") * (k1 + 1.0))
-        / (t.cast("double") + k1 * (1.0 - b + b * d.cast("double") / avgdl)),
+    max_tf = F.array_max("block_max_tf").cast("double")
+    min_dl = F.array_min("block_min_dl").cast("double")
+    tf_part = (max_tf * (k1 + 1.0)) / (
+        max_tf + k1 * (1.0 - b + b * min_dl / avgdl)
     )
-    term_ub = idf * F.array_max(tf_part) * F.lit(1.0 + 1e-12)
+    term_ub = idf * tf_part * F.lit(1.0 + 1e-12)
     if term_weights is not None:
         # weights are ≤ 1 multipliers on a term's contribution; scale the
         # bound identically so pruning stays exact under weighted scoring
@@ -165,12 +171,15 @@ def topk_search(
         .groupBy("chunk")
         .agg(F.sum("term_ub").alias("ub"))
     )
-    # bounded probe: TakeOrderedAndProject of the 2·seed+1 most promising
-    # chunks — enough to (a) pick the seed set and (b) detect the small-index
-    # case without counting the chunk frame
+    # bounded probe: TakeOrderedAndProject of at most max_driver_chunks+1 UB
+    # rows — a CONSTANT cap (~tens of KB), never O(corpus).  When the whole
+    # UB ranking fits under the cap (every sandbox/moderate index), seeding
+    # and θ-pruning run driver-side with zero extra Spark jobs; only beyond
+    # the cap does the semi-join in-cluster path engage (10^12-doc regime,
+    # ~15M chunks — the frame then never leaves the executors).
     probe = (
         ubs_df.orderBy(F.desc("ub"), F.asc("chunk"))
-        .limit(seed_chunks * 2 + 1)
+        .limit(max_driver_chunks + 1)
         .collect()
     )
     if not probe:
@@ -197,19 +206,30 @@ def topk_search(
     seed_res = run(seed).orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
     theta = seed_res[-1]["score"] if len(seed_res) >= k else float("-inf")
 
-    # θ pruning expressed as a DataFrame filter + semi-join: only chunks whose
-    # upper bound can still beat θ are decoded (exact — a pruned chunk cannot
-    # contain a doc scoring above θ; ties at θ are kept for the doc_id
-    # tiebreak).  The O(chunks) frame never leaves the executors.
-    survivor_chunks = ubs_df.where(
-        (F.col("ub") >= theta) & ~F.col("chunk").isin(seed)
-    ).select("chunk")
-    rest = (
-        matched.join(survivor_chunks, "chunk", "left_semi")
-        .groupBy("chunk")
-        .applyInPandas(score_fn, RESULT_SCHEMA)
-    )
-    all_res = spark.createDataFrame(seed_res, RESULT_SCHEMA).unionByName(rest)
+    # θ pruning: exact — a pruned chunk cannot contain a doc scoring above θ;
+    # ties at θ are kept for the doc_id tiebreak.
+    if len(probe) <= max_driver_chunks:
+        # complete UB ranking in hand: prune with a plain isin filter
+        survivors = [
+            int(r["chunk"])
+            for r in probe[seed_chunks:]
+            if float(r["ub"]) >= theta
+        ]
+        rest = run(survivors) if survivors else None
+    else:
+        # truncated ranking: θ-prune as a DataFrame filter + semi-join so the
+        # O(chunks) frame stays in the cluster
+        survivor_chunks = ubs_df.where(
+            (F.col("ub") >= theta) & ~F.col("chunk").isin(seed)
+        ).select("chunk")
+        rest = (
+            matched.join(survivor_chunks, "chunk", "left_semi")
+            .groupBy("chunk")
+            .applyInPandas(score_fn, RESULT_SCHEMA)
+        )
+    all_res = spark.createDataFrame(seed_res, RESULT_SCHEMA)
+    if rest is not None:
+        all_res = all_res.unionByName(rest)
     return all_res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 

@@ -62,7 +62,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.codec import delta_encode, varint_encode
+from ..functions.codec import varint_encode_grouped
 from ..operators.postings import CorpusStats
 from .fs import LocalIndexFS, fs_for
 
@@ -165,55 +165,82 @@ def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False, f
         else:
             df_all = pdf.groupby("term", sort=False)["doc_id"].transform("size")
         pdf = pdf.assign(df=df_all.astype(np.int64))
-        rows = []
-        n_postings = 0
-        for (term, chunk), grp in pdf.groupby(["term", "chunk"], sort=True):
-            ids = grp["doc_id"].to_numpy(dtype=np.int64)
-            tfs = grp["tf"].to_numpy(dtype=np.uint64)
-            dls = grp["doc_len"].to_numpy(dtype=np.uint64)
-            n = ids.size
-            n_postings += n
-            pos_blob = None
-            if store_positions:
-                # per-posting position lists -> within-doc deltas -> one
-                # varint stream; tf values segment it on decode
-                flat = []
-                for plist in grp["positions"]:
-                    arr = np.asarray(plist, dtype=np.int64)
-                    d = np.empty(arr.size, dtype=np.uint64)
-                    if arr.size:
-                        d[0] = np.uint64(arr[0])
-                        d[1:] = np.diff(arr).astype(np.uint64)
-                    flat.append(d)
-                pos_blob = varint_encode(
-                    np.concatenate(flat) if flat else np.empty(0, dtype=np.uint64)
-                )
-            pad = (-n) % BLOCK_SIZE
-            tf_pad = np.concatenate([tfs, np.zeros(pad, np.uint64)]) if pad else tfs
-            dl_pad = (
-                np.concatenate([dls, np.full(pad, np.iinfo(np.int32).max, np.uint64)])
-                if pad
-                else dls
+        # ---- fully vectorized group encode: ZERO per-group pandas iteration
+        # (a groupby loop here cost ~0.4 ms/group of pure iteration overhead —
+        # 240k (term, chunk) groups made it the dominant build cost)
+        term_codes, uniq_terms = pd.factorize(pdf["term"])  # sorted input
+        chunk_np = pdf["chunk"].to_numpy(dtype=np.int64)
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
+        dfv = pdf["df"].to_numpy(dtype=np.int64)
+        n_postings = ids.size
+        newgrp = np.empty(n_postings, dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = (term_codes[1:] != term_codes[:-1]) | (
+            chunk_np[1:] != chunk_np[:-1]
+        )
+        starts = np.flatnonzero(newgrp)
+        ends = np.append(starts[1:], n_postings)
+        counts = (ends - starts).astype(np.int64)
+        # doc-id gaps: absolute at each group start, diffs within
+        gaps = np.empty(n_postings, dtype=np.uint64)
+        gaps[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
+        gaps[starts] = ids[starts].astype(np.uint64)
+        gap_blobs = varint_encode_grouped(gaps, starts, ends)
+        tf_blobs = varint_encode_grouped(tfs, starts, ends)
+        dl_blobs = varint_encode_grouped(dls, starts, ends)
+        # per-128-posting block aggregates via one reduceat (block starts of
+        # every group tile [0, n) contiguously in order)
+        blocks_per_grp = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+        block_offsets = np.concatenate(([0], np.cumsum(blocks_per_grp)))
+        within = np.arange(int(block_offsets[-1]), dtype=np.int64) - np.repeat(
+            block_offsets[:-1], blocks_per_grp
+        )
+        block_starts = np.repeat(starts, blocks_per_grp) + within * BLOCK_SIZE
+        bmax_tf = np.maximum.reduceat(tfs, block_starts).astype(np.int32)
+        bmin_dl = np.minimum.reduceat(dls, block_starts).astype(np.int32)
+        pos_blobs: list = [None] * len(starts)
+        if store_positions:
+            # flatten all per-posting position lists once; delta within each
+            # posting (absolute at posting starts); one grouped varint pass
+            from itertools import chain
+
+            flat_pos = np.fromiter(
+                chain.from_iterable(pdf["positions"]), dtype=np.int64,
+                count=int(tfs.sum()),
             )
-            block_max_tf = tf_pad.reshape(-1, BLOCK_SIZE).max(axis=1).astype(np.int32)
-            block_min_dl = dl_pad.reshape(-1, BLOCK_SIZE).min(axis=1).astype(np.int32)
-            rows.append(
-                (
-                    shard,
-                    term,
-                    int(chunk),
-                    int(grp["df"].iloc[0]),
-                    int(n),
-                    delta_encode(ids),
-                    varint_encode(tfs),
-                    varint_encode(dls),
-                    pos_blob,
-                    block_max_tf.tolist(),
-                    block_min_dl.tolist(),
-                )
+            pos_ends = np.cumsum(tfs.astype(np.int64))
+            pos_starts = np.concatenate(([0], pos_ends[:-1]))
+            pdeltas = np.empty(flat_pos.size, dtype=np.uint64)
+            if flat_pos.size:
+                pdeltas[1:] = (flat_pos[1:] - flat_pos[:-1]).astype(np.uint64)
+                pdeltas[pos_starts[pos_ends > pos_starts]] = flat_pos[
+                    pos_starts[pos_ends > pos_starts]
+                ].astype(np.uint64)
+            pos_blobs = varint_encode_grouped(
+                pdeltas, pos_starts[starts], pos_ends[ends - 1]
             )
         out = pd.DataFrame(
-            rows,
+            {
+                "shard": np.full(len(starts), shard, dtype=np.int32),
+                "term": uniq_terms[term_codes[starts]],
+                "chunk": chunk_np[starts],
+                "df": dfv[starts],
+                "n_docs": counts.astype(np.int32),
+                "doc_gaps": gap_blobs,
+                "tfs": tf_blobs,
+                "doc_lens": dl_blobs,
+                "positions": pos_blobs,
+                "block_max_tf": [
+                    bmax_tf[a:b].tolist()
+                    for a, b in zip(block_offsets[:-1].tolist(), block_offsets[1:].tolist())
+                ],
+                "block_min_dl": [
+                    bmin_dl[a:b].tolist()
+                    for a, b in zip(block_offsets[:-1].tolist(), block_offsets[1:].tolist())
+                ],
+            },
             columns=[f.name for f in SHARD_SCHEMA.fields],
         )
         shard_dir = os.path.join(index_dir, f"shard={shard}")

@@ -127,10 +127,26 @@ def test_topk_collect_is_bounded(spark, sf_smoke_dir, tmp_path_factory, monkeypa
         return rows
 
     monkeypatch.setattr(DataFrame, "collect", spy_collect)
-    k, seed_chunks = 10, 4
+    k, seed_chunks, cap = 10, 4, 8
+    # cap < chunk count forces the in-cluster semi-join path: the driver may
+    # hold at most cap+1 UB rows even though the index has far more chunks
     res = topk_search(spark, index_dir, "spark query join", k=k,
-                      seed_chunks=seed_chunks, index_df=idx, meta=meta)
+                      seed_chunks=seed_chunks, index_df=idx, meta=meta,
+                      max_driver_chunks=cap)
     monkeypatch.undo()
     assert res.count() <= k
-    bound = max(k, seed_chunks * 2 + 1)
+    bound = max(k, cap + 1)
     assert collected_sizes and max(collected_sizes) <= bound
+
+    # rank identity must hold on BOTH pruning paths
+    in_cluster = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in topk_search(spark, index_dir, "spark query join", k=k,
+                             index_df=idx, meta=meta, max_driver_chunks=cap).collect()
+    ]
+    driver_side = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in topk_search(spark, index_dir, "spark query join", k=k,
+                             index_df=idx, meta=meta).collect()
+    ]
+    assert in_cluster == driver_side
