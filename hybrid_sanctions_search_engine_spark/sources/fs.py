@@ -65,6 +65,15 @@ class LocalIndexFS:
         except FileNotFoundError:
             pass
 
+    def move(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def list_files(self, path: str) -> list[str]:
+        try:
+            return sorted(os.listdir(path))
+        except FileNotFoundError:
+            return []
+
 
 class ArrowIndexFS:
     """pyarrow.fs-backed store (S3/HDFS/GCS).  Holds only the URI prefix —
@@ -124,6 +133,21 @@ class ArrowIndexFS:
             filesystem.delete_file(rel)
         except FileNotFoundError:
             pass
+
+    def move(self, src: str, dst: str) -> None:
+        filesystem, rel_src = self._fs(src)
+        _, rel_dst = self._fs(dst)
+        filesystem.move(rel_src, rel_dst)
+
+    def list_files(self, path: str) -> list[str]:
+        from pyarrow import fs as pafs
+
+        filesystem, rel = self._fs(path)
+        try:
+            infos = filesystem.get_file_info(pafs.FileSelector(rel))
+        except FileNotFoundError:
+            return []
+        return sorted(i.base_name for i in infos)
 
 
 def fs_for(path: str):

@@ -79,6 +79,9 @@ class IndexMeta:
     k1: float
     b: float
     has_positions: bool = False
+    # exact corpus token count: lets merge-compaction update avgdl EXACTLY
+    # ((total+delta)/(n+new)) instead of reconstructing from the float avgdl
+    total_tokens: int = 0
 
     @staticmethod
     def load(index_dir: str) -> "IndexMeta":
@@ -152,133 +155,167 @@ def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False, f
     fs = fs or LocalIndexFS()
 
     def encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-
         shard = int(key[0])
         salt = int(key[1]) if salted else None
         t0 = time.monotonic()
-        pdf = pdf.sort_values(["term", "chunk", "doc_id"], kind="mergesort")
-        if salted:
-            # a salted sub-group sees only part of a term's postings, so df
-            # arrives precomputed (one global agg) instead of derived here
-            df_all = pdf["df"]
-        else:
-            df_all = pdf.groupby("term", sort=False)["doc_id"].transform("size")
-        pdf = pdf.assign(df=df_all.astype(np.int64))
-        # ---- fully vectorized group encode: ZERO per-group pandas iteration
-        # (a groupby loop here cost ~0.4 ms/group of pure iteration overhead —
-        # 240k (term, chunk) groups made it the dominant build cost)
-        term_codes, uniq_terms = pd.factorize(pdf["term"])  # sorted input
-        chunk_np = pdf["chunk"].to_numpy(dtype=np.int64)
-        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-        dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
-        dfv = pdf["df"].to_numpy(dtype=np.int64)
-        n_postings = ids.size
-        newgrp = np.empty(n_postings, dtype=bool)
-        newgrp[0] = True
-        newgrp[1:] = (term_codes[1:] != term_codes[:-1]) | (
-            chunk_np[1:] != chunk_np[:-1]
+        out, n_postings, n_docs_seen = _encode_posting_frame(
+            pdf, shard, store_positions, df_precomputed=salted
         )
-        starts = np.flatnonzero(newgrp)
-        ends = np.append(starts[1:], n_postings)
-        counts = (ends - starts).astype(np.int64)
-        # doc-id gaps: absolute at each group start, diffs within
-        gaps = np.empty(n_postings, dtype=np.uint64)
-        gaps[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
-        gaps[starts] = ids[starts].astype(np.uint64)
-        gap_blobs = varint_encode_grouped(gaps, starts, ends)
-        tf_blobs = varint_encode_grouped(tfs, starts, ends)
-        dl_blobs = varint_encode_grouped(dls, starts, ends)
-        # per-128-posting block aggregates via one reduceat (block starts of
-        # every group tile [0, n) contiguously in order)
-        blocks_per_grp = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
-        block_offsets = np.concatenate(([0], np.cumsum(blocks_per_grp)))
-        within = np.arange(int(block_offsets[-1]), dtype=np.int64) - np.repeat(
-            block_offsets[:-1], blocks_per_grp
+        return _write_shard(
+            out, shard, salt, n_docs_seen, n_postings, index_dir, fs, t0
         )
-        block_starts = np.repeat(starts, blocks_per_grp) + within * BLOCK_SIZE
-        bmax_tf = np.maximum.reduceat(tfs, block_starts).astype(np.int32)
-        bmin_dl = np.minimum.reduceat(dls, block_starts).astype(np.int32)
-        pos_blobs: list = [None] * len(starts)
-        if store_positions:
-            # flatten all per-posting position lists once; delta within each
-            # posting (absolute at posting starts); one grouped varint pass
-            from itertools import chain
 
-            flat_pos = np.fromiter(
-                chain.from_iterable(pdf["positions"]), dtype=np.int64,
-                count=int(tfs.sum()),
-            )
-            pos_ends = np.cumsum(tfs.astype(np.int64))
-            pos_starts = np.concatenate(([0], pos_ends[:-1]))
-            pdeltas = np.empty(flat_pos.size, dtype=np.uint64)
-            if flat_pos.size:
-                pdeltas[1:] = (flat_pos[1:] - flat_pos[:-1]).astype(np.uint64)
-                pdeltas[pos_starts[pos_ends > pos_starts]] = flat_pos[
-                    pos_starts[pos_ends > pos_starts]
-                ].astype(np.uint64)
-            pos_blobs = varint_encode_grouped(
-                pdeltas, pos_starts[starts], pos_ends[ends - 1]
-            )
-        out = pd.DataFrame(
-            {
-                "shard": np.full(len(starts), shard, dtype=np.int32),
-                "term": uniq_terms[term_codes[starts]],
-                "chunk": chunk_np[starts],
-                "df": dfv[starts],
-                "n_docs": counts.astype(np.int32),
-                "doc_gaps": gap_blobs,
-                "tfs": tf_blobs,
-                "doc_lens": dl_blobs,
-                "positions": pos_blobs,
-                "block_max_tf": [
-                    bmax_tf[a:b].tolist()
-                    for a, b in zip(block_offsets[:-1].tolist(), block_offsets[1:].tolist())
-                ],
-                "block_min_dl": [
-                    bmin_dl[a:b].tolist()
-                    for a, b in zip(block_offsets[:-1].tolist(), block_offsets[1:].tolist())
-                ],
-            },
-            columns=[f.name for f in SHARD_SCHEMA.fields],
+    return encode
+
+
+def _encode_posting_frame(
+    pdf: pd.DataFrame, shard: int, store_positions: bool, df_precomputed: bool = False
+) -> tuple[pd.DataFrame, int, int]:
+    """Raw postings (term, chunk, doc_id, tf, doc_len[, positions][, df]) →
+    (SHARD_SCHEMA pandas frame, n_postings, distinct docs seen).
+
+    Fully vectorized group encode: ZERO per-group pandas iteration (a groupby
+    loop here cost ~0.4 ms/group of pure overhead — 240k (term, chunk) groups
+    made it the dominant build cost)."""
+    pdf = pdf.sort_values(["term", "chunk", "doc_id"], kind="mergesort")
+    if df_precomputed:
+        # a salted sub-group sees only part of a term's postings, so df
+        # arrives precomputed (one global agg) instead of derived here
+        df_all = pdf["df"]
+    else:
+        df_all = pdf.groupby("term", sort=False)["doc_id"].transform("size")
+    pdf = pdf.assign(df=df_all.astype(np.int64))
+    term_codes, uniq_terms = pd.factorize(pdf["term"])  # sorted input
+    chunk_np = pdf["chunk"].to_numpy(dtype=np.int64)
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.uint64)
+    dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
+    dfv = pdf["df"].to_numpy(dtype=np.int64)
+    n_postings = ids.size
+    newgrp = np.empty(n_postings, dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (term_codes[1:] != term_codes[:-1]) | (chunk_np[1:] != chunk_np[:-1])
+    starts = np.flatnonzero(newgrp)
+    ends = np.append(starts[1:], n_postings)
+    counts = (ends - starts).astype(np.int64)
+    # doc-id gaps: absolute at each group start, diffs within
+    gaps = np.empty(n_postings, dtype=np.uint64)
+    gaps[1:] = (ids[1:] - ids[:-1]).astype(np.uint64)
+    gaps[starts] = ids[starts].astype(np.uint64)
+    gap_blobs = varint_encode_grouped(gaps, starts, ends)
+    tf_blobs = varint_encode_grouped(tfs, starts, ends)
+    dl_blobs = varint_encode_grouped(dls, starts, ends)
+    # per-128-posting block aggregates via one reduceat (block starts of
+    # every group tile [0, n) contiguously in order)
+    blocks_per_grp = (counts + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_offsets = np.concatenate(([0], np.cumsum(blocks_per_grp)))
+    within = np.arange(int(block_offsets[-1]), dtype=np.int64) - np.repeat(
+        block_offsets[:-1], blocks_per_grp
+    )
+    block_starts = np.repeat(starts, blocks_per_grp) + within * BLOCK_SIZE
+    bmax_tf = np.maximum.reduceat(tfs, block_starts).astype(np.int32)
+    bmin_dl = np.minimum.reduceat(dls, block_starts).astype(np.int32)
+    pos_blobs: list = [None] * len(starts)
+    if store_positions:
+        # flatten all per-posting position lists once; delta within each
+        # posting (absolute at posting starts); one grouped varint pass
+        from itertools import chain
+
+        flat_pos = np.fromiter(
+            chain.from_iterable(pdf["positions"]), dtype=np.int64,
+            count=int(tfs.sum()),
         )
-        shard_dir = os.path.join(index_dir, f"shard={shard}")
-        fs.makedirs(shard_dir)
-        suffix = "" if salt is None else f"-{salt}"
-        data_path = os.path.join(shard_dir, f"data{suffix}.parquet")
-        # `shard` comes back as the partition-directory column on read
-        arrow_schema = pa.schema(
-            [
-                ("term", pa.string()),
-                ("chunk", pa.int64()),
-                ("df", pa.int64()),
-                ("n_docs", pa.int32()),
-                ("doc_gaps", pa.binary()),
-                ("tfs", pa.binary()),
-                ("doc_lens", pa.binary()),
-                ("positions", pa.binary()),
-                ("block_max_tf", pa.list_(pa.int32())),
-                ("block_min_dl", pa.list_(pa.int32())),
-            ]
+        pos_ends = np.cumsum(tfs.astype(np.int64))
+        pos_starts = np.concatenate(([0], pos_ends[:-1]))
+        pdeltas = np.empty(flat_pos.size, dtype=np.uint64)
+        if flat_pos.size:
+            pdeltas[1:] = (flat_pos[1:] - flat_pos[:-1]).astype(np.uint64)
+            pdeltas[pos_starts] = flat_pos[pos_starts].astype(np.uint64)
+        pos_blobs = varint_encode_grouped(
+            pdeltas, pos_starts[starts], pos_ends[ends - 1]
         )
-        table = pa.Table.from_pandas(
-            out.drop(columns=["shard"]), schema=arrow_schema, preserve_index=False
-        )
-        fs.write_parquet(table, data_path, compression="zstd")
-        nbytes = fs.getsize(data_path)
-        elapsed = time.monotonic() - t0
-        manifest = {
-            "status": "complete",
-            "shard": shard,
-            "salt": salt,
-            "terms": int(out["term"].nunique()),
-            "chunks": int(len(out)),
-            "docs": int(pdf["doc_id"].nunique()),
-            "postings": int(n_postings),
-            "bytes": int(nbytes),
-            "elapsed_sec": round(elapsed, 4),
-        }
+    out = pd.DataFrame(
+        {
+            "shard": np.full(len(starts), shard, dtype=np.int32),
+            "term": uniq_terms[term_codes[starts]],
+            "chunk": chunk_np[starts],
+            "df": dfv[starts],
+            "n_docs": counts.astype(np.int32),
+            "doc_gaps": gap_blobs,
+            "tfs": tf_blobs,
+            "doc_lens": dl_blobs,
+            "positions": pos_blobs,
+            "block_max_tf": [
+                bmax_tf[a:b].tolist()
+                for a, b in zip(block_offsets[:-1].tolist(), block_offsets[1:].tolist())
+            ],
+            "block_min_dl": [
+                bmin_dl[a:b].tolist()
+                for a, b in zip(block_offsets[:-1].tolist(), block_offsets[1:].tolist())
+            ],
+        },
+        columns=[f.name for f in SHARD_SCHEMA.fields],
+    )
+    return out, int(n_postings), int(pdf["doc_id"].nunique())
+
+
+def _write_shard(
+    out: pd.DataFrame,
+    shard: int,
+    salt: int | None,
+    n_docs_seen: int,
+    n_postings: int,
+    index_dir: str,
+    fs,
+    t0: float,
+    filename: str | None = None,
+    commit_manifest: bool = True,
+) -> pd.DataFrame:
+    """Write one shard's parquet + commit its manifest; → SUMMARY_SCHEMA row.
+
+    ``filename`` overrides the data file name (dot-prefixed names are
+    invisible to parquet readers — the merge compactor writes there and
+    swaps atomically afterwards); ``commit_manifest=False`` defers the
+    manifest commit to the caller (returned via the json column)."""
+    import pyarrow as pa
+
+    shard_dir = os.path.join(index_dir, f"shard={shard}")
+    fs.makedirs(shard_dir)
+    suffix = "" if salt is None else f"-{salt}"
+    data_path = os.path.join(shard_dir, filename or f"data{suffix}.parquet")
+    # `shard` comes back as the partition-directory column on read
+    arrow_schema = pa.schema(
+        [
+            ("term", pa.string()),
+            ("chunk", pa.int64()),
+            ("df", pa.int64()),
+            ("n_docs", pa.int32()),
+            ("doc_gaps", pa.binary()),
+            ("tfs", pa.binary()),
+            ("doc_lens", pa.binary()),
+            ("positions", pa.binary()),
+            ("block_max_tf", pa.list_(pa.int32())),
+            ("block_min_dl", pa.list_(pa.int32())),
+        ]
+    )
+    table = pa.Table.from_pandas(
+        out.drop(columns=["shard"]), schema=arrow_schema, preserve_index=False
+    )
+    fs.write_parquet(table, data_path, compression="zstd")
+    nbytes = fs.getsize(data_path)
+    elapsed = time.monotonic() - t0
+    manifest = {
+        "status": "complete",
+        "shard": shard,
+        "salt": salt,
+        "terms": int(out["term"].nunique()),
+        "chunks": int(len(out)),
+        "docs": n_docs_seen,
+        "postings": n_postings,
+        "bytes": int(nbytes),
+        "elapsed_sec": round(elapsed, 4),
+    }
+    if commit_manifest:
         mpath = (
             _manifest_path(index_dir, shard)
             if salt is None
@@ -297,8 +334,41 @@ def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False, f
             ],
             columns=[f.name for f in SUMMARY_SCHEMA.fields],
         )
+    return pd.DataFrame({"shard": [shard], "manifest_json": [json.dumps(manifest)]})
 
-    return encode
+
+def decode_shard_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Inverse of ``_encode_posting_frame`` (positions excluded) → raw
+    postings (term, doc_id, tf, doc_len).  Used by the merge compactor to
+    re-encode a shard without re-tokenizing any document."""
+    from ..functions.codec import delta_decode, varint_decode
+
+    terms: list = []
+    ids_parts: list = []
+    tf_parts: list = []
+    dl_parts: list = []
+    counts: list[int] = []
+    for term, gaps, tf_blob, dl_blob in zip(
+        pdf["term"], pdf["doc_gaps"], pdf["tfs"], pdf["doc_lens"]
+    ):
+        ids = delta_decode(gaps)
+        terms.append(term)
+        counts.append(ids.size)
+        ids_parts.append(ids)
+        tf_parts.append(varint_decode(tf_blob))
+        dl_parts.append(varint_decode(dl_blob))
+    if not ids_parts:
+        return pd.DataFrame(
+            {"term": [], "doc_id": [], "tf": [], "doc_len": []}
+        ).astype({"doc_id": np.int64, "tf": np.int64, "doc_len": np.int64})
+    return pd.DataFrame(
+        {
+            "term": np.repeat(np.asarray(terms, dtype=object), counts),
+            "doc_id": np.concatenate(ids_parts),
+            "tf": np.concatenate(tf_parts).astype(np.int64),
+            "doc_len": np.concatenate(dl_parts).astype(np.int64),
+        }
+    )
 
 
 def build_index(
@@ -496,6 +566,7 @@ def build_index(
         k1=k1,
         b=b,
         has_positions=store_positions,
+        total_tokens=int(observed["total_tokens"]),
     )
     fs.commit_json(os.path.join(index_dir, "_index_meta.json"), asdict(meta))
 

@@ -126,6 +126,153 @@ def search_with_delta(
     return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+MERGE_SUMMARY_SCHEMA = "shard int, manifest_json string"
+
+
+def merge_compact(
+    spark: SparkSession,
+    index_dir: str,
+    delta_postings: DataFrame,
+) -> dict:
+    """Fold streamed delta postings into the base index WITHOUT re-tokenizing
+    any document: for each delta-touched shard, decode the stored posting
+    runs, merge-sort them with the delta's postings, and re-encode — the
+    compaction cost is O(delta + touched shards), not O(corpus).  Untouched
+    shards need nothing because format v2 shards carry no corpus statistics;
+    n_docs/avgdl update exactly in IndexMeta ((total_tokens + Σdelta
+    doc_len) / (n_docs + new docs)), and per-term df is recomputed inside
+    each rebuilt shard where the term's postings are co-located.
+
+    Swap discipline per shard: the merged parquet is written to an invisible
+    dot-file, then the driver (1) commits a status='compacting' manifest
+    (invalidates resume if we crash mid-swap), (2) deletes the old data
+    files, (3) moves the dot-file into place, (4) commits the final
+    manifest.  A crash between (1) and (4) leaves the shard resumable via
+    ``build_index(resume=True)``.
+
+    Positions indexes fall back to ``compact_delta`` (the delta stream
+    doesn't carry positions)."""
+    import json as _json
+    import time
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..sources.fs import fs_for
+    from ..sources.index_io import (
+        IndexMeta,
+        _encode_posting_frame,
+        _write_shard,
+        decode_shard_rows,
+        load_index,
+    )
+    from dataclasses import asdict
+
+    meta = IndexMeta.load(index_dir)
+    if meta.has_positions:
+        raise ValueError(
+            "merge_compact does not carry position streams; use compact_delta "
+            "(full rebuild of touched shards) for positions-enabled indexes"
+        )
+    fs = fs_for(index_dir)
+    t_all = time.monotonic()
+
+    stats_row = (
+        delta_postings.select("doc_id", "doc_len")
+        .distinct()
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("doc_len"), F.lit(0)).alias("toks"),
+        )
+        .collect()[0]
+    )
+    new_docs, new_tokens = int(stats_row["n"]), int(stats_row["toks"])
+
+    dsh = delta_postings.withColumn(
+        "shard", F.pmod(F.xxhash64("term"), F.lit(meta.n_shards)).cast("int")
+    ).withColumn(
+        "chunk", F.shiftright("doc_id", meta.chunk_bits).cast("long")
+    )
+    touched = sorted(
+        r["shard"] for r in dsh.select("shard").distinct().collect()
+    )
+    index_df, _ = load_index(spark, index_dir)
+    base = index_df.where(F.col("shard").isin(touched))
+    delta_sel = dsh.where(F.col("shard").isin(touched)).select(
+        "shard", "term", "chunk", "doc_id", "tf", "doc_len"
+    )
+    chunk_bits = meta.chunk_bits
+    tmp_name = ".tmp-merge.parquet"
+
+    def merge_fn(key, base_pdf: pd.DataFrame, delta_pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        t0 = time.monotonic()
+        raw_base = decode_shard_rows(base_pdf)
+        raw_base = raw_base.assign(
+            chunk=np.right_shift(
+                raw_base["doc_id"].to_numpy(dtype=np.int64), chunk_bits
+            )
+        )
+        raw = pd.concat(
+            [raw_base, delta_pdf[["term", "chunk", "doc_id", "tf", "doc_len"]]],
+            ignore_index=True,
+        )
+        out, n_postings, n_docs_seen = _encode_posting_frame(raw, shard, False)
+        return _write_shard(
+            out, shard, None, n_docs_seen, n_postings, index_dir, fs, t0,
+            filename=tmp_name, commit_manifest=False,
+        )
+
+    summary = (
+        base.groupby("shard")
+        .cogroup(delta_sel.groupby("shard"))
+        .applyInPandas(merge_fn, MERGE_SUMMARY_SCHEMA)
+        .collect()
+    )
+
+    # driver-side swap, shard by shard
+    for row in summary:
+        s = int(row["shard"])
+        manifest = _json.loads(row["manifest_json"])
+        shard_dir = os.path.join(index_dir, f"shard={s}")
+        fs.commit_json(
+            os.path.join(shard_dir, "_manifest.json"),
+            {"status": "compacting", "shard": s},
+        )
+        for f in fs.list_files(shard_dir):
+            if f.startswith("data") and f.endswith(".parquet"):
+                fs.delete(os.path.join(shard_dir, f))
+        fs.move(
+            os.path.join(shard_dir, tmp_name),
+            os.path.join(shard_dir, "data.parquet"),
+        )
+        fs.commit_json(os.path.join(shard_dir, "_manifest.json"), manifest)
+
+    new_total = meta.total_tokens + new_tokens
+    new_n = meta.n_docs + new_docs
+    new_meta = IndexMeta(
+        n_docs=new_n,
+        avgdl=float(new_total) / max(new_n, 1),
+        n_shards=meta.n_shards,
+        chunk_bits=meta.chunk_bits,
+        block_size=meta.block_size,
+        k1=meta.k1,
+        b=meta.b,
+        has_positions=False,
+        total_tokens=new_total,
+    )
+    fs.commit_json(os.path.join(index_dir, "_index_meta.json"), asdict(new_meta))
+    return {
+        "shards_compacted": touched,
+        "new_docs": new_docs,
+        "new_tokens": new_tokens,
+        "n_docs": new_n,
+        "avgdl": new_meta.avgdl,
+        "elapsed_sec": round(time.monotonic() - t_all, 3),
+    }
+
+
 def compact_delta(
     spark: SparkSession,
     docs_base: DataFrame,

@@ -85,3 +85,64 @@ def test_streaming_overlay_and_compaction(spark, sf_smoke_dir, dirs):
 
     res3 = topk_search(spark, dirs["index"], "zyzzyva", k=5, index_df=idx, meta=meta)
     assert {r["doc_id"] for r in res3.collect()} == {100001, 100002}
+
+
+def test_merge_compact_rank_identity(spark, sf_smoke_dir, tmp_path):
+    """merge_compact folds delta postings into the base index WITHOUT
+    re-tokenizing the corpus, and the result scores IDENTICALLY to an index
+    built from scratch on base ∪ delta (same n_docs/avgdl/df ⇒ same BM25)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        build_postings,
+    )
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+    from hybrid_sanctions_search_engine_spark.sources.index_io import (
+        IndexMeta,
+        build_index,
+        load_index,
+    )
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        merge_compact,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    base_docs = docs.where(F.col("doc_id") % 5 != 0)
+    delta_docs = docs.where(F.col("doc_id") % 5 == 0)
+
+    merged_dir = str(tmp_path / "merged_idx")
+    build_index(base_docs, merged_dir, n_shards=4, chunk_bits=6, resume=False)
+    delta_postings = build_postings(delta_docs, positions=False)
+    report = merge_compact(spark, merged_dir, delta_postings)
+    assert report["new_docs"] > 0 and report["shards_compacted"]
+
+    scratch_dir = str(tmp_path / "scratch_idx")
+    build_index(docs, scratch_dir, n_shards=4, chunk_bits=6, resume=False)
+
+    m_meta = IndexMeta.load(merged_dir)
+    s_meta = IndexMeta.load(scratch_dir)
+    assert m_meta.n_docs == s_meta.n_docs
+    assert m_meta.total_tokens == s_meta.total_tokens
+    assert m_meta.avgdl == s_meta.avgdl  # exact, thanks to total_tokens
+
+    m_idx, _ = load_index(spark, merged_dir)
+    s_idx, _ = load_index(spark, scratch_dir)
+    for q in ["spark query join", "window", "scan merge sort hash agg", "the"]:
+        got = [
+            (r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+            for r in topk_search(spark, merged_dir, q, k=15,
+                                 index_df=m_idx, meta=m_meta).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+            for r in topk_search(spark, scratch_dir, q, k=15,
+                                 index_df=s_idx, meta=s_meta).collect()
+        ]
+        assert got == want, q
+
+    # postings parity: identical total postings across both indexes
+    m_total = m_idx.agg(F.sum("n_docs")).collect()[0][0]
+    s_total = s_idx.agg(F.sum("n_docs")).collect()[0][0]
+    assert m_total == s_total
