@@ -595,6 +595,30 @@ def q_batch_bm25(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_batch_bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """S7 over the COMPRESSED index: build a throwaway index for the sf
+    corpus, serve the whole query set in one pruned-scan job.  Shares the
+    document-side batch_bm25 oracle — the indexed plan is value-identical
+    by construction (same idf/tfnorm Column expressions, df from the
+    shards)."""
+    import tempfile
+
+    from hybrid_sanctions_search_engine_spark.plans.wand import batch_topk_indexed
+    from hybrid_sanctions_search_engine_spark.sources.index_io import (
+        build_index,
+        load_index,
+    )
+
+    index_dir = tempfile.mkdtemp(prefix="entry_batch_idx_")
+    build_index(_docs(spark, sf), index_dir, n_shards=4, chunk_bits=9, resume=False)
+    idx, meta = load_index(spark, index_dir)
+    res = batch_topk_indexed(spark, index_dir, BATCH_QUERIES, k=5,
+                             index_df=idx, meta=meta)
+    return res.select(
+        "query_id", "doc_id", _r4("score").alias("score"), "rank", "n_terms_matched"
+    )
+
+
 def q_regex_extract(spark: SparkSession, sf: str) -> DataFrame:
     """D2-style regex extraction, oracle-checked (full ID extraction suite is
     unit-tested in tests/test_signals_patterns.py)."""
@@ -768,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "identifier_checksums": q_identifier_checksums,
         "birthdate_normalize": q_birthdate_normalize,
         "batch_bm25": q_batch_bm25,
+        "batch_bm25_indexed": q_batch_bm25_indexed,
         "personas": q_personas,
         "screening": q_screening,
         "smartfilter": q_smartfilter,
@@ -797,7 +822,7 @@ FROM orders ORDER BY o_orderkey LIMIT 2000
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
     terms_in = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-    return {
+    oracles = {
         "bm25_topk": f"""
 WITH {_ORACLE_TOKS},
 stats AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
@@ -1083,3 +1108,6 @@ SELECT floor((threshold) * 10000 + 0.5) / 10000 AS threshold,
 FROM per_t
 """,
     }
+    # the indexed batch plan shares the document-side oracle by construction
+    oracles["batch_bm25_indexed"] = oracles["batch_bm25"]
+    return oracles

@@ -233,6 +233,74 @@ def topk_search(
     return all_res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def batch_topk_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    index_df: DataFrame | None = None,
+    meta: IndexMeta | None = None,
+) -> DataFrame:
+    """Many queries in ONE job over the COMPRESSED index (the serving shape
+    ``operators.bm25.batch_topk`` provides over raw documents, minus its
+    corpus re-tokenize): shard+term-pruned scan → mapInPandas varint decode
+    of just the matched posting rows → broadcast (query_id, term) join →
+    per-(query, doc) aggregate → per-query window rank ≤ k.
+
+    Scores use the same JVM Column expressions as batch_topk (idf from the
+    stored per-term df + IndexMeta stats), so results are rank- and
+    value-identical to the document-side plan (asserted in tests)."""
+    from pyspark.sql import Window
+
+    from ..operators.bm25 import idf_col, tfnorm_col
+    from ..sources.index_io import decode_shard_rows
+
+    if index_df is None or meta is None:
+        index_df, meta = load_index(spark, index_dir)
+    pairs = [
+        (qid, t)
+        for qid, q in queries
+        for t in dict.fromkeys(py_index_tokens(q))
+    ]
+    out_schema = "query_id long, doc_id long, score double, rank int, n_terms_matched int"
+    if not pairs:
+        return spark.createDataFrame([], out_schema)
+    qterms = spark.createDataFrame(pairs, "query_id long, term string")
+    all_terms = sorted({t for _, t in pairs})
+    shard_of = _shard_of_terms(all_terms, meta.n_shards)
+    shards = sorted(set(shard_of.values()))
+    matched = index_df.where(
+        F.col("shard").isin(shards) & F.col("term").isin(all_terms)
+    ).select("term", "df", "doc_gaps", "tfs", "doc_lens")
+
+    def decode_iter(batches):
+        for pdf in batches:
+            yield decode_shard_rows(pdf, include_df=True)
+
+    decoded = matched.mapInPandas(
+        decode_iter, "term string, doc_id long, tf long, doc_len long, df long"
+    )
+    scored = (
+        decoded.join(F.broadcast(qterms), "term")
+        .withColumn(
+            "term_score",
+            idf_col(F.col("df").cast("double"), meta.n_docs)
+            * tfnorm_col(F.col("tf"), F.col("doc_len"), meta.avgdl, meta.k1, meta.b),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank", "n_terms_matched")
+    )
+
+
 PHRASE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -337,38 +337,46 @@ def _write_shard(
     return pd.DataFrame({"shard": [shard], "manifest_json": [json.dumps(manifest)]})
 
 
-def decode_shard_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+def decode_shard_rows(pdf: pd.DataFrame, include_df: bool = False) -> pd.DataFrame:
     """Inverse of ``_encode_posting_frame`` (positions excluded) → raw
-    postings (term, doc_id, tf, doc_len).  Used by the merge compactor to
-    re-encode a shard without re-tokenizing any document."""
+    postings (term, doc_id, tf, doc_len[, df]).  Used by the merge compactor
+    (re-encode a shard without re-tokenizing any document) and the indexed
+    batch server (score straight off the stored streams)."""
     from ..functions.codec import delta_decode, varint_decode
 
     terms: list = []
+    dfs: list = []
     ids_parts: list = []
     tf_parts: list = []
     dl_parts: list = []
     counts: list[int] = []
-    for term, gaps, tf_blob, dl_blob in zip(
-        pdf["term"], pdf["doc_gaps"], pdf["tfs"], pdf["doc_lens"]
-    ):
-        ids = delta_decode(gaps)
-        terms.append(term)
+    has_df = include_df and "df" in pdf.columns
+    for row in pdf.itertuples(index=False):
+        ids = delta_decode(row.doc_gaps)
+        terms.append(row.term)
         counts.append(ids.size)
         ids_parts.append(ids)
-        tf_parts.append(varint_decode(tf_blob))
-        dl_parts.append(varint_decode(dl_blob))
+        tf_parts.append(varint_decode(row.tfs))
+        dl_parts.append(varint_decode(row.doc_lens))
+        if has_df:
+            dfs.append(row.df)
     if not ids_parts:
-        return pd.DataFrame(
-            {"term": [], "doc_id": [], "tf": [], "doc_len": []}
-        ).astype({"doc_id": np.int64, "tf": np.int64, "doc_len": np.int64})
-    return pd.DataFrame(
-        {
-            "term": np.repeat(np.asarray(terms, dtype=object), counts),
-            "doc_id": np.concatenate(ids_parts),
-            "tf": np.concatenate(tf_parts).astype(np.int64),
-            "doc_len": np.concatenate(dl_parts).astype(np.int64),
-        }
-    )
+        cols = {"term": [], "doc_id": [], "tf": [], "doc_len": []}
+        if include_df:
+            cols["df"] = []
+        return pd.DataFrame(cols).astype(
+            {"doc_id": np.int64, "tf": np.int64, "doc_len": np.int64,
+             **({"df": np.int64} if include_df else {})}
+        )
+    out = {
+        "term": np.repeat(np.asarray(terms, dtype=object), counts),
+        "doc_id": np.concatenate(ids_parts),
+        "tf": np.concatenate(tf_parts).astype(np.int64),
+        "doc_len": np.concatenate(dl_parts).astype(np.int64),
+    }
+    if has_df:
+        out["df"] = np.repeat(np.asarray(dfs, dtype=np.int64), counts)
+    return pd.DataFrame(out)
 
 
 def build_index(

@@ -150,3 +150,29 @@ def test_topk_collect_is_bounded(spark, sf_smoke_dir, tmp_path_factory, monkeypa
                              index_df=idx, meta=meta).collect()
     ]
     assert in_cluster == driver_side
+
+
+def test_batch_topk_indexed_identity(spark, corpus):
+    """Indexed batch serving is rank- AND value-identical to the
+    document-side batch_topk plan for the same query set."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import batch_topk
+    from hybrid_sanctions_search_engine_spark.plans.wand import batch_topk_indexed
+
+    docs, index_dir, idx, meta = corpus
+    queries = [
+        (1, "spark query join"),
+        (2, "window"),
+        (3, "scan merge sort hash agg"),
+        (4, "nonexistentterm"),
+        (5, "fast key order"),
+    ]
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+        for r in batch_topk(docs, queries, k=8).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+        for r in batch_topk_indexed(spark, index_dir, queries, k=8,
+                                    index_df=idx, meta=meta).collect()
+    )
+    assert got == want
