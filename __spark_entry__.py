@@ -543,6 +543,53 @@ def q_personas(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode + feature extraction with the REAL pure-numpy
+    codecs (PPM image, PCM WAV audio) through the mapInPandas plumbing.
+    Rows-only: binary payload synthesis isn't DuckDB-expressible; codec
+    exactness is unit-tested (tests/test_multimodal.py)."""
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    rows = []
+    for i in range(8):
+        img = np.full((4 + i, 6, 3), (i * 30) % 256, dtype=np.uint8)
+        ppm = b"P6\n%d %d\n255\n" % (6, 4 + i) + img.tobytes()
+        rows.append((i, 100 + i, "image", bytearray(ppm), {}))
+    for i in range(8, 12):
+        sr = 8000
+        t = np.arange(sr // 4) / sr
+        x = (np.sin(2 * np.pi * (200 + 50 * i) * t) * 16383).astype("<i2")
+        data = x.tobytes()
+        fmt = (
+            (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + sr.to_bytes(4, "little") + (sr * 2).to_bytes(4, "little")
+            + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        )
+        wav = (
+            b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data
+        )
+        rows.append((i, 100 + i, "audio", bytearray(wav), {}))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, doc_id long, media_type string, payload binary, meta map<string,string>",
+    )
+    feats = extract_features(media, decoder="real")
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        _r4(F.element_at("feature", 1)).alias("f0"),
+        _r4(F.element_at("feature", 2)).alias("f1"),
+    ).orderBy("media_id")
+
+
 def q_screening(spark: SparkSession, sf: str) -> DataFrame:
     """Full batch screening pipeline (rows-only: normalization UDF + pattern
     generation aren't SQL-expressible; semantics covered by
@@ -794,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_bm25": q_batch_bm25,
         "batch_bm25_indexed": q_batch_bm25_indexed,
         "personas": q_personas,
+        "media_features": q_media_features,
         "screening": q_screening,
         "smartfilter": q_smartfilter,
         "threshold_calibration": q_threshold_calibration,
