@@ -795,8 +795,20 @@ FROM scored ORDER BY cos DESC, vec_id LIMIT 10
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 over the sf0.001 documents corpus."""
-    return q_bm25_topk(spark, "/root/testdata/sf0.001")
+    """Flagship (north rule): build the compressed sharded inverted index
+    over the sf0.001 corpus, then serve BM25 top-10 through block-max WAND
+    over it — rank- and value-identical to the declarative DataFrame plan
+    (tests/test_wand.py), same output schema as q_bm25_topk."""
+    import tempfile
+
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+    from hybrid_sanctions_search_engine_spark.sources.index_io import build_index
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = tempfile.mkdtemp(prefix="entry_flagship_idx_")
+    build_index(_docs(spark, sf), index_dir, n_shards=4, chunk_bits=9, resume=False)
+    res = topk_search(spark, index_dir, list(BM25_QUERY_TERMS), k=10)
+    return res.select("doc_id", _r4("score").alias("score"), "n_terms_matched")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
