@@ -258,6 +258,56 @@ def normalize_persons(text: str, lang: str = "auto") -> list[str]:
     return [p["normalized"] for p in extract_personas(text, lang)]
 
 
+def tag_tokens(text: str, lang: str = "auto") -> list[tuple[str, str]]:
+    """Role trace for EVERY token (the reference role tagger's debug
+    surface): given | surname | patronymic | initial | legal_form | org |
+    title | context | geo | date_or_id | other.  Person roles agree with
+    ``extract_personas`` (same FSM); non-person tokens get the reason they
+    were skipped."""
+    if not text or not text.strip():
+        return []
+    text = unicodedata.normalize("NFKC", text)
+    doc_lang = detect_lang(text) if lang in (None, "", "auto") else lang
+    out: list[tuple[str, str]] = []
+    prev: str | None = None
+    for raw in text.split():
+        tok = raw.strip("()[]{}:;«»\"„”,")
+        if not tok:
+            continue
+        low = tok.lower().rstrip(".:;")
+        if _DATE_RE.match(tok) or _ID_RE.match(tok):
+            out.append((raw, "date_or_id"))
+            continue
+        if low in LEGAL_FORMS:
+            out.append((raw, "legal_form"))
+            prev = None
+            continue
+        if raw.startswith(('"', "«", "„")) or raw.isupper() and raw.strip('"«»„”').isalpha() and len(raw) > 4 and prev == "legal_form":
+            out.append((raw, "org"))
+            continue
+        if low in TITLES_CYR or (doc_lang == "en" and low in EN_TITLES):
+            out.append((raw, "title"))
+            prev = None
+            continue
+        if doc_lang == "en" and low in EN_SUFFIXES:
+            out.append((raw, "suffix"))
+            continue
+        if low in GEO_TOKENS:
+            out.append((raw, "geo"))
+            continue
+        if low in PAYMENT_CONTEXT or low in DOC_WORDS:
+            out.append((raw, "context"))
+            prev = None
+            continue
+        role = _tag(tok, doc_lang, prev)
+        if role == "skip":
+            out.append((raw, "other"))
+        else:
+            out.append((raw, role))
+            prev = role
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------

@@ -77,3 +77,33 @@ def test_spark_personas_udf(spark):
     assert rows[2] == ["John Smith"]
     assert rows[3] == []
     assert rows[4] == []
+
+
+def test_tag_tokens_full_trace():
+    """F8 debug surface: every token gets a role, incl. org/legal/title."""
+    from hybrid_sanctions_search_engine_spark.functions.person_names import (
+        tag_tokens,
+    )
+
+    roles = dict(tag_tokens('Оплата ТОВ "ПРИВАТБАНК" Ивану Петрову, 1980-01-01', "uk"))
+    assert roles["Оплата"] == "context"
+    assert roles["ТОВ"] == "legal_form"
+    assert roles['"ПРИВАТБАНК"'] == "org"
+    assert roles["Ивану"] == "given"
+    assert roles["Петрову,"] == "surname"
+    assert roles["1980-01-01"] == "date_or_id"
+
+    roles2 = dict(tag_tokens("Dr. John A. Smith Jr.", "en"))
+    assert roles2["Dr."] == "title"
+    assert roles2["John"] == "given"
+    assert roles2["A."] == "initial"
+    # 'smith' doubles as a nickname canonical, so the FSM may read it as a
+    # given; the persona assembler resolves it to the surname slot (goldens)
+    assert roles2["Smith"] in ("surname", "given")
+    assert roles2["Jr."] == "suffix"
+
+    roles3 = dict(tag_tokens("Президент України Володимир Зеленський", "uk"))
+    assert roles3["Президент"] == "title"
+    assert roles3["України"] == "geo"
+    assert roles3["Володимир"] == "given"
+    assert roles3["Зеленський"] == "surname"
