@@ -188,6 +188,7 @@ def similarity_blend_full(
     left_col: str,
     right_col: str,
     out_col: str = "sim_score",
+    name_boost_col: Column | None = None,
 ) -> DataFrame:
     """The reference's EXACT 4-measure rapidfuzz fusion
     (``fuzzy_search_service.py:46-49, 175-310``): ratio 0.3 / partial_ratio
@@ -217,12 +218,60 @@ def similarity_blend_full(
     jac = F.size(F.array_intersect(ta, tb)) / F.greatest(
         F.size(F.array_union(ta, tb)), F.lit(1)
     )
-    return pairs.withColumn(
-        out_col,
+    blend = (
         char_ratio * 0.3
         + partial_udf(F.col(left_col), F.col(right_col)) * 0.25
         + token_sort_ratio * 0.25
-        + jac * 0.2,
+        + jac * 0.2
+    )
+    if name_boost_col is not None:
+        # reference name boost: ×1.2 for person-name candidates, capped at
+        # 1.0 (fuzzy_search_service.py:59, 300-303)
+        blend = F.when(
+            name_boost_col, F.least(blend * 1.2, F.lit(1.0))
+        ).otherwise(blend)
+    return pairs.withColumn(out_col, blend)
+
+
+def rapidfuzz_rerank(
+    candidates: DataFrame,
+    query_text: str,
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """L9: the reference's vector-fallback reranking
+    (``hybrid_search_service.py:990-1030``): fuzz = max(ratio, partial_ratio,
+    token_sort_ratio) on a 0-100 scale; score ×1.2 when fuzz > 80, ×1.1 when
+    fuzz > 60; re-sort by the boosted score.  ratio/token_sort are JVM
+    Columns; partial_ratio is the Arrow UDF over the (small) candidate set."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def partial_udf(a, b):
+        return partial_ratio_series(a, b)
+
+    q = F.lit(query_text.lower())
+    t = F.lower(F.col(text_col))
+    ratio = (
+        1.0 - F.levenshtein(q, t) / F.greatest(F.length(q), F.length(t), F.lit(1))
+    ) * 100.0
+    sq = F.concat_ws(" ", F.array_sort(F.split(q, r"\s+")))
+    st = F.concat_ws(" ", F.array_sort(F.split(t, r"\s+")))
+    token_sort = (
+        1.0 - F.levenshtein(sq, st) / F.greatest(F.length(sq), F.length(st), F.lit(1))
+    ) * 100.0
+    partial = partial_udf(F.lit(query_text), F.col(text_col)) * 100.0
+    fuzz = F.greatest(ratio, partial, token_sort)
+    boosted = (
+        F.when(fuzz > 80, F.col(score_col) * 1.2)
+        .when(fuzz > 60, F.col(score_col) * 1.1)
+        .otherwise(F.col(score_col))
+    )
+    return (
+        candidates.withColumn("fuzz_score", fuzz)
+        .withColumn(score_col, boosted)
+        .orderBy(F.desc(score_col))
     )
 
 

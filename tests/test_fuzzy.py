@@ -38,3 +38,46 @@ def test_similarity_blend_full_weights(spark):
     three = similarity_blend(pairs, "a", "b").collect()
     assert abs(full[0]["sim_score"] - 1.0) < 1e-9
     assert full[1]["sim_score"] > three[1]["sim_score"]
+
+
+def test_name_boost_cap(spark):
+    """L8 name boost: ×1.2 for person-name candidates, capped at 1.0."""
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.operators.fuzzy import (
+        similarity_blend_full,
+    )
+
+    pairs = spark.createDataFrame(
+        [("ivanov ivan", "ivanov ivan", True),
+         ("ivanov ivan", "ivanov ivan", False),
+         ("ivanov", "petrov corp", True)],
+        "a string, b string, is_name boolean",
+    )
+    rows = similarity_blend_full(
+        pairs, "a", "b", name_boost_col=F.col("is_name")
+    ).collect()
+    assert abs(rows[0]["sim_score"] - 1.0) < 1e-9          # capped at 1.0
+    assert abs(rows[1]["sim_score"] - 1.0) < 1e-9          # already 1.0
+    assert rows[2]["sim_score"] < 1.0                      # boost ≠ free pass
+
+
+def test_rapidfuzz_rerank_boosts(spark):
+    """L9: fuzz>80 ⇒ ×1.2; fuzz>60 ⇒ ×1.1; re-sorted by boosted score."""
+    from hybrid_sanctions_search_engine_spark.operators.fuzzy import (
+        rapidfuzz_rerank,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, "ivanov ivan petrovich", 0.50),   # near-exact vs query -> x1.2
+         (2, "ivanov irina", 0.52),            # medium similarity -> x1.1
+         (3, "completely unrelated words", 0.58)],  # no boost
+        "doc_id int, text string, score double",
+    )
+    rows = rapidfuzz_rerank(cands, "ivanov ivan petrovich").collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert abs(by_id[1]["score"] - 0.60) < 1e-9
+    assert by_id[1]["fuzz_score"] > 80
+    assert abs(by_id[2]["score"] - 0.572) < 1e-9
+    assert abs(by_id[3]["score"] - 0.58) < 1e-9
+    assert [r["doc_id"] for r in rows] == [1, 3, 2]
