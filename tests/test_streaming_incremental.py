@@ -146,3 +146,21 @@ def test_merge_compact_rank_identity(spark, sf_smoke_dir, tmp_path):
     m_total = m_idx.agg(F.sum("n_docs")).collect()[0][0]
     s_total = s_idx.agg(F.sum("n_docs")).collect()[0][0]
     assert m_total == s_total
+
+
+def test_compacting_manifest_invalidates_resume(tmp_path):
+    """A shard left with status='compacting' (crash mid-swap) is NOT treated
+    as complete — build_index(resume=True) would rebuild it."""
+    import json
+    import os as _os
+
+    from hybrid_sanctions_search_engine_spark.sources.index_io import (
+        completed_shards,
+    )
+
+    idx = tmp_path / "crash_idx"
+    for s, status in [(0, "complete"), (1, "compacting"), (2, "complete")]:
+        d = idx / f"shard={s}"
+        d.mkdir(parents=True)
+        (d / "_manifest.json").write_text(json.dumps({"status": status, "shard": s}))
+    assert completed_shards(str(idx), 3) == [0, 2]
