@@ -236,6 +236,8 @@ class HybridSearchPlan:
         folded, n_folds = fold_homoglyphs(query)
         if n_folds > 0 and folded != query:
             folded_rows = self.ac_stage(folded, k).collect()
+            # driver-side merge is k-BOUNDED: both row sets are top-k collects
+            # (≤ 2k rows total), never O(corpus) — safe at any scale
             best: dict[int, float] = {}
             for r in list(ac_rows) + list(folded_rows):
                 doc, sc = r["doc_id"], r["score"]
