@@ -204,3 +204,36 @@ def test_build_through_arrow_fs(spark, sf_smoke_dir, tmp_path, monkeypatch):
     res = topk_search(spark, index_dir, "spark query join", k=5,
                       index_df=idx, meta=meta).collect()
     assert len(res) == 5
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=200
+    ),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_varint_encode_grouped_matches_per_group(values, data):
+    """varint_encode_grouped(buf, starts, ends) is byte-identical to calling
+    varint_encode on each group's slice (the vectorized encoder depends on
+    this equivalence for format stability)."""
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_spark.functions.codec import (
+        varint_encode,
+        varint_encode_grouped,
+    )
+
+    arr = np.array(values, dtype=np.uint64)
+    n = arr.size
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(min_value=0, max_value=n), max_size=8)
+        )
+    )
+    bounds = [0, *cuts, n]
+    starts = np.array(bounds[:-1], dtype=np.int64)
+    ends = np.array(bounds[1:], dtype=np.int64)
+    got = varint_encode_grouped(arr, starts, ends)
+    want = [varint_encode(arr[s:e]) for s, e in zip(starts, ends)]
+    assert got == want

@@ -164,3 +164,56 @@ def test_compacting_manifest_invalidates_resume(tmp_path):
         d.mkdir(parents=True)
         (d / "_manifest.json").write_text(json.dumps({"status": status, "shard": s}))
     assert completed_shards(str(idx), 3) == [0, 2]
+
+
+def test_two_wave_merge_compact(spark, sf_smoke_dir, tmp_path):
+    """Two sequential merge compactions converge to the same index state a
+    single from-scratch build produces (associativity of the fold)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        build_postings,
+    )
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+    from hybrid_sanctions_search_engine_spark.sources.index_io import (
+        IndexMeta,
+        build_index,
+        load_index,
+    )
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        merge_compact,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    base = docs.where(F.col("doc_id") % 3 == 0)
+    wave1 = docs.where(F.col("doc_id") % 3 == 1)
+    wave2 = docs.where(F.col("doc_id") % 3 == 2)
+
+    merged_dir = str(tmp_path / "two_wave_idx")
+    build_index(base, merged_dir, n_shards=4, chunk_bits=6, resume=False)
+    merge_compact(spark, merged_dir, build_postings(wave1, positions=False))
+    merge_compact(spark, merged_dir, build_postings(wave2, positions=False))
+
+    scratch_dir = str(tmp_path / "two_wave_scratch")
+    build_index(docs, scratch_dir, n_shards=4, chunk_bits=6, resume=False)
+
+    m_meta, s_meta = IndexMeta.load(merged_dir), IndexMeta.load(scratch_dir)
+    assert (m_meta.n_docs, m_meta.total_tokens, m_meta.avgdl) == (
+        s_meta.n_docs, s_meta.total_tokens, s_meta.avgdl
+    )
+    m_idx, _ = load_index(spark, merged_dir)
+    s_idx, _ = load_index(spark, scratch_dir)
+    for q in ["spark query join", "the", "window"]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, merged_dir, q, k=12,
+                                 index_df=m_idx, meta=m_meta).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, scratch_dir, q, k=12,
+                                 index_df=s_idx, meta=s_meta).collect()
+        ]
+        assert got == want, q
