@@ -53,6 +53,9 @@ class SearchOpts:
     vector_weight: float = 0.4
     ac_weight: float = 0.6
     min_should_match: int = 1
+    # L9: fuzz-rerank vector-stage hits against the query text (reference
+    # _apply_rapidfuzz_reranking, hybrid_search_service.py:990-1030)
+    rapidfuzz_rerank: bool = True
 
 
 @dataclass
@@ -196,7 +199,7 @@ class HybridSearchPlan:
             .limit(k)
         )
 
-    def vector_stage(self, query: str, k: int) -> DataFrame:
+    def vector_stage(self, query: str, k: int, rerank: bool = True) -> DataFrame:
         from ..functions.vectors import pseudo_embedding
 
         if self.embeddings is None:
@@ -205,9 +208,22 @@ class HybridSearchPlan:
             )
         qv = pseudo_embedding(query, self.embedding_dim)
         res = knn_bruteforce(self.embeddings, qv, k=k)
-        return res.select(
+        hits = res.select(
             F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("score")
         )
+        if not rerank:
+            return hits
+        # L9: the reference reranks vector-fallback hits by string fuzz vs
+        # the candidate text (×1.2 when fuzz>80, ×1.1 when fuzz>60) — the
+        # join is broadcast (k rows) against the doc store
+        from ..operators.fuzzy import rapidfuzz_rerank
+
+        with_text = self.docs.select("doc_id", self.text_col).join(
+            F.broadcast(hits), "doc_id"
+        )
+        return rapidfuzz_rerank(
+            with_text, query, text_col=self.text_col, score_col="score"
+        ).select("doc_id", "score")
 
     # -- plan -------------------------------------------------------------
 
@@ -277,7 +293,9 @@ class HybridSearchPlan:
         vector = None
         if escalate and self.embeddings is not None:
             t2 = time.monotonic()
-            vec_rows = self.vector_stage(query, k).collect()
+            vec_rows = self.vector_stage(
+                query, k, rerank=opts.rapidfuzz_rerank
+            ).collect()
             vector = spark.createDataFrame(vec_rows, schema)
             trace.append(
                 SearchTraceStep(
