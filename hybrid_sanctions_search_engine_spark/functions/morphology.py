@@ -62,7 +62,8 @@ _PATRONYMIC_F_RULES = [
     ("ївни", "ївна"), ("ївні", "ївна"), ("ївну", "ївна"), ("ївною", "ївна"),
 ]
 PATRONYMIC_SUFFIXES = (
-    "ович", "евич", "йович", "ьович", "івна", "ївна", "овна", "евна", "ична",
+    "ович", "евич", "йович", "ьович", "івич", "івна", "ївна", "овна", "евна",
+    "ична", "инична",
     "овича", "евича", "овичу", "евичу", "овичем", "евичем",
     "овны", "овне", "овну", "овной", "евны", "евні", "івни", "ївни",
 )
@@ -131,7 +132,7 @@ _SURNAME_OBLIQUE = [
 SURNAME_SUFFIXES = (
     "ов", "ев", "ёв", "ин", "ын", "ін", "ова", "ева", "ёва", "ина", "ына", "іна",
     "ский", "ская", "цкий", "цкая", "ський", "ська", "цький", "цька",
-    "енко", "ко", "ук", "юк", "чук", "швили", "ишвили", "дзе", "ский",
+    "енко", "ко", "ук", "юк", "чук", "як", "швили", "ишвили", "дзе",
     "ского", "скому", "ским", "ской", "ову", "еву", "ину", "овой", "евой", "иной",
     "овым", "евым", "иным", "ського", "ської", "енку", "енка",
 )
@@ -176,10 +177,12 @@ def surname_gender_variant(surname: str, to_gender: str) -> str:
     if any(t.endswith(s) for s in INVARIABLE_SURNAME_SUFFIXES):
         return surname
     for masc, fem in pairs:
+        # full suffix replacement — appending the difference broke the
+        # equal-length pairs (-ский→-ская etc.), where the difference is ""
         if to_gender == "female" and t.endswith(masc) and not t.endswith(fem):
-            return surname + fem[len(masc):]
+            return surname[: len(surname) - len(masc)] + fem
         if to_gender == "male" and t.endswith(fem):
-            return surname[: len(surname) - (len(fem) - len(masc))]
+            return surname[: len(surname) - len(fem)] + masc
     return surname
 
 

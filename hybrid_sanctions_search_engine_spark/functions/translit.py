@@ -106,14 +106,9 @@ def translit_variants(name: str) -> list[str]:
 # Role tagging (F8 essentials): initial / patronymic / surname / given
 # --------------------------------------------------------------------------
 
-PATRONYMIC_SUFFIXES = (
-    "ович", "евич", "йович", "ьович", "івич", "овна", "евна", "івна", "ївна",
-    "ична", "инична",
-)
-SURNAME_SUFFIXES = (
-    "ов", "ова", "ев", "ева", "ин", "ина", "ський", "ська", "ский", "ская",
-    "енко", "чук", "юк", "як", "ук", "ко",
-)
+# single source of truth: the full F8 tables live in functions.morphology
+# (a drifting local copy classified the same token differently per call site)
+from .morphology import PATRONYMIC_SUFFIXES, SURNAME_SUFFIXES  # noqa: F401
 
 
 def tag_role(token: str) -> str:
@@ -127,11 +122,11 @@ def tag_role(token: str) -> str:
     if len(token) <= 2 and token.endswith("."):
         return "initial"
     low = token.lower().rstrip(".")
-    if any(low.endswith(s) for s in PATRONYMIC_SUFFIXES) or M.is_patronymic(token):
+    if M.is_patronymic(token) or any(low.endswith(s) for s in PATRONYMIC_SUFFIXES):
         return "patronymic"
     if low in M._GIVEN_RU or low in M._GIVEN_UK:
         return "given"
-    if any(low.endswith(s) for s in SURNAME_SUFFIXES) or M.is_surname_like(token):
+    if M.is_surname_like(token) or any(low.endswith(s) for s in SURNAME_SUFFIXES):
         return "surname"
     return "given"
 

@@ -33,14 +33,8 @@ def _round4(col):
     return F.floor(col * 10000 + F.lit(0.5)) / 10000
 
 
-def _widen_narrow_scan(docs: DataFrame) -> DataFrame:
-    """Repartition a narrow input (single parquet file / in-memory relation)
-    so UDF-heavy scans use every core.  At production scale the source scan
-    has thousands of splits and this is a no-op."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        return docs.repartition(par)
-    return docs
+# shared parallelism guard (operators.postings) — one copy, two call sites
+from .postings import widen_narrow_scan as _widen_narrow_scan
 
 
 # ---------------------------------------------------------------------------
@@ -287,6 +281,11 @@ def minhash_lsh_pairs(
         .distinct()
         .persist()
     )
+    # materialize the (small) candidate pairs now so the O(docs×bands)
+    # banded frame can be released immediately — repeated invocations
+    # otherwise pin block cache for the whole session
+    cand.count()
+    banded.unpersist()
     # compute shingles only for docs that appear in candidate pairs — the
     # shingle expression is an interpreted HOF, so prune before evaluating it
     cand_ids = cand.select(F.col("id_a").alias("doc_id")).unionByName(

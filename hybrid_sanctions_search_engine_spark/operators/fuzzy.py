@@ -190,12 +190,17 @@ def similarity_blend_full(
     out_col: str = "sim_score",
     name_boost_col: Column | None = None,
 ) -> DataFrame:
-    """The reference's EXACT 4-measure rapidfuzz fusion
+    """The reference's 4-measure rapidfuzz fusion with the exact weights
     (``fuzzy_search_service.py:46-49, 175-310``): ratio 0.3 / partial_ratio
-    0.25 / token_sort 0.25 / token_set 0.2.  The three JVM-expressible
-    measures stay Column expressions; partial_ratio (quadratic substring
-    alignment) runs as an Arrow pandas UDF over the already-pruned candidate
-    pairs — the one place Python is allowed, per the repo rule."""
+    0.25 / token_sort 0.25 / token_set 0.2.  token_set uses the canonical
+    fuzzywuzzy construction — max similarity over (intersection,
+    intersection+rest_a, intersection+rest_b) — so a token-subset pair
+    scores 1.0 like the reference, not a Jaccard fraction.  The char
+    measures use Levenshtein-normalized similarity (rapidfuzz normalizes
+    InDel distance; the JVM ships Levenshtein — documented approximation).
+    partial_ratio (quadratic substring alignment) runs as an Arrow pandas
+    UDF over the already-pruned candidate pairs — the one place Python is
+    allowed, per the repo rule."""
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
@@ -203,26 +208,31 @@ def similarity_blend_full(
     def partial_udf(a, b):
         return partial_ratio_series(a, b)
 
+    def _lev_ratio(p, q):
+        return 1.0 - F.levenshtein(p, q) / F.greatest(
+            F.length(p), F.length(q), F.lit(1)
+        )
+
     x = F.lower(F.col(left_col))
     y = F.lower(F.col(right_col))
-    char_ratio = 1.0 - F.levenshtein(x, y) / F.greatest(
-        F.length(x), F.length(y), F.lit(1)
-    )
-    ta = F.array_distinct(F.split(x, r"\s+"))
-    tb = F.array_distinct(F.split(y, r"\s+"))
+    char_ratio = _lev_ratio(x, y)
+    ta = F.array_sort(F.array_distinct(F.split(x, r"\s+")))
+    tb = F.array_sort(F.array_distinct(F.split(y, r"\s+")))
     sa = F.concat_ws(" ", F.array_sort(F.split(x, r"\s+")))
     sb = F.concat_ws(" ", F.array_sort(F.split(y, r"\s+")))
-    token_sort_ratio = 1.0 - F.levenshtein(sa, sb) / F.greatest(
-        F.length(sa), F.length(sb), F.lit(1)
-    )
-    jac = F.size(F.array_intersect(ta, tb)) / F.greatest(
-        F.size(F.array_union(ta, tb)), F.lit(1)
+    token_sort_ratio = _lev_ratio(sa, sb)
+    inter = F.array_sort(F.array_intersect(ta, tb))
+    t0 = F.concat_ws(" ", inter)
+    t1 = F.trim(F.concat_ws(" ", F.concat(inter, F.array_sort(F.array_except(ta, tb)))))
+    t2 = F.trim(F.concat_ws(" ", F.concat(inter, F.array_sort(F.array_except(tb, ta)))))
+    token_set_ratio = F.greatest(
+        _lev_ratio(t0, t1), _lev_ratio(t0, t2), _lev_ratio(t1, t2)
     )
     blend = (
         char_ratio * 0.3
         + partial_udf(F.col(left_col), F.col(right_col)) * 0.25
         + token_sort_ratio * 0.25
-        + jac * 0.2
+        + token_set_ratio * 0.2
     )
     if name_boost_col is not None:
         # reference name boost: ×1.2 for person-name candidates, capped at

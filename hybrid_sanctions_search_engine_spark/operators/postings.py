@@ -33,6 +33,17 @@ from pyspark.sql import functions as F
 from ..functions.tokenize import spark_index_tokens
 
 
+def widen_narrow_scan(docs: DataFrame) -> DataFrame:
+    """Repartition a narrow input (single parquet file / in-memory relation)
+    so scan-heavy stages use every core.  At production scale the source
+    scan has thousands of splits and this is a no-op.  Shared by the index
+    build and the UDF-heavy dedup scans."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 def tokenized_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """documents + `tokens` (array<string>) + `doc_len` columns, JVM-side."""
     return docs.withColumn("tokens", spark_index_tokens(F.col(text_col))).withColumn(

@@ -82,6 +82,9 @@ class IndexMeta:
     # exact corpus token count: lets merge-compaction update avgdl EXACTLY
     # ((total+delta)/(n+new)) instead of reconstructing from the float avgdl
     total_tokens: int = 0
+    # fingerprint of the last delta folded by merge_compact — makes the fold
+    # idempotent even if a caller re-runs after full success
+    last_delta_fp: str = ""
 
     @staticmethod
     def load(index_dir: str) -> "IndexMeta":
@@ -411,11 +414,11 @@ def build_index(
     t0 = time.monotonic()
 
     # Parallelism guard: a narrow input (single parquet file, in-memory
-    # relation) would run the tokenize scan on one core.  At production scale
-    # the Iceberg scan has thousands of splits and this is a no-op.
-    default_par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < default_par:
-        docs = docs.repartition(default_par)
+    # relation) would run the tokenize scan on one core (shared helper —
+    # operators.postings.widen_narrow_scan).
+    from ..operators.postings import widen_narrow_scan
+
+    docs = widen_narrow_scan(docs)
 
     # ONE tokenize pass, TWO shuffles, ZERO joins, ZERO caching:
     #   shuffle 1: explode → groupBy(term, doc_id) postings (doc_len carried)

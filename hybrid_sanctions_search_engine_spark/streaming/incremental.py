@@ -143,15 +143,25 @@ def merge_compact(
     doc_len) / (n_docs + new docs)), and per-term df is recomputed inside
     each rebuilt shard where the term's postings are co-located.
 
-    Swap discipline per shard: the merged parquet is written to an invisible
-    dot-file, then the driver (1) commits a status='compacting' manifest
-    (invalidates resume if we crash mid-swap), (2) deletes the old data
-    files, (3) moves the dot-file into place, (4) commits the final
-    manifest.  A crash between (1) and (4) leaves the shard resumable via
-    ``build_index(resume=True)``.
+    Contract: the delta contains NEW documents only (doc_ids disjoint from
+    the base).  Updated documents must go through the query-time overlay
+    (``search_with_delta``, which keep-bests per doc) until a full rebuild
+    (``compact_delta``) — folding an update in place would need tombstones
+    in every shard holding the old version's postings.
 
-    Positions indexes fall back to ``compact_delta`` (the delta stream
-    doesn't carry positions)."""
+    Crash-safe swap, idempotent per delta: each touched shard's merged
+    parquet is written to a reader-invisible dot-file by the merge job,
+    then the driver (1) commits a status='compacting' manifest carrying a
+    deterministic DELTA FINGERPRINT, (2) atomically replaces data.parquet
+    (single `fs.move`; non-salted shards have exactly one data file — the
+    function refuses salted layouts), (3) commits the final manifest.
+    Re-running after a crash is safe: a shard whose manifest says
+    'compacting' with the SAME fingerprint and no dot-file pending was
+    already swapped — it is skipped and only its manifest is finalized;
+    any other 'compacting' state still has the ORIGINAL data.parquet (the
+    replace never ran), so the re-merge reads consistent base data.  After
+    the final IndexMeta commit the fold is COMPLETE — callers must then
+    clear the delta before invoking again (jobs/compact_job.py does)."""
     import json as _json
     import time
 
@@ -184,10 +194,27 @@ def merge_compact(
         .agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum("doc_len"), F.lit(0)).alias("toks"),
+            F.coalesce(F.sum(F.col("doc_id") % F.lit(2**61 - 1)), F.lit(0)).alias(
+                "id_sum"
+            ),
         )
         .collect()[0]
     )
     new_docs, new_tokens = int(stats_row["n"]), int(stats_row["toks"])
+    # deterministic fingerprint of this delta — the idempotency token the
+    # swap protocol records in each 'compacting' manifest
+    delta_fp = f"{new_docs}-{new_tokens}-{int(stats_row['id_sum'])}"
+    if meta.last_delta_fp == delta_fp:
+        # the entire fold (shards + meta) already committed — full no-op
+        return {
+            "shards_compacted": [],
+            "new_docs": 0,
+            "new_tokens": 0,
+            "n_docs": meta.n_docs,
+            "avgdl": meta.avgdl,
+            "elapsed_sec": round(time.monotonic() - t_all, 3),
+            "noop": "delta already folded (fingerprint match)",
+        }
 
     dsh = delta_postings.withColumn(
         "shard", F.pmod(F.xxhash64("term"), F.lit(meta.n_shards)).cast("int")
@@ -197,13 +224,56 @@ def merge_compact(
     touched = sorted(
         r["shard"] for r in dsh.select("shard").distinct().collect()
     )
+    tmp_name = ".tmp-merge.parquet"
+
+    # pre-pass: refuse salted layouts (multi-file shards can't swap
+    # atomically) and detect shards a crashed prior attempt ALREADY swapped
+    already_swapped: set[int] = set()
+    already_complete: set[int] = set()
+    for s in touched:
+        shard_dir = os.path.join(index_dir, f"shard={s}")
+        data_files = [
+            f for f in fs.list_files(shard_dir)
+            if f.startswith("data") and f.endswith(".parquet")
+        ]
+        if len(data_files) > 1:
+            raise ValueError(
+                f"shard {s} has a salted multi-file layout ({data_files}); "
+                "merge_compact needs single-file shards — use compact_delta"
+            )
+        try:
+            mf = fs.read_json(os.path.join(shard_dir, "_manifest.json"))
+        except (OSError, ValueError):
+            mf = {}
+        if mf.get("status") == "compacting":
+            if mf.get("delta_fp") == delta_fp and not fs.exists(
+                os.path.join(shard_dir, tmp_name)
+            ):
+                # replace already happened for THIS delta; only the final
+                # manifest commit is missing — finalize below, don't re-merge
+                already_swapped.add(s)
+            elif mf.get("delta_fp") not in (None, delta_fp):
+                raise RuntimeError(
+                    f"shard {s} was mid-compaction with a DIFFERENT delta "
+                    f"({mf.get('delta_fp')}); its base state is ambiguous — "
+                    "rebuild it via build_index(resume=True) on the base "
+                    "corpus, then re-apply deltas"
+                )
+        elif mf.get("status") == "complete" and mf.get("delta_fp") == delta_fp:
+            # a prior attempt fully finalized this shard before crashing
+            # (e.g. before the IndexMeta commit): THIS delta is already
+            # folded in — re-merging would duplicate it
+            already_complete.add(s)
+
+    merge_shards = [
+        s for s in touched if s not in already_swapped and s not in already_complete
+    ]
     index_df, _ = load_index(spark, index_dir)
-    base = index_df.where(F.col("shard").isin(touched))
-    delta_sel = dsh.where(F.col("shard").isin(touched)).select(
+    base = index_df.where(F.col("shard").isin(merge_shards))
+    delta_sel = dsh.where(F.col("shard").isin(merge_shards)).select(
         "shard", "term", "chunk", "doc_id", "tf", "doc_len"
     )
     chunk_bits = meta.chunk_bits
-    tmp_name = ".tmp-merge.parquet"
 
     def merge_fn(key, base_pdf: pd.DataFrame, delta_pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
@@ -225,29 +295,59 @@ def merge_compact(
         )
 
     summary = (
-        base.groupby("shard")
-        .cogroup(delta_sel.groupby("shard"))
-        .applyInPandas(merge_fn, MERGE_SUMMARY_SCHEMA)
-        .collect()
+        (
+            base.groupby("shard")
+            .cogroup(delta_sel.groupby("shard"))
+            .applyInPandas(merge_fn, MERGE_SUMMARY_SCHEMA)
+            .collect()
+        )
+        if merge_shards
+        else []
     )
 
-    # driver-side swap, shard by shard
+    # driver-side swap, shard by shard: 'compacting'(fp) → atomic replace →
+    # final manifest.  Crash before the replace leaves the ORIGINAL
+    # data.parquet (re-merge is safe); crash after it is detected by the
+    # fingerprint pre-pass on rerun (shard skipped, manifest finalized).
     for row in summary:
         s = int(row["shard"])
         manifest = _json.loads(row["manifest_json"])
+        manifest["delta_fp"] = delta_fp
         shard_dir = os.path.join(index_dir, f"shard={s}")
         fs.commit_json(
             os.path.join(shard_dir, "_manifest.json"),
-            {"status": "compacting", "shard": s},
+            {"status": "compacting", "shard": s, "delta_fp": delta_fp},
         )
-        for f in fs.list_files(shard_dir):
-            if f.startswith("data") and f.endswith(".parquet"):
-                fs.delete(os.path.join(shard_dir, f))
         fs.move(
             os.path.join(shard_dir, tmp_name),
             os.path.join(shard_dir, "data.parquet"),
         )
         fs.commit_json(os.path.join(shard_dir, "_manifest.json"), manifest)
+
+    # finalize shards a crashed prior attempt already swapped: stats from
+    # the parquet itself (driver-side; touched shards only)
+    for s in sorted(already_swapped):
+        import pyarrow.parquet as pq
+
+        shard_dir = os.path.join(index_dir, f"shard={s}")
+        data_path = os.path.join(shard_dir, "data.parquet")
+        tbl = pq.read_table(data_path, columns=["term", "n_docs"])
+        fs.commit_json(
+            os.path.join(shard_dir, "_manifest.json"),
+            {
+                "status": "complete",
+                "shard": s,
+                "salt": None,
+                "terms": len(set(tbl.column("term").to_pylist())),
+                "chunks": tbl.num_rows,
+                "docs": None,  # unknown after crash recovery
+                "postings": int(sum(tbl.column("n_docs").to_pylist())),
+                "bytes": fs.getsize(data_path),
+                "elapsed_sec": 0.0,
+                "delta_fp": delta_fp,
+                "recovered": True,
+            },
+        )
 
     new_total = meta.total_tokens + new_tokens
     new_n = meta.n_docs + new_docs
@@ -261,10 +361,13 @@ def merge_compact(
         b=meta.b,
         has_positions=False,
         total_tokens=new_total,
+        last_delta_fp=delta_fp,
     )
     fs.commit_json(os.path.join(index_dir, "_index_meta.json"), asdict(new_meta))
     return {
-        "shards_compacted": touched,
+        "shards_compacted": merge_shards,
+        "shards_recovered": sorted(already_swapped),
+        "shards_already_complete": sorted(already_complete),
         "new_docs": new_docs,
         "new_tokens": new_tokens,
         "n_docs": new_n,

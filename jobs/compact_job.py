@@ -6,7 +6,9 @@
 
 Merge-based: touched shards decode→merge→re-encode (no corpus
 re-tokenization; see streaming/incremental.py::merge_compact).  The delta
-directory is truncated after a successful compaction unless --keep-delta.
+FILES read by this run (snapshotted up front) are deleted after a successful
+compaction unless --keep-delta; files the stream appends during the run
+survive for the next compaction.
 """
 
 from __future__ import annotations
@@ -14,7 +16,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -29,19 +30,30 @@ def main() -> None:
     args = parser.parse_args()
 
     from hybrid_sanctions_search_engine_spark.session import get_spark
+    from hybrid_sanctions_search_engine_spark.sources.fs import fs_for
     from hybrid_sanctions_search_engine_spark.streaming.incremental import (
-        load_delta_postings,
         merge_compact,
     )
 
     spark = get_spark("compact", cores=args.cores or None)
-    delta = load_delta_postings(spark, args.delta_dir)
-    if delta is None or delta.isEmpty():
+    # SNAPSHOT the delta file list before reading: the stream may append new
+    # parquet files while the (minutes-long) compaction runs — only the files
+    # actually folded are deleted afterwards; later arrivals survive for the
+    # next compaction (no silent loss under exactly-once)
+    fs = fs_for(args.delta_dir)
+    files = [
+        os.path.join(args.delta_dir, f)
+        for f in fs.list_files(args.delta_dir)
+        if f.endswith(".parquet")
+    ]
+    if not files:
         print(json.dumps({"status": "noop", "reason": "empty delta"}))
         return
+    delta = spark.read.parquet(*files)
     report = merge_compact(spark, args.index_dir, delta)
     if not args.keep_delta:
-        shutil.rmtree(args.delta_dir, ignore_errors=True)
+        for f in files:
+            fs.delete(f)
     print(json.dumps({"status": "ok", **report}))
     spark.stop()
 

@@ -81,3 +81,19 @@ def test_rapidfuzz_rerank_boosts(spark):
     assert abs(by_id[2]["score"] - 0.572) < 1e-9
     assert abs(by_id[3]["score"] - 0.58) < 1e-9
     assert [r["doc_id"] for r in rows] == [1, 3, 2]
+
+
+def test_token_set_subset_scores_full(spark):
+    """fuzzywuzzy token_set semantics: a token-subset pair contributes a
+    full 1.0 on the token_set measure (round-2 review: Jaccard gave 0.5)."""
+    from hybrid_sanctions_search_engine_spark.operators.fuzzy import (
+        similarity_blend_full,
+    )
+
+    pairs = spark.createDataFrame(
+        [("ivanov ivan", "ivanov ivan petrovich 1980")], "a string, b string"
+    )
+    score = similarity_blend_full(pairs, "a", "b").collect()[0]["sim_score"]
+    # partial_ratio=1.0 (embedded) and token_set=1.0 (subset) -> the blend is
+    # at least 0.25 + 0.2 even if the char measures contributed nothing
+    assert score >= 0.45

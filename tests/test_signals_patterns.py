@@ -226,3 +226,13 @@ def test_extract_ids_checksum_gating(spark):
     assert all(i["kind"] != "inn_10" for i in out[1])
     assert any(i["kind"] == "inn_10" and i["value"] == "7707083893" for i in out[2])
     assert any(i["kind"] == "ogrn" and i["value"] == "1027700132195" for i in out[3])
+
+
+def test_gender_variants_equal_length_pairs():
+    """Regression (round-2 review): equal-length suffix pairs must flip —
+    appending the suffix difference produced '' for -ский/-ская."""
+    assert gender_variants("Ковальский") == ["Ковальская"]
+    assert gender_variants("Ковальская") == ["Ковальский"]
+    assert gender_variants("Вербицький") == ["Вербицька"]
+    assert gender_variants("Вербицька") == ["Вербицький"]
+    assert gender_variants("Петренко") == []  # invariable

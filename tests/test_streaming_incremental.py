@@ -217,3 +217,79 @@ def test_two_wave_merge_compact(spark, sf_smoke_dir, tmp_path):
                                  index_df=s_idx, meta=s_meta).collect()
         ]
         assert got == want, q
+
+
+def test_merge_compact_rerun_is_idempotent(spark, sf_smoke_dir, tmp_path):
+    """Crash-recovery matrix for the swap protocol: (a) rerun after a crash
+    before the IndexMeta commit (shards already finalized) must NOT re-fold
+    the delta; (b) a shard left status='compacting' with the same
+    fingerprint and no pending dot-file is finalized, not re-merged;
+    (c) rerun after full success is a fingerprint no-op."""
+    import json
+    import os as _os
+    from dataclasses import asdict
+
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        build_postings,
+    )
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+    from hybrid_sanctions_search_engine_spark.sources.index_io import (
+        IndexMeta,
+        build_index,
+        load_index,
+    )
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        merge_compact,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    base_docs = docs.where(F.col("doc_id") % 4 != 0)
+    delta_docs = docs.where(F.col("doc_id") % 4 == 0)
+    delta = build_postings(delta_docs, positions=False)
+
+    idx_dir = str(tmp_path / "rerun_idx")
+    build_index(base_docs, idx_dir, n_shards=4, chunk_bits=6, resume=False)
+    pre_meta = IndexMeta.load(idx_dir)
+    merge_compact(spark, idx_dir, delta)
+    good_meta = IndexMeta.load(idx_dir)
+    fp = good_meta.last_delta_fp
+    assert fp
+
+    def topk(q="spark query join"):
+        i, m = load_index(spark, idx_dir)
+        return [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, idx_dir, q, k=10, index_df=i, meta=m).collect()
+        ]
+
+    want = topk()
+
+    # (c) rerun after success: fingerprint no-op, nothing changes
+    rep = merge_compact(spark, idx_dir, delta)
+    assert rep.get("noop") and rep["new_docs"] == 0
+    assert IndexMeta.load(idx_dir) == good_meta and topk() == want
+
+    # (a) crash before the meta commit: restore the PRE-merge meta while the
+    # shards stay merged+finalized; rerun must skip all merging yet fix meta
+    with open(_os.path.join(idx_dir, "_index_meta.json"), "w") as fh:
+        json.dump(asdict(pre_meta), fh)
+    rep = merge_compact(spark, idx_dir, delta)
+    assert rep["shards_compacted"] == []  # nothing re-merged
+    assert IndexMeta.load(idx_dir) == good_meta and topk() == want
+
+    # (b) a shard crashed between replace and final commit: manifest says
+    # 'compacting' with the right fp, dot-file gone, data already merged
+    s = rep.get("already_swapped_probe", None)
+    shard_dirs = [d for d in _os.listdir(idx_dir) if d.startswith("shard=")]
+    victim = _os.path.join(idx_dir, shard_dirs[0])
+    with open(_os.path.join(victim, "_manifest.json"), "w") as fh:
+        json.dump({"status": "compacting", "shard": 0, "delta_fp": fp}, fh)
+    with open(_os.path.join(idx_dir, "_index_meta.json"), "w") as fh:
+        json.dump(asdict(pre_meta), fh)
+    rep = merge_compact(spark, idx_dir, delta)
+    mf = json.load(open(_os.path.join(victim, "_manifest.json")))
+    assert mf["status"] == "complete" and mf.get("recovered")
+    assert IndexMeta.load(idx_dir).n_docs == good_meta.n_docs
+    assert topk() == want
