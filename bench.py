@@ -114,14 +114,16 @@ def main() -> None:
             "q_wand_5term": "scan merge sort hash agg",
         }
         for name, q in wand_queries.items():
-            timed(
+            timed_best2(
                 name,
                 lambda q=q: topk_search(
                     spark, index_dir, q, k=10, index_df=idx, meta=meta
                 ).collect(),
             )
 
-        # driver-contract queries (same definitions the correctness gate runs)
+        # driver-contract queries (same definitions the correctness gate
+        # runs); best-of-2 like the builds — hypervisor steal waves swing
+        # single runs ±50% on this box (BENCH.md measurement discipline)
         queries = entry_mod.queries()
         for name in (
             "bm25_topk",
@@ -139,7 +141,9 @@ def main() -> None:
             "quality_score",
         ):
             if name in queries:
-                timed(f"q_{name}", lambda n=name: queries[n](spark, SF_DIR).collect())
+                timed_best2(
+                    f"q_{name}", lambda n=name: queries[n](spark, SF_DIR).collect()
+                )
 
         # amortized per-query latency: 100 queries in ONE batched job — the
         # Spark-idiomatic serving shape (vs the reference's per-request 20ms:
@@ -155,7 +159,7 @@ def main() -> None:
             (i, f"{vocab[i % 20]} {vocab[(i * 7 + 3) % 20]} {vocab[(i * 13 + 5) % 20]}")
             for i in range(100)
         ]
-        timed(
+        timed_best2(
             "q_batch_100_queries",
             lambda: batch_topk(docs, batch100, k=10).collect(),
         )
@@ -189,11 +193,11 @@ def main() -> None:
         )
 
         plan = HybridSearchPlan(docs)
-        timed(
+        timed_best2(
             "q_hybrid_strong",
             lambda: plan.search("spark query join", SearchOpts(top_k=10))[0].collect(),
         )
-        timed(
+        timed_best2(
             "q_hybrid_escalated",
             lambda: plan.search("sparc quary", SearchOpts(top_k=10))[0].collect(),
         )
