@@ -48,8 +48,12 @@ GEO_TOKENS = {
     "україни", "украины", "рф", "росії", "россии", "украина", "україна",
     "беларуси", "білорусі",
 }
-# document words preceding ids (uk_passport golden)
-DOC_WORDS = {"паспорт", "passport", "документ", "посвідчення", "удостоверение"}
+# document/identifier label words preceding ids (uk_passport golden)
+DOC_WORDS = {
+    "паспорт", "passport", "документ", "посвідчення", "удостоверение",
+    "инн", "інн", "іпн", "едрпоу", "єдрпоу", "огрн", "огрнип", "окпо",
+    "iban", "swift", "itn", "inn", "edrpou", "ogrn", "vat", "id",
+}
 CONJUNCTIONS = {"и", "та", "й", "і", "and", "und", "et"}
 
 _DATE_RE = re.compile(r"\(?\b\d{4}-\d{2}-\d{2}\b\)?|\(?\b\d{2}[./]\d{2}[./]\d{4}\b\)?")

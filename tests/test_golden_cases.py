@@ -107,3 +107,26 @@ def test_tag_tokens_full_trace():
     assert roles3["України"] == "geo"
     assert roles3["Володимир"] == "given"
     assert roles3["Зеленський"] == "surname"
+
+
+@pytest.mark.parametrize(
+    "text,lang,expected",
+    [
+        # three personas, mixed separators
+        ("Иван Петров, Мария Иванова и Сергей Сидоров", "ru",
+         ["Иван Петров", "Мария Иванова", "Сергей Сидоров"]),
+        # org noise inside a persona list
+        ('ООО "ВЕКТОР" перевод: Анна Ковалева', "ru", ["Анна Ковалева"]),
+        # hyphenated + patronymic oblique together
+        ("платёж Анне Петровой-Сидоровой", "ru", ["Анна Петрова-Сидорова"]),
+        # uk oblique given + invariable surname, with id noise
+        ("ІПН 1234567895 переказ Олені Петренко", "uk", ["Олена Петренко"]),
+        # en: title + nickname + suffix
+        ("Mr. Bob Dylan Sr.", "en", ["Robert Dylan"]),
+        # empty-ish inputs
+        ("   ", "auto", []),
+        ("12345 67890 !!!", "ru", []),
+    ],
+)
+def test_personas_adversarial(text, lang, expected):
+    assert normalize_persons(text, lang) == expected
