@@ -340,6 +340,21 @@ def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return res.select("vec_id", _r4("cos_sim").alias("cos_sim"))
 
 
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the training-data dedup list's
+    fifth primitive) within a bounded block — quadratic form IS the oracle
+    path; LSH banding (operators.similarity/dedup) is the scale path."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        cosine_pairs,
+    )
+
+    emb = _tbl(spark, sf, "embeddings").where(F.col("vec_id") < 300)
+    pairs = cosine_pairs(emb, emb, threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", _r4("cos_sim").alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
 def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # rows-only: ANN recall is probed against exact kNN in unit tests
     from hybrid_sanctions_search_engine_spark.operators.similarity import (
@@ -839,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "knn_cosine": q_knn_cosine,
+        "embedding_near_dup": q_embedding_near_dup,
         "knn_lsh": q_knn_lsh,
         "fuzzy_candidates": q_fuzzy_candidates,
         "fuzzy_rescore": q_fuzzy_rescore,
@@ -1111,6 +1127,14 @@ SELECT c_custkey, regexp_extract(c_name, 'Customer#(\\d+)', 1)::BIGINT AS extrac
 FROM customer
 """,
         "identifier_checksums": _identifier_checksums_oracle(),
+        "embedding_near_dup": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) / 10000 AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+ORDER BY id_a, id_b
+""",
         "birthdate_normalize": """
 SELECT o_orderkey,
        strftime(o_orderdate, '%d.%m.%Y') AS raw_date,
