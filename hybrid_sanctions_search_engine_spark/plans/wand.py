@@ -194,7 +194,10 @@ def topk_search(
             .applyInPandas(score_fn, RESULT_SCHEMA)
         )
 
-    if len(probe) <= seed_chunks * 2:
+    # the probe saw the COMPLETE UB ranking iff it wasn't truncated at the
+    # cap — only then may driver-side shortcuts assume full knowledge
+    complete = len(probe) <= max_driver_chunks
+    if complete and len(probe) <= seed_chunks * 2:
         # small index: two-phase pruning can't win — one job, done
         return (
             run([int(r["chunk"]) for r in probe])
@@ -208,7 +211,7 @@ def topk_search(
 
     # θ pruning: exact — a pruned chunk cannot contain a doc scoring above θ;
     # ties at θ are kept for the doc_id tiebreak.
-    if len(probe) <= max_driver_chunks:
+    if complete:
         # complete UB ranking in hand: prune with a plain isin filter
         survivors = [
             int(r["chunk"])

@@ -176,3 +176,21 @@ def test_batch_topk_indexed_identity(spark, corpus):
                                     index_df=idx, meta=meta).collect()
     )
     assert got == want
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_both_pruning_paths_identical(spark, corpus, query):
+    """In-cluster semi-join pruning (forced via a tiny driver cap) returns
+    exactly what driver-side pruning returns, for every standard query."""
+    docs, index_dir, idx, meta = corpus
+    a = [
+        (r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+        for r in topk_search(spark, index_dir, query, k=10,
+                             index_df=idx, meta=meta, max_driver_chunks=1).collect()
+    ]
+    b = [
+        (r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+        for r in topk_search(spark, index_dir, query, k=10,
+                             index_df=idx, meta=meta).collect()
+    ]
+    assert a == b
