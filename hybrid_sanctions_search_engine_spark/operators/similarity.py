@@ -24,6 +24,28 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_col
 
 
+def cosine_to_query_udf(query_vec: list[float]):
+    """Arrow UDF scoring a whole batch against one query: ``X @ q / (|X||q|)``.
+
+    Spark's array HOFs (`F.zip_with`+`F.aggregate`) run *interpreted*, one
+    lambda eval per element — fine at dim 8, a plan-bloating hotspot at the
+    reference's real dim 384 (`config.py:192`).  One numpy matmul per Arrow
+    batch replaces dim×2 interpreted evals per row."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = max(float(np.linalg.norm(q)), 1e-300)
+
+    @pandas_udf(DoubleType())
+    def cos(vs: pd.Series) -> pd.Series:
+        x = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+        return pd.Series((x @ q) / (norms * qn))
+
+    return cos
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -31,13 +53,21 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_score: float | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k → (id, cos_sim) ordered (sim desc, id asc)."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = embeddings.select(
-        F.col(id_col),
-        cosine_col(F.col(vec_col), q).alias("cos_sim"),
-    )
+    """Exact cosine top-k → (id, cos_sim) ordered (sim desc, id asc).
+
+    ``arrow=None`` auto-picks: JVM Column cosine for narrow vectors (stays in
+    codegen, zero Python), numpy Arrow UDF at dim ≥ 128 where interpreted HOF
+    cost dominates (CLAUDE.md HOF rule; the reference serves dim 384)."""
+    if arrow is None:
+        arrow = len(query_vec) >= 128
+    if arrow:
+        cos = cosine_to_query_udf(query_vec)(F.col(vec_col)).alias("cos_sim")
+    else:
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        cos = cosine_col(F.col(vec_col), q).alias("cos_sim")
+    scored = embeddings.select(F.col(id_col), cos)
     if min_score is not None:
         scored = scored.where(F.col("cos_sim") >= min_score)
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
@@ -57,19 +87,27 @@ def add_lsh_signature(
     out_col: str = "lsh_sig",
 ) -> DataFrame:
     """Random-hyperplane signature as an integer column (bit i = sign of the
-    dot product with plane i). Pure Column expressions — the planes are
-    literal arrays folded into the plan (constant-folded by Catalyst)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), p, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return embeddings.withColumn(out_col, sig)
+    dot product with plane i).
+
+    One numpy ``X @ planes.T`` per Arrow batch (the shape ``assign_ivf_cells``
+    uses).  The round-2 version built an ``F.zip_with``+``F.aggregate`` chain
+    per plane — 2·dim·n_planes *interpreted* lambda evals per row with the
+    plane literals re-inlined into the plan (the CLAUDE.md HOF trap; it
+    regressed q_knn_lsh 0.92 s → 1.96 s and would bloat the plan with
+    thousands of literals at dim 384)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    planes_t = _hyperplanes(dim, n_planes, seed).T  # (dim, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(LongType())
+    def sig(vs: pd.Series) -> pd.Series:
+        x = np.array(vs.tolist(), dtype=np.float64)
+        bits = (x @ planes_t) > 0
+        return pd.Series(bits @ weights)
+
+    return embeddings.withColumn(out_col, sig(F.col(vec_col)))
 
 
 def lsh_signature_of(query_vec: list[float], dim: int, n_planes: int = 16, seed: int = 42) -> int:
