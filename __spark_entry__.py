@@ -323,13 +323,43 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 KNN_QUERY_TEXT = "spark query join"
-KNN_DIM = 64
+# document-length query for the real-width (384) vector queries: byte
+# histograms of short strings are near-orthogonal to full documents, which
+# makes both cosine and hyperplane-LSH scores degenerate — a realistic
+# "more-like-this" query has document-like byte statistics
+KNN_QUERY_TEXT_FULL = (
+    "spark query join window table merge sort customer data stream batch agg "
+    "scan filter group value fast slow key row column line part order big small"
+)
+KNN_DIM = 64          # width of the synthetic embeddings.parquet table
+KNN_DIM_FULL = 384    # the reference's real serving width (config.py:192)
 
 
-def _knn_query_vec() -> list[float]:
+def _knn_query_vec(dim: int = KNN_DIM) -> list[float]:
     from hybrid_sanctions_search_engine_spark.functions.vectors import pseudo_embedding
 
-    return pseudo_embedding(KNN_QUERY_TEXT, KNN_DIM)
+    text = KNN_QUERY_TEXT if dim == KNN_DIM else KNN_QUERY_TEXT_FULL
+    return pseudo_embedding(text, dim)
+
+
+def _doc_embeddings_384(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, embedding) at the reference's real width: deterministic
+    byte-histogram pseudo-embedding of each document's text, dim 384 —
+    one Arrow batch per partition, numpy inside."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from hybrid_sanctions_search_engine_spark.functions.vectors import (
+        pseudo_embedding_series,
+    )
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def emb(texts: pd.Series) -> pd.Series:
+        return pseudo_embedding_series(texts, KNN_DIM_FULL)
+
+    return _docs(spark, sf).select(
+        F.col("doc_id").alias("vec_id"), emb("text").alias("embedding")
+    )
 
 
 def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
@@ -340,30 +370,60 @@ def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
     return res.select("vec_id", _r4("cos_sim").alias("cos_sim"))
 
 
+def q_knn_cosine_384(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact kNN at the reference's real width (384): document-derived
+    pseudo-embeddings, numpy Arrow cosine (the dim≥128 path).  Oracle:
+    DuckDB rebuilds the byte-histogram embedding in pure SQL."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import knn_bruteforce
+
+    emb = _doc_embeddings_384(spark, sf)
+    res = knn_bruteforce(emb, _knn_query_vec(KNN_DIM_FULL), k=10)
+    return res.select(
+        F.col("vec_id").alias("doc_id"), _r4("cos_sim").alias("cos_sim")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the training-data dedup list's
     fifth primitive) within a bounded block — quadratic form IS the oracle
-    path; LSH banding (operators.similarity/dedup) is the scale path."""
+    path; LSH banding (operators.similarity/dedup) is the scale path.
+
+    Runs at the real width (384, document-derived) with threshold 0.6 so the
+    oracle compares real rows (round 2 compared empty sets: random table
+    vectors never reach cosine 0.9)."""
     from hybrid_sanctions_search_engine_spark.operators.similarity import (
         cosine_pairs,
     )
 
-    emb = _tbl(spark, sf, "embeddings").where(F.col("vec_id") < 300)
-    pairs = cosine_pairs(emb, emb, threshold=0.9)
+    emb = _doc_embeddings_384(spark, sf).where(F.col("vec_id") < 100)
+    pairs = cosine_pairs(emb, emb, threshold=0.6, arrow=True)
     return pairs.select(
         "id_a", "id_b", _r4("cos_sim").alias("cos_sim")
     ).orderBy("id_a", "id_b")
 
 
 def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # rows-only: ANN recall is probed against exact kNN in unit tests
+    """Rows-only: ANN recall is probed against exact kNN in unit tests.
+    Real width (384): signatures via the vectorized X @ planes.T Arrow UDF.
+
+    max_hamming=6 gives recall≈0.7 at ~50% candidate fraction on THIS corpus
+    — deliberately a worst case for hyperplane LSH (uniform word-salad text ⇒
+    every doc pair has cosine ≈ 0.44 vs best-neighbor 0.59, under one bit of
+    expected Hamming separation at 16 planes).  On clustered embeddings
+    (tests/test_similarity.py fixtures) the same operator prunes hard; the
+    pruning-vs-recall dial is data-dependent, not an implementation gap."""
     from hybrid_sanctions_search_engine_spark.operators.similarity import (
         add_lsh_signature,
         knn_lsh,
     )
 
-    emb = add_lsh_signature(_tbl(spark, sf, "embeddings"), dim=KNN_DIM, n_planes=12)
-    res = knn_lsh(emb, _knn_query_vec(), dim=KNN_DIM, k=10, n_planes=12, max_hamming=4)
+    emb = add_lsh_signature(
+        _doc_embeddings_384(spark, sf), dim=KNN_DIM_FULL, n_planes=16
+    )
+    res = knn_lsh(
+        emb, _knn_query_vec(KNN_DIM_FULL), dim=KNN_DIM_FULL,
+        k=10, n_planes=16, max_hamming=6,
+    )
     return res.select("vec_id", _r4("cos_sim").alias("cos_sim"))
 
 
@@ -805,6 +865,64 @@ FROM scored ORDER BY cos DESC, vec_id LIMIT 10
 """
 
 
+def _emb384_hist_cte(where: str = "") -> str:
+    """CTEs rebuilding the 384-dim byte-histogram pseudo-embedding in pure
+    SQL: histogram[(byte + idx) % 384] += 1 over the text's bytes (the corpus
+    is ASCII, so characters == UTF-8 bytes), kept sparse as (doc_id, pos,
+    cnt) + per-doc L2 norms — cosine is scale-invariant so the raw counts
+    need no normalization."""
+    return f"""
+idxs AS (
+  SELECT doc_id, text, unnest(range(length(text))) AS idx
+  FROM documents{where}
+),
+bytes AS (
+  SELECT doc_id, idx, ascii(substr(text, (idx + 1)::INT, 1)) AS b FROM idxs
+),
+hist AS (
+  SELECT doc_id, (b + idx) % 384 AS pos, count(*)::DOUBLE AS cnt
+  FROM bytes GROUP BY 1, 2
+),
+norms AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM hist GROUP BY doc_id)
+"""
+
+
+def _knn384_oracle_sql() -> str:
+    qv = _knn_query_vec(KNN_DIM_FULL)
+    vals = ", ".join(f"({p}, {repr(v)})" for p, v in enumerate(qv) if v != 0.0)
+    return f"""
+WITH {_emb384_hist_cte()},
+q(pos, val) AS (VALUES {vals}),
+qn AS (SELECT sqrt(sum(val * val)) AS qnrm FROM q),
+dots AS (
+  SELECT h.doc_id, sum(h.cnt * q.val) AS dot
+  FROM hist h JOIN q ON h.pos = q.pos GROUP BY 1
+)
+SELECT d.doc_id,
+       floor((d.dot / (n.nrm * qn.qnrm)) * 10000 + 0.5) / 10000 AS cos_sim
+FROM dots d JOIN norms n USING (doc_id) CROSS JOIN qn
+ORDER BY d.dot / (n.nrm * qn.qnrm) DESC, d.doc_id LIMIT 10
+"""
+
+
+def _near_dup384_oracle_sql() -> str:
+    return f"""
+WITH {_emb384_hist_cte(" WHERE doc_id < 100")},
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.cnt * b.cnt) AS dot
+  FROM hist a JOIN hist b ON a.pos = b.pos AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b,
+       floor((d.dot / (na.nrm * nb.nrm)) * 10000 + 0.5) / 10000 AS cos_sim
+FROM dots d
+JOIN norms na ON d.id_a = na.doc_id
+JOIN norms nb ON d.id_b = nb.doc_id
+WHERE d.dot / (na.nrm * nb.nrm) >= 0.6
+ORDER BY d.id_a, d.id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -854,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "knn_cosine": q_knn_cosine,
+        "knn_cosine_384": q_knn_cosine_384,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_lsh": q_knn_lsh,
         "fuzzy_candidates": q_fuzzy_candidates,
@@ -1058,6 +1177,7 @@ WHERE len(list_intersect(a.tokset, b.tokset))
       / len(list_distinct(list_concat(a.tokset, b.tokset))) >= 0.5
 """,
         "knn_cosine": _knn_oracle_sql(),
+        "knn_cosine_384": _knn384_oracle_sql(),
         "fuzzy_candidates": f"""
 WITH {_ORACLE_TOKS},
 dict AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term)
@@ -1127,14 +1247,7 @@ SELECT c_custkey, regexp_extract(c_name, 'Customer#(\\d+)', 1)::BIGINT AS extrac
 FROM customer
 """,
         "identifier_checksums": _identifier_checksums_oracle(),
-        "embedding_near_dup": """
-WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       floor(list_cosine_similarity(a.embedding, b.embedding) * 10000 + 0.5) / 10000 AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
-ORDER BY id_a, id_b
-""",
+        "embedding_near_dup": _near_dup384_oracle_sql(),
         "birthdate_normalize": """
 SELECT o_orderkey,
        strftime(o_orderdate, '%d.%m.%Y') AS raw_date,

@@ -136,7 +136,9 @@ def main() -> None:
             "minhash_pairs",
             "simhash_pairs",
             "knn_cosine",
+            "knn_cosine_384",
             "knn_lsh",
+            "embedding_near_dup",
             "lang_id",
             "quality_score",
         ):

@@ -362,26 +362,51 @@ def knn_lsh_probe(
     return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
 
 
+def cosine_pair_udf():
+    """Arrow UDF: row-wise cosine of two array columns, one numpy pass per
+    batch (for wide vectors where the interpreted-HOF `cosine_col` would cost
+    2·dim lambda evals per pair — the CLAUDE.md HOF rule)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        x = np.array(a.tolist(), dtype=np.float64)
+        y = np.array(b.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", x, y)
+        nx = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+        ny = np.maximum(np.linalg.norm(y, axis=1), 1e-300)
+        return pd.Series(dots / (nx * ny))
+
+    return cos
+
+
 def cosine_pairs(
     left: DataFrame,
     right: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool | None = None,
 ) -> DataFrame:
     """All cross pairs with cosine ≥ threshold (use blocked inputs; the LSH
     variant in dedup.py is the scale path). Emits (id_a, id_b, cos_sim),
-    id_a < id_b."""
+    id_a < id_b.  ``arrow=None`` auto-picks numpy for wide vectors (dim ≥ 128
+    when the schema exposes a width) as in ``knn_bruteforce``."""
     a = left.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
     b = right.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
     )
+    if arrow:
+        cos = cosine_pair_udf()(F.col("vec_a"), F.col("vec_b"))
+    else:
+        cos = cosine_col(F.col("vec_a"), F.col("vec_b"))
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine_col(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cos_sim", cos)
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
