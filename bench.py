@@ -203,6 +203,26 @@ def main() -> None:
             "q_hybrid_escalated",
             lambda: plan.search("sparc quary", SearchOpts(top_k=10))[0].collect(),
         )
+
+        # the production vector stage: escalated ladder probing the
+        # partitioned IVF ANN index instead of scanning the embeddings table
+        from hybrid_sanctions_search_engine_spark.operators.similarity import (
+            write_ivf_index,
+        )
+
+        ann_dir = tempfile.mkdtemp(prefix="bench_ann_")
+        emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        write_ivf_index(emb, ann_dir, n_centroids=16)
+        plan_ann = HybridSearchPlan(
+            docs, embeddings=emb, ann_index_dir=ann_dir, ann_kind="ivf"
+        )
+        try:
+            timed_best2(
+                "q_hybrid_escalated_ann",
+                lambda: plan_ann.search("sparc quary", SearchOpts(top_k=10))[0].collect(),
+            )
+        finally:
+            shutil.rmtree(ann_dir, ignore_errors=True)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(big_dir, ignore_errors=True)

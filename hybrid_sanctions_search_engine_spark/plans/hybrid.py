@@ -56,6 +56,17 @@ class SearchOpts:
     # L9: fuzz-rerank vector-stage hits against the query text (reference
     # _apply_rapidfuzz_reranking, hybrid_search_service.py:990-1030)
     rapidfuzz_rerank: bool = True
+    # stage-4 vector-fallback gating (_should_use_vector_fallback,
+    # hybrid_search_service.py:930-955): fuse vector hits only when AC is
+    # empty, AC is very weak (< weak_ac_threshold), or the best vector score
+    # beats the best AC score by vector_better_factor
+    enable_vector_fallback: bool = True
+    weak_ac_threshold: float = 0.3
+    vector_better_factor: float = 1.5
+    # vector-fallback post-boosts (hybrid_search_service.py:1248-1260):
+    # cosine > 0.7 ⇒ ×1.3, > 0.5 ⇒ ×1.1; dob anchor ⇒ ×1.2, id anchor ⇒ ×1.1
+    enable_cosine_boost: bool = True
+    enable_anchor_boost: bool = True
 
 
 @dataclass
@@ -81,16 +92,43 @@ class HybridSearchPlan:
         text_col: str = "text",
         embedding_dim: int = 64,
         index_dir: str | None = None,
+        ann_index_dir: str | None = None,
+        ann_kind: str = "ivf",
+        ann_n_probe: int = 3,
+        ann_max_hamming: int = 2,
     ):
         """``index_dir``: serve the AC stage from a prebuilt compressed index
         (``sources.index_io.build_index`` output) instead of recomputing
         postings — the production shape. The fuzzy dictionary then also comes
-        from the index's term rows (no extra tokenize pass)."""
+        from the index's term rows (no extra tokenize pass).
+
+        ``ann_index_dir``: serve the vector stage from a partitioned ANN
+        index (``write_ivf_index`` / ``write_lsh_index`` output) instead of a
+        full embeddings scan — the reference's vector stage is an ES HNSW
+        query, never a scan (``elasticsearch_adapters.py:819-843``).  Each
+        probe reads only the matching partition directories (PartitionFilters
+        pruning); ``ann_kind`` picks the layout, ``ann_n_probe`` /
+        ``ann_max_hamming`` are the recall dials."""
         self.docs = docs
         self.text_col = text_col
         self.embeddings = embeddings
         self.embedding_dim = embedding_dim
         self.index_dir = index_dir
+        self.ann_index_dir = ann_index_dir
+        self.ann_kind = ann_kind
+        self.ann_n_probe = ann_n_probe
+        self.ann_max_hamming = ann_max_hamming
+        self.ann_df = None
+        self.ann_centroids = None
+        if ann_index_dir is not None:
+            if ann_kind == "ivf":
+                from ..operators.similarity import load_ivf_index
+
+                self.ann_df, self.ann_centroids = load_ivf_index(
+                    docs.sparkSession, ann_index_dir
+                )
+            elif ann_kind != "lsh":
+                raise ValueError(f"unknown ann_kind: {ann_kind!r}")
         if index_dir is not None:
             from ..sources.index_io import load_index
 
@@ -200,16 +238,37 @@ class HybridSearchPlan:
         )
 
     def vector_stage(self, query: str, k: int, rerank: bool = True) -> DataFrame:
+        """kNN hits as (doc_id, score, cos_sim) — score starts as the cosine
+        and picks up the L9 fuzz rerank; the raw cosine rides along for the
+        stage-4 post-boosts (the reference boosts on ``trace['cosine']``,
+        hybrid_search_service.py:1248-1254).
+
+        With ``ann_index_dir`` set, the scan is a partition-pruned ANN probe
+        (IVF cells / LSH bands) instead of the full embeddings table."""
         from ..functions.vectors import pseudo_embedding
 
-        if self.embeddings is None:
-            return self.docs.sparkSession.createDataFrame(
-                [], "doc_id long, score double"
-            )
+        spark = self.docs.sparkSession
+        if self.embeddings is None and self.ann_index_dir is None:
+            return spark.createDataFrame([], "doc_id long, score double, cos_sim double")
         qv = pseudo_embedding(query, self.embedding_dim)
-        res = knn_bruteforce(self.embeddings, qv, k=k)
+        if self.ann_index_dir is not None and self.ann_kind == "ivf":
+            from ..operators.similarity import knn_ivf_probe
+
+            res = knn_ivf_probe(
+                self.ann_df, self.ann_centroids, qv, k=k, n_probe=self.ann_n_probe
+            )
+        elif self.ann_index_dir is not None:
+            from ..operators.similarity import knn_lsh_probe
+
+            res = knn_lsh_probe(
+                spark, self.ann_index_dir, qv, k=k, max_hamming=self.ann_max_hamming
+            )
+        else:
+            res = knn_bruteforce(self.embeddings, qv, k=k)
         hits = res.select(
-            F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("score")
+            F.col("vec_id").alias("doc_id"),
+            F.col("cos_sim").alias("score"),
+            "cos_sim",
         )
         if not rerank:
             return hits
@@ -223,7 +282,7 @@ class HybridSearchPlan:
         )
         return rapidfuzz_rerank(
             with_text, query, text_col=self.text_col, score_col="score"
-        ).select("doc_id", "score")
+        ).select("doc_id", "score", "cos_sim")
 
     # -- plan -------------------------------------------------------------
 
@@ -291,20 +350,61 @@ class HybridSearchPlan:
             )
 
         vector = None
-        if escalate and self.embeddings is not None:
+        vec_rows: list = []
+        have_vectors = self.embeddings is not None or self.ann_index_dir is not None
+        if escalate and have_vectors:
             t2 = time.monotonic()
             vec_rows = self.vector_stage(
                 query, k, rerank=opts.rapidfuzz_rerank
             ).collect()
-            vector = spark.createDataFrame(vec_rows, schema)
             trace.append(
                 SearchTraceStep(
                     "SEMANTIC",
                     len(vec_rows),
                     max((r["score"] for r in vec_rows), default=0.0),
                     (time.monotonic() - t2) * 1000,
+                    {"ann": self.ann_kind if self.ann_index_dir else "bruteforce"},
                 )
             )
+
+        # stage-4 gating (_should_use_vector_fallback,
+        # hybrid_search_service.py:930-955): no AC hits, AC very weak, or
+        # vectors decisively better — otherwise the vector hits are dropped
+        vec_best = max((r["score"] for r in vec_rows), default=0.0)
+        use_vector = bool(vec_rows) and opts.enable_vector_fallback and (
+            ac_n == 0
+            or ac_best < opts.weak_ac_threshold
+            or vec_best > opts.vector_better_factor * ac_best
+        )
+
+        if use_vector:
+            # post-boosts on vector-fallback hits (hybrid_search_service.py:
+            # 1248-1260): cosine > 0.7 ⇒ ×1.3, > 0.5 ⇒ ×1.1 — driver-side over
+            # the k-bounded collected rows, the cosine rides in the stage output
+            boosted = []
+            for r in vec_rows:
+                s, cos = r["score"], r["cos_sim"]
+                if opts.enable_cosine_boost:
+                    if cos > 0.7:
+                        s *= 1.3
+                    elif cos > 0.5:
+                        s *= 1.1
+                boosted.append({"doc_id": r["doc_id"], "score": s})
+            vector = spark.createDataFrame(boosted, schema)
+            if opts.enable_anchor_boost:
+                # L10 anchors (dob ⇒ ×1.2, id ⇒ ×1.1): needs the candidate
+                # text — broadcast join of ≤ k hits against the doc store
+                from ..operators.fuzzy import anchor_boost, extract_anchors
+
+                dates, ids = extract_anchors(query)
+                if dates or ids:
+                    with_text = self.docs.select("doc_id", self.text_col).join(
+                        F.broadcast(vector), "doc_id"
+                    )
+                    vector = anchor_boost(
+                        with_text, query, text_col=self.text_col,
+                        dob_boost=1.2, id_boost=1.1,
+                    ).select("doc_id", "score")
 
         if vector is not None:
             fused = combine_results(
@@ -314,5 +414,10 @@ class HybridSearchPlan:
             fused = lexical.select("doc_id", "score")
 
         result = topk(dedup_keep_best(fused), k)
-        trace.append(SearchTraceStep("HYBRID", -1, ac_best, 0.0, {"escalated": escalate}))
+        trace.append(
+            SearchTraceStep(
+                "HYBRID", -1, ac_best, 0.0,
+                {"escalated": escalate, "vector_fallback_used": use_vector},
+            )
+        )
         return result, trace
