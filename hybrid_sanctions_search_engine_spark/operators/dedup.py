@@ -268,7 +268,11 @@ def minhash_lsh_pairs(
     bucket) so only same-bucket collisions shuffle.  The banded frame is
     persisted because a self-join otherwise evaluates the signature UDF
     twice; candidates are persisted because they feed both the semi-join
-    pruning of the verify scan and the verify join itself."""
+    pruning of the verify scan and the verify join itself.  Every
+    intermediate cache is released before returning: the verified result is
+    materialized (persist+count) so ``cand`` can be unpersisted eagerly —
+    the returned frame holds only the above-threshold pairs; callers that
+    invoke this in a loop should ``unpersist()`` it when done."""
     docs = _widen_narrow_scan(docs)
     banded = minhash_band_buckets(docs, n_hashes, bands, shingle_n, text_col).persist()
     cand = (
@@ -310,7 +314,10 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", _round4(F.col("jaccard")).alias("jaccard"))
+        .persist()
     )
+    verified.count()
+    cand.unpersist()
     return verified
 
 

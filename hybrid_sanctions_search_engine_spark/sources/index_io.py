@@ -85,6 +85,14 @@ class IndexMeta:
     # fingerprint of the last delta folded by merge_compact — makes the fold
     # idempotent even if a caller re-runs after full success
     last_delta_fp: str = ""
+    # basenames of delta FILES whose postings are folded into the shards but
+    # may not be deleted yet (crash window between the meta commit and the
+    # compact job's file deletion).  Committed atomically WITH the stats in
+    # the same _index_meta.json write, so a rerun that sees new stream
+    # arrivals alongside the old files can exclude the already-folded ones
+    # instead of double-folding them (per-file idempotency; the snapshot
+    # fingerprint above only protects an IDENTICAL delta).
+    folded_delta_files: list | None = None
 
     @staticmethod
     def load(index_dir: str) -> "IndexMeta":
@@ -490,19 +498,19 @@ def build_index(
     # shard-salt sub-split), hash distribution already satisfied -> no second
     # shuffle; AQE cannot coalesce the small test-scale groups below count.
     if sub_splits > 1:
-        # salted path trade-off: df needs a global aggregate over a SECOND
-        # tokenize lineage (a term's postings no longer co-locate in one
-        # encode task) — the extra pass buys bounded encode tasks under
-        # extreme Zipf skew.  Kept off the Observation branch so stats are
-        # counted exactly once.
-        tdf = (
-            tokenized_documents(docs, text_col)
-            .select("doc_id", F.explode("tokens").alias("term"))
-            .groupBy("term")
-            .agg(F.count_distinct("doc_id").cast("long").alias("df"))
-        )
+        # A term's postings no longer co-locate in one encode task, so df is
+        # computed over the POSTING frame with a window partitioned by term —
+        # one extra narrow shuffle of (term, doc_id, tf, doc_len) rows, zero
+        # re-tokenize, single lineage (round-2's version paid a second full
+        # tokenize pass for the same number; the spy test now pins one
+        # tokenize with sub_splits > 1 too).  One row per (term, doc_id) ⇒
+        # count(*) over the term partition IS the document frequency.
+        from pyspark.sql import Window
+
         salted = (
-            sharded.join(tdf, "term")
+            sharded.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+            )
             .withColumn("salt", F.pmod(F.col("chunk"), F.lit(sub_splits)).cast("int"))
         )
         summary = (

@@ -132,7 +132,8 @@ MERGE_SUMMARY_SCHEMA = "shard int, manifest_json string"
 def merge_compact(
     spark: SparkSession,
     index_dir: str,
-    delta_postings: DataFrame,
+    delta_postings: DataFrame | None = None,
+    delta_files: list[str] | None = None,
 ) -> dict:
     """Fold streamed delta postings into the base index WITHOUT re-tokenizing
     any document: for each delta-touched shard, decode the stored posting
@@ -157,11 +158,23 @@ def merge_compact(
     function refuses salted layouts), (3) commits the final manifest.
     Re-running after a crash is safe: a shard whose manifest says
     'compacting' with the SAME fingerprint and no dot-file pending was
-    already swapped — it is skipped and only its manifest is finalized;
-    any other 'compacting' state still has the ORIGINAL data.parquet (the
-    replace never ran), so the re-merge reads consistent base data.  After
-    the final IndexMeta commit the fold is COMPLETE — callers must then
-    clear the delta before invoking again (jobs/compact_job.py does)."""
+    already swapped — it is skipped and only its manifest is finalized.
+    When BOTH the dot-file and data.parquet are present, the swap may have
+    half-run on an object store (``fs.move`` is copy+delete there, not
+    atomic): the 'compacting' manifest records the merged file's exact
+    size+rows, and data.parquet is compared against them — a match means
+    the copy landed (only the tmp delete is pending), anything else means
+    the ORIGINAL data.parquet is still in place and the re-merge reads
+    consistent base data.  After the final IndexMeta commit the fold is
+    COMPLETE — callers must then clear the delta before invoking again
+    (jobs/compact_job.py does).
+
+    Pass ``delta_files`` (the caller's snapshot of delta parquet paths) for
+    PER-FILE idempotency: files recorded as folded in ``IndexMeta.
+    folded_delta_files`` are excluded from this fold, so a rerun after a
+    crash in the delete window cannot double-fold them even when the stream
+    appended new files in between (the snapshot fingerprint alone only
+    protects an identical delta)."""
     import json as _json
     import time
 
@@ -188,6 +201,33 @@ def merge_compact(
     fs = fs_for(index_dir)
     t_all = time.monotonic()
 
+    # per-file idempotency: drop files a prior (crashed-before-delete) run
+    # already folded, read only the remainder
+    files_excluded: list[str] = []
+    files_folded: list[str] = []
+    if delta_files is not None:
+        already_folded = set(meta.folded_delta_files or [])
+        keep = [f for f in delta_files if os.path.basename(f) not in already_folded]
+        files_excluded = sorted(
+            os.path.basename(f) for f in delta_files if f not in keep
+        )
+        if not keep:
+            return {
+                "shards_compacted": [],
+                "new_docs": 0,
+                "new_tokens": 0,
+                "n_docs": meta.n_docs,
+                "avgdl": meta.avgdl,
+                "files_folded": [],
+                "files_excluded": files_excluded,
+                "elapsed_sec": round(time.monotonic() - t_all, 3),
+                "noop": "all delta files already folded",
+            }
+        files_folded = sorted(os.path.basename(f) for f in keep)
+        delta_postings = spark.read.parquet(*keep)
+    elif delta_postings is None:
+        raise ValueError("pass delta_postings or delta_files")
+
     stats_row = (
         delta_postings.select("doc_id", "doc_len")
         .distinct()
@@ -212,6 +252,8 @@ def merge_compact(
             "new_tokens": 0,
             "n_docs": meta.n_docs,
             "avgdl": meta.avgdl,
+            "files_folded": files_folded,
+            "files_excluded": files_excluded,
             "elapsed_sec": round(time.monotonic() - t_all, 3),
             "noop": "delta already folded (fingerprint match)",
         }
@@ -252,6 +294,31 @@ def merge_compact(
                 # replace already happened for THIS delta; only the final
                 # manifest commit is missing — finalize below, don't re-merge
                 already_swapped.add(s)
+            elif mf.get("delta_fp") == delta_fp:
+                # tmp AND data.parquet both present: on an object store the
+                # swap is copy+delete, so a crash in between leaves exactly
+                # this state with the NEW bytes already in data.parquet.
+                # The 'compacting' manifest recorded the merged file's
+                # size+rows — a match means the copy landed (only the tmp
+                # delete is pending); a mismatch means the replace never ran
+                # and the original base data is still in place (re-merge).
+                data_path = os.path.join(shard_dir, "data.parquet")
+                swapped = False
+                if mf.get("merged_bytes") is not None:
+                    try:
+                        if fs.getsize(data_path) == mf["merged_bytes"]:
+                            import pyarrow.parquet as _pq
+
+                            swapped = (
+                                _pq.ParquetFile(data_path).metadata.num_rows
+                                == mf.get("merged_rows")
+                            )
+                    except OSError:
+                        swapped = False
+                if swapped:
+                    fs.delete(os.path.join(shard_dir, tmp_name))
+                    already_swapped.add(s)
+                # else: original data.parquet intact — fall through to re-merge
             elif mf.get("delta_fp") not in (None, delta_fp):
                 raise RuntimeError(
                     f"shard {s} was mid-compaction with a DIFFERENT delta "
@@ -314,9 +381,18 @@ def merge_compact(
         manifest = _json.loads(row["manifest_json"])
         manifest["delta_fp"] = delta_fp
         shard_dir = os.path.join(index_dir, f"shard={s}")
+        # merged size+rows ride the 'compacting' manifest so a rerun can tell
+        # a half-finished object-store move (copy landed, delete pending)
+        # from an untouched base data.parquet — see the recovery pre-pass
         fs.commit_json(
             os.path.join(shard_dir, "_manifest.json"),
-            {"status": "compacting", "shard": s, "delta_fp": delta_fp},
+            {
+                "status": "compacting",
+                "shard": s,
+                "delta_fp": delta_fp,
+                "merged_bytes": manifest["bytes"],
+                "merged_rows": manifest["chunks"],
+            },
         )
         fs.move(
             os.path.join(shard_dir, tmp_name),
@@ -351,6 +427,14 @@ def merge_compact(
 
     new_total = meta.total_tokens + new_tokens
     new_n = meta.n_docs + new_docs
+    # folded-file record: this run's files + previously-recorded ones still
+    # present in the caller's snapshot (i.e. folded but not yet deleted);
+    # entries for files a prior job already deleted age out naturally
+    folded_record = None
+    if delta_files is not None:
+        snapshot = {os.path.basename(f) for f in delta_files}
+        prior = set(meta.folded_delta_files or []) & snapshot
+        folded_record = sorted(prior | set(files_folded))
     new_meta = IndexMeta(
         n_docs=new_n,
         avgdl=float(new_total) / max(new_n, 1),
@@ -362,6 +446,7 @@ def merge_compact(
         has_positions=False,
         total_tokens=new_total,
         last_delta_fp=delta_fp,
+        folded_delta_files=folded_record,
     )
     fs.commit_json(os.path.join(index_dir, "_index_meta.json"), asdict(new_meta))
     return {
@@ -372,6 +457,8 @@ def merge_compact(
         "new_tokens": new_tokens,
         "n_docs": new_n,
         "avgdl": new_meta.avgdl,
+        "files_folded": files_folded,
+        "files_excluded": files_excluded,
         "elapsed_sec": round(time.monotonic() - t_all, 3),
     }
 

@@ -49,8 +49,10 @@ def main() -> None:
     if not files:
         print(json.dumps({"status": "noop", "reason": "empty delta"}))
         return
-    delta = spark.read.parquet(*files)
-    report = merge_compact(spark, args.index_dir, delta)
+    # per-file idempotency: merge_compact consults IndexMeta.folded_delta_files
+    # and excludes files a crashed prior run already folded (they are still
+    # safe to delete below — their postings are in the shards)
+    report = merge_compact(spark, args.index_dir, delta_files=files)
     if not args.keep_delta:
         for f in files:
             fs.delete(f)

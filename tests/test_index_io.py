@@ -150,6 +150,30 @@ def test_build_is_single_pass(spark, sf_smoke_dir, tmp_path_factory, monkeypatch
     assert abs(report["avgdl"] - ref.avgdl) < 1e-9
 
 
+def test_salted_build_is_single_tokenize(spark, sf_smoke_dir, tmp_path_factory, monkeypatch):
+    """The salted (sub_splits > 1) path must also tokenize the corpus exactly
+    once: df comes from a window over the already-shuffled posting frame, not
+    a second tokenized_documents lineage (round-3 verdict item 7)."""
+    import hybrid_sanctions_search_engine_spark.operators.postings as post_mod
+    from hybrid_sanctions_search_engine_spark.sources import index_io
+
+    docs = spark.read.parquet(os.path.join(sf_smoke_dir, "documents.parquet"))
+    calls: list[int] = []
+    orig = post_mod.tokenized_documents
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(post_mod, "tokenized_documents", spy)
+    index_dir = str(tmp_path_factory.mktemp("salted_single_tok"))
+    index_io.build_index(
+        docs, index_dir, n_shards=4, chunk_bits=6, resume=False, sub_splits=3
+    )
+    monkeypatch.undo()
+    assert len(calls) == 1
+
+
 def test_fs_abstraction_roundtrip(tmp_path):
     """LocalIndexFS + ArrowIndexFS expose the same contract; the Arrow
     implementation works against local paths via pyarrow.fs (the same code

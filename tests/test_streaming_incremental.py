@@ -293,3 +293,170 @@ def test_merge_compact_rerun_is_idempotent(spark, sf_smoke_dir, tmp_path):
     assert mf["status"] == "complete" and mf.get("recovered")
     assert IndexMeta.load(idx_dir).n_docs == good_meta.n_docs
     assert topk() == want
+
+
+def test_per_file_fold_idempotency(spark, sf_smoke_dir, tmp_path):
+    """ADVICE r2: a crash AFTER the meta commit but BEFORE the delta files
+    are deleted, followed by a new stream arrival, must not double-fold the
+    old files — merge_compact(delta_files=...) excludes files recorded in
+    IndexMeta.folded_delta_files and folds only the new arrival."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.operators.postings import build_postings
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+    from hybrid_sanctions_search_engine_spark.sources.index_io import IndexMeta
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import merge_compact
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    base_docs = docs.where(F.col("doc_id") % 3 == 0)
+    wave1_docs = docs.where(F.col("doc_id") % 3 == 1)
+    wave2_docs = docs.where(F.col("doc_id") % 3 == 2)
+
+    idx_dir = str(tmp_path / "pf_idx")
+    delta_dir = str(tmp_path / "pf_delta")
+    build_index(base_docs, idx_dir, n_shards=4, chunk_bits=6, resume=False)
+
+    def delta_files():
+        return sorted(
+            _os.path.join(delta_dir, f)
+            for f in _os.listdir(delta_dir)
+            if f.endswith(".parquet")
+        )
+
+    build_postings(wave1_docs, positions=False).coalesce(1).write.mode(
+        "append"
+    ).parquet(delta_dir)
+    wave1_files = delta_files()
+    rep1 = merge_compact(spark, idx_dir, delta_files=wave1_files)
+    assert sorted(rep1["files_folded"]) == sorted(
+        _os.path.basename(f) for f in wave1_files
+    )
+    meta1 = IndexMeta.load(idx_dir)
+    assert set(meta1.folded_delta_files) == {
+        _os.path.basename(f) for f in wave1_files
+    }
+
+    # crash window: wave-1 files NOT deleted; the stream appends wave 2
+    build_postings(wave2_docs, positions=False).coalesce(1).write.mode(
+        "append"
+    ).parquet(delta_dir)
+    all_files = delta_files()
+    assert len(all_files) > len(wave1_files)
+    rep2 = merge_compact(spark, idx_dir, delta_files=all_files)
+    assert sorted(rep2["files_excluded"]) == sorted(
+        _os.path.basename(f) for f in wave1_files
+    )
+    assert rep2["files_folded"] == sorted(
+        _os.path.basename(f) for f in all_files if f not in wave1_files
+    )
+
+    # state must equal a from-scratch build over ALL docs (no double fold)
+    scratch = str(tmp_path / "pf_scratch")
+    build_index(docs, scratch, n_shards=4, chunk_bits=6, resume=False)
+    m, s = IndexMeta.load(idx_dir), IndexMeta.load(scratch)
+    assert (m.n_docs, m.total_tokens) == (s.n_docs, s.total_tokens)
+    for q in ["spark query join", "window"]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, idx_dir, q, k=10).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, scratch, q, k=10).collect()
+        ]
+        assert got == want, q
+
+    # a rerun with everything already folded is a per-file no-op
+    rep3 = merge_compact(spark, idx_dir, delta_files=all_files)
+    assert rep3["noop"] and rep3["files_folded"] == []
+
+
+def test_half_finished_object_store_swap(spark, sf_smoke_dir, tmp_path):
+    """ADVICE r2: on object stores fs.move is copy+delete; a crash in between
+    leaves BOTH the new data.parquet and the tmp file.  The recovery pre-pass
+    must compare data.parquet against the size+rows recorded in the
+    'compacting' manifest: match ⇒ swap finished (finalize, delete tmp, no
+    re-merge); mismatch ⇒ original data intact (safe re-merge)."""
+    import json
+    import shutil as _sh
+    import os as _os
+    from dataclasses import asdict
+
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.operators.postings import build_postings
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+    from hybrid_sanctions_search_engine_spark.sources.index_io import IndexMeta
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import merge_compact
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    base_docs = docs.where(F.col("doc_id") % 4 != 0)
+    delta = build_postings(
+        docs.where(F.col("doc_id") % 4 == 0), positions=False
+    )
+
+    idx_dir = str(tmp_path / "swap_idx")
+    build_index(base_docs, idx_dir, n_shards=4, chunk_bits=6, resume=False)
+    pre_meta = IndexMeta.load(idx_dir)
+    # keep pristine pre-merge copies of every shard
+    backup = str(tmp_path / "swap_backup")
+    _sh.copytree(idx_dir, backup)
+
+    merge_compact(spark, idx_dir, delta)
+    good_meta = IndexMeta.load(idx_dir)
+    fp = good_meta.last_delta_fp
+
+    def topk(q="spark query join"):
+        return [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, idx_dir, q, k=10).collect()
+        ]
+
+    want = topk()
+    victim = _os.path.join(idx_dir, "shard=0")
+    final_mf = json.load(open(_os.path.join(victim, "_manifest.json")))
+    merged_data = _os.path.join(victim, "data.parquet")
+
+    # --- case 1: copy landed, tmp delete pending -------------------------
+    _sh.copyfile(merged_data, _os.path.join(victim, ".tmp-merge.parquet"))
+    json.dump(
+        {
+            "status": "compacting",
+            "shard": 0,
+            "delta_fp": fp,
+            "merged_bytes": final_mf["bytes"],
+            "merged_rows": final_mf["chunks"],
+        },
+        open(_os.path.join(victim, "_manifest.json"), "w"),
+    )
+    json.dump(asdict(pre_meta), open(_os.path.join(idx_dir, "_index_meta.json"), "w"))
+    rep = merge_compact(spark, idx_dir, delta)
+    assert 0 in rep["shards_recovered"] and 0 not in rep["shards_compacted"]
+    assert not _os.path.exists(_os.path.join(victim, ".tmp-merge.parquet"))
+    mf = json.load(open(_os.path.join(victim, "_manifest.json")))
+    assert mf["status"] == "complete"
+    assert IndexMeta.load(idx_dir).n_docs == good_meta.n_docs
+    assert topk() == want
+
+    # --- case 2: replace never ran (original data intact) ----------------
+    _sh.copyfile(merged_data, _os.path.join(victim, ".tmp-merge.parquet"))
+    _sh.copyfile(_os.path.join(backup, "shard=0", "data.parquet"), merged_data)
+    assert _os.path.getsize(merged_data) != final_mf["bytes"]  # states differ
+    json.dump(
+        {
+            "status": "compacting",
+            "shard": 0,
+            "delta_fp": fp,
+            "merged_bytes": final_mf["bytes"],
+            "merged_rows": final_mf["chunks"],
+        },
+        open(_os.path.join(victim, "_manifest.json"), "w"),
+    )
+    json.dump(asdict(pre_meta), open(_os.path.join(idx_dir, "_index_meta.json"), "w"))
+    rep = merge_compact(spark, idx_dir, delta)
+    assert 0 in rep["shards_compacted"]  # genuinely re-merged
+    mf = json.load(open(_os.path.join(victim, "_manifest.json")))
+    assert mf["status"] == "complete"
+    assert topk() == want
