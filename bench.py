@@ -121,6 +121,31 @@ def main() -> None:
                 ).collect(),
             )
 
+        # high-frequency phrase over a positions-enabled index (the
+        # vectorized per-chunk positional intersection)
+        from hybrid_sanctions_search_engine_spark.plans.wand import phrase_search
+
+        pos_dir = tempfile.mkdtemp(prefix="bench_index_pos_")
+        try:
+            build_index(docs, pos_dir, n_shards=8, chunk_bits=9, resume=False,
+                        store_positions=True)
+            pidx, pmeta = load_index(spark, pos_dir)
+            pidx = pidx.cache()
+            pidx.count()
+            n_phrase = len(
+                phrase_search(spark, pos_dir, "table value",
+                              index_df=pidx, meta=pmeta).collect()
+            )
+            timed_best2(
+                "q_phrase_indexed_hifreq",
+                lambda: phrase_search(spark, pos_dir, "table value",
+                                      index_df=pidx, meta=pmeta).collect(),
+            )
+            extra["phrase_hifreq_matches"] = n_phrase
+            pidx.unpersist()
+        finally:
+            shutil.rmtree(pos_dir, ignore_errors=True)
+
         # driver-contract queries (same definitions the correctness gate
         # runs); best-of-2 like the builds — hypervisor steal waves swing
         # single runs ±50% on this box (BENCH.md measurement discipline)

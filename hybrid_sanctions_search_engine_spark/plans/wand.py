@@ -312,43 +312,54 @@ PHRASE_SCHEMA = StructType(
 )
 
 
-def _phrase_chunk_scorer(ordered_terms: list[str]):
-    """Per-chunk phrase matcher over decoded postings + position streams."""
+_PHRASE_POS_BITS = 40  # positions < 2^40 — far beyond any document length
+
+
+def _phrase_chunk_scorer(ordered_terms: list[str], chunk_bits: int):
+    """Per-chunk phrase matcher over decoded postings + position streams.
+
+    Fully vectorized: each term's postings flatten to packed int64 keys
+    ``(doc_id_within_chunk << 40) | (pos − term_offset)`` (within one chunk,
+    local doc ids fit in ``chunk_bits`` bits), and a phrase occurrence is a
+    key present for EVERY term — one ``np.intersect1d`` chain per chunk, no
+    per-candidate-doc Python loop (round-3 verdict item 8; the loop version
+    cost O(candidate docs) interpreter iterations per chunk)."""
     from ..functions.codec import varint_decode
 
     def match(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        per_term: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+        empty = pd.DataFrame({"doc_id": [], "n_occurrences": []}).astype(
+            {"doc_id": np.int64, "n_occurrences": np.int32}
+        )
+        chunk_base = int(key[0]) << chunk_bits
+        per_term: dict[str, np.ndarray] = {}
         for _, row in pdf.iterrows():
-            ids = delta_decode(row["doc_gaps"])
+            ids = delta_decode(row["doc_gaps"]).astype(np.int64)
             tfs = varint_decode(row["tfs"]).astype(np.int64)
             deltas = varint_decode(row["positions"]).astype(np.int64)
-            # split the flat delta stream into per-posting position lists
-            bounds = np.cumsum(tfs)[:-1]
-            plists = [np.cumsum(seg) for seg in np.split(deltas, bounds)]
-            per_term[row["term"]] = (ids, plists)
+            # positions: segmented cumsum of the flat delta stream (segment k
+            # = posting k's tf deltas), all-numpy
+            c = np.cumsum(deltas)
+            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+            seg_base = np.where(starts > 0, c[starts - 1], 0)
+            pos = c - np.repeat(seg_base, tfs)
+            local = np.repeat(ids - chunk_base, tfs)
+            per_term[row["term"]] = (local << _PHRASE_POS_BITS) | pos
         if any(t not in per_term for t in ordered_terms):
-            return pd.DataFrame({"doc_id": [], "n_occurrences": []}).astype(
-                {"doc_id": np.int64, "n_occurrences": np.int32}
-            )
-        # doc intersection across all phrase terms
-        common = per_term[ordered_terms[0]][0]
-        for t in ordered_terms[1:]:
-            common = np.intersect1d(common, per_term[t][0], assume_unique=True)
-        out_ids, out_n = [], []
-        for doc in common:
-            cand = None
-            for offset, t in enumerate(ordered_terms):
-                ids, plists = per_term[t]
-                pos = plists[int(np.searchsorted(ids, doc))] - offset
-                cand = pos if cand is None else np.intersect1d(cand, pos, assume_unique=True)
-                if cand.size == 0:
-                    break
-            if cand is not None and cand.size:
-                out_ids.append(int(doc))
-                out_n.append(int(cand.size))
+            return empty
+        # a phrase occurrence at (doc, p) needs term i at position p + i:
+        # shift each term's keys by its offset and intersect
+        keys = per_term[ordered_terms[0]]
+        for offset, t in enumerate(ordered_terms[1:], start=1):
+            kt = per_term[t] - offset  # (doc << 40) | (pos - offset)
+            keys = np.intersect1d(keys, kt, assume_unique=True)
+            if keys.size == 0:
+                return empty
+        docs, counts = np.unique(keys >> _PHRASE_POS_BITS, return_counts=True)
         return pd.DataFrame(
-            {"doc_id": np.array(out_ids, dtype=np.int64),
-             "n_occurrences": np.array(out_n, dtype=np.int32)}
+            {
+                "doc_id": docs + chunk_base,
+                "n_occurrences": counts.astype(np.int32),
+            }
         )
 
     return match
@@ -384,6 +395,6 @@ def phrase_search(
     )
     return (
         matched.groupBy("chunk")
-        .applyInPandas(_phrase_chunk_scorer(terms), PHRASE_SCHEMA)
+        .applyInPandas(_phrase_chunk_scorer(terms, meta.chunk_bits), PHRASE_SCHEMA)
         .orderBy("doc_id")
     )
