@@ -122,12 +122,37 @@ _SURNAME_OBLIQUE = [
     ("ева", "ев", "ева"), ("еву", "ев", "ева"),
     ("ина", "ин", "ина"), ("ину", "ин", "ина"),
     ("ына", "ын", "ына"), ("ыну", "ын", "ына"),
-    # uk masculine -енку/-енка → -енко (invariable nominative)
+    # uk masculine -енку/-енка → -енко (invariable nominative), incl.
+    # instrumental -енком and dative/locative -енкові
     ("енку", "енко", "енко"), ("енка", "енко", "енко"),
+    ("енком", "енко", "енко"), ("енкові", "енко", "енко"),
     # -ук/-юк/-чук oblique
     ("ука", "ук", "ук"), ("уку", "ук", "ук"), ("уком", "ук", "ук"),
     ("юка", "юк", "юк"), ("юку", "юк", "юк"), ("юком", "юк", "юк"),
+    # --- adversarial-suite additions (tests/test_declension_adversarial.py) —
+    # paradigm families the golden 31 never sampled ---
+    # plural obliques (семья Ивановых / с Ивановыми) → masculine nominative
+    ("овыми", "ов", None), ("овых", "ов", None),
+    ("евыми", "ев", None), ("евых", "ев", None),
+    ("иными", "ин", None), ("иных", "ин", None),
+    ("ыными", "ын", None),
+    ("скими", "ский", None), ("ских", "ский", None),
+    ("цкими", "цкий", None), ("цких", "цкий", None),
+    ("ськими", "ський", None), ("ських", "ський", None),
+    # Armenian -ян (invariable for women, declines for men)
+    ("яна", "ян", None), ("яну", "ян", None), ("яном", "ян", None), ("яне", "ян", None),
+    # -ич surnames (Рабинович) — distinct from the patronymic path
+    ("ича", "ич", None), ("ичу", "ич", None), ("ичем", "ич", None), ("иче", "ич", None),
+    # uk dative/locative -ові on consonant-stem surnames (Ковальчукові)
+    ("ові", "", None),
 ]
+
+# adjective-type surnames: the oblique endings -ого/-ому/-ым/-ом are shared
+# by -ый (Белый) and stressed -ой (Толстой) nominatives — without pymorphy's
+# dictionary the default is -ый, with the common stressed--ой stems listed
+# explicitly (reference SURNAME_EXCEPTIONS-style legacy table)
+_ADJ_OI_STEMS = ("толст", "полев", "лугов", "сед", "крут", "больш", "долгорук")
+_ADJ_SURNAME_OBLIQUE = [("ого", "ый"), ("ому", "ый"), ("ым", "ый")]
 
 SURNAME_SUFFIXES = (
     "ов", "ев", "ёв", "ин", "ын", "ін", "ова", "ева", "ёва", "ина", "ына", "іна",
@@ -135,6 +160,7 @@ SURNAME_SUFFIXES = (
     "енко", "ко", "ук", "юк", "чук", "як", "швили", "ишвили", "дзе",
     "ского", "скому", "ским", "ской", "ову", "еву", "ину", "овой", "евой", "иной",
     "овым", "евым", "иным", "ського", "ської", "енку", "енка",
+    "ян", "яна", "яну", "яном", "овых", "овыми", "евых", "евыми", "ских", "скими",
 )
 
 
@@ -163,6 +189,12 @@ def surname_to_nominative(token: str, gender: str | None = None) -> str:
         if fem is not None:
             return stem + fem
         return stem + masc
+    # adjective-type fallback AFTER the specific tables (-ского etc. above):
+    # -ого/-ому/-ым → -ый, or -ой for the known stressed-ending stems
+    for obl, nom in _ADJ_SURNAME_OBLIQUE:
+        if t.endswith(obl) and len(t) > len(obl) + 2:
+            stem = token[: len(token) - len(obl)]
+            return stem + ("ой" if stem.lower() in _ADJ_OI_STEMS else nom)
     return token
 
 
@@ -200,6 +232,9 @@ _GIVEN_EN = (
 # only when the result is a known given name — avoids mangling unknowns)
 _GIVEN_OBLIQUE = [
     ("ієві", ["ій"]), ("ієм", ["ій"]), ("ією", ["ія"]),
+    # instrumental -ией/-ей (Марией → Мария) and uk vocative/dative 'ї
+    # (Дар'ї → Дар'я) — adversarial-suite additions
+    ("ией", ["ия"]), ("ей", ["я", "ей"]), ("ї", ["я"]),
     ("ої", ["а", "ая"]), ("ою", ["а", "я"]), ("ею", ["я", "а"]),
     ("ии", ["ия", "ий"]), ("ія", ["ій"]), ("ію", ["ія", "ій"]), ("ії", ["ія"]),
     ("ьи", ["ья"]), ("ье", ["ья"]), ("ью", ["ья"]),
@@ -228,6 +263,8 @@ RU2UK_GIVEN = {
 
 def is_given_name(token: str, lang: str) -> bool:
     t = token.lower().replace("ё", "е")
+    if lang in ("ru", "uk"):
+        t = _fold_apostrophes(t)
     if lang == "uk":
         return t in _GIVEN_UK or t in _GIVEN_RU or _strip_given_oblique(t, "uk") is not None
     if lang == "ru":
@@ -244,7 +281,20 @@ def _strip_given_oblique(t: str, lang: str) -> str | None:
         for nom in noms:
             if stem + nom in vocab:
                 return stem + nom
+            # fleeting-vowel restore (Павлом → Павел, Львом → Лев): oblique
+            # stems of е-dropping names need the е re-inserted before the
+            # final consonant — still dictionary-gated, so unknowns survive
+            if len(stem) >= 2:
+                fleet = stem[:-1] + "е" + stem[-1] + nom
+                if fleet in vocab:
+                    return fleet
     return None
+
+
+def _fold_apostrophes(t: str) -> str:
+    """ASCII ' and RIGHT SINGLE QUOTE ’ → MODIFIER LETTER APOSTROPHE ʼ — the
+    form the reference's diminutive dictionaries store (Дарʼя etc.)."""
+    return t.replace("'", "ʼ").replace("’", "ʼ")
 
 
 def given_to_nominative(token: str, lang: str) -> str:
@@ -253,6 +303,7 @@ def given_to_nominative(token: str, lang: str) -> str:
     t = token.lower().replace("ё", "е")
     if lang == "en":
         return EN_NICKNAMES.get(t, t)
+    t = _fold_apostrophes(t)
     if lang == "uk":
         nom = t if (t in _GIVEN_UK or t in _GIVEN_RU) else (_strip_given_oblique(t, "uk") or t)
         nom = DIMINUTIVES_UK.get(nom) or DIMINUTIVES_RU.get(nom) or nom

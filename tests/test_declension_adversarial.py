@@ -1,0 +1,146 @@
+"""Adversarial declension suite beyond the reference's 31 golden cases.
+
+Round-3 verdict item 6: the golden cases sample only a slice of the RU/UK
+paradigm space; this fixture walks FULL case paradigms per ending family —
+plural obliques, instrumental/locative forms, adjective-type surnames,
+Armenian -ян, surname -ич, uk -ові datives — and quantifies the long-tail
+rate of the rule-table morphology (``functions/morphology.py``), which
+replaces pymorphy3 (not installable here; reference
+``morphology_adapter.py:74-300`` + ``morphology/gender_rules.py``).
+
+Known dictionary-only failures (fleeting-vowel SURNAMES like Кравец→Кравца;
+given names are handled by the dictionary-gated fleeting-е restore) are
+listed separately and excluded from the hard assertions but still counted in
+the reported rate.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hybrid_sanctions_search_engine_spark.functions.morphology import (
+    given_to_nominative,
+    patronymic_to_nominative,
+    surname_to_nominative,
+)
+
+# (oblique form, expected nominative, gender) — full paradigms per family
+SURNAME_CASES = [
+    # ru -ов masculine: gen/acc, dat, instr, prep
+    ("иванова", "иванов", "male"), ("иванову", "иванов", "male"),
+    ("ивановым", "иванов", "male"), ("иванове", "иванов", "male"),
+    # ru -ов feminine: gen/dat/instr/prep -ой, acc -у, archaic instr -ою
+    ("ивановой", "иванова", "female"), ("иванову", "иванова", "female"),
+    ("ивановою", "иванова", "female"),
+    # plural obliques (семья Ивановых, с Ивановыми)
+    ("ивановых", "иванов", "male"), ("ивановыми", "иванов", "male"),
+    # ru -ев
+    ("григорьева", "григорьев", "male"), ("григорьевым", "григорьев", "male"),
+    ("григорьевой", "григорьева", "female"), ("григорьевыми", "григорьев", "male"),
+    # ru -ин
+    ("пушкина", "пушкин", "male"), ("пушкину", "пушкин", "male"),
+    ("пушкиным", "пушкин", "male"), ("пушкине", "пушкин", "male"),
+    ("пушкиной", "пушкина", "female"), ("пушкиными", "пушкин", "male"),
+    ("пушкиных", "пушкин", "male"),
+    # ru -ский/-ская
+    ("боярского", "боярский", "male"), ("боярскому", "боярский", "male"),
+    ("боярским", "боярский", "male"), ("боярском", "боярский", "male"),
+    ("боярской", "боярская", "female"), ("боярскую", "боярская", "female"),
+    ("боярскими", "боярский", "male"), ("боярских", "боярский", "male"),
+    # adjective-type -ый and stressed -ой (exception-listed stems)
+    ("белого", "белый", "male"), ("толстого", "толстой", "male"),
+    ("толстому", "толстой", "male"), ("толстым", "толстой", "male"),
+    # uk -ський/-ська
+    ("ковальського", "ковальський", "male"), ("ковальському", "ковальський", "male"),
+    ("ковальським", "ковальський", "male"),
+    ("ковальської", "ковальська", "female"), ("ковальську", "ковальська", "female"),
+    ("ковальською", "ковальська", "female"),
+    # uk -енко: invariable nominative incl. instr -енком, dat/loc -енкові
+    ("шевченка", "шевченко", "male"), ("шевченку", "шевченко", "male"),
+    ("шевченком", "шевченко", "male"), ("шевченкові", "шевченко", "male"),
+    # -ук/-чук incl. uk dative -ові
+    ("ковальчука", "ковальчук", "male"), ("ковальчуку", "ковальчук", "male"),
+    ("ковальчуком", "ковальчук", "male"), ("ковальчукові", "ковальчук", "male"),
+    # Armenian -ян (declines for men, invariable for women)
+    ("петросяна", "петросян", "male"), ("петросяну", "петросян", "male"),
+    ("петросяном", "петросян", "male"),
+    # surname -ич (NOT a patronymic)
+    ("рабиновича", "рабинович", "male"), ("рабиновичу", "рабинович", "male"),
+    ("рабиновичем", "рабинович", "male"),
+    # invariables must pass through untouched
+    ("черных", "черных", "male"), ("живаго", "живаго", "male"),
+    ("шевчук", "шевчук", "male"), ("сагдеева", "сагдеев", "male"),
+]
+
+# dictionary-only: fleeting-vowel surname stems need pymorphy's lexicon
+SURNAME_KNOWN_HARD = [("кравца", "кравец", "male")]
+
+PATRONYMIC_CASES = [
+    ("ивановича", "иванович"), ("ивановичу", "иванович"),
+    ("ивановичем", "иванович"), ("ивановиче", "иванович"),
+    ("петровичем", "петрович"), ("сергеевича", "сергеевич"),
+    ("ивановны", "ивановна"), ("ивановне", "ивановна"),
+    ("ивановну", "ивановна"), ("ивановной", "ивановна"),
+    ("петрівни", "петрівна"), ("петрівні", "петрівна"),
+    ("петрівною", "петрівна"),
+    ("іллічем", "ілліч"), ("ільківни", "ільківна"),
+    ("никитичны", "никитична"), ("кузьминичны", "кузьминична"),
+]
+
+GIVEN_CASES = [
+    ("ивана", "иван", "ru"), ("ивану", "иван", "ru"),
+    ("иваном", "иван", "ru"), ("иване", "иван", "ru"),
+    ("марии", "мария", "ru"), ("марию", "мария", "ru"),
+    ("марией", "мария", "ru"),
+    ("петру", "пётр", "ru"), ("петром", "пётр", "ru"),
+    ("олені", "олена", "uk"), ("оленою", "олена", "uk"), ("олену", "олена", "uk"),
+    ("сергієві", "сергій", "uk"), ("сергієм", "сергій", "uk"), ("сергію", "сергій", "uk"),
+    # apostrophe folding: ASCII ' in the input, ʼ (U+02BC) in the
+    # dictionaries; the UK diminutive table then canonicalizes Дарʼя → Дарія
+    ("дар'ї", "дарія", "uk"), ("наталією", "наталія", "uk"),
+    # fleeting-е restore (Павлом → Павел), dictionary-gated
+    ("павлом", "павел", "ru"),
+    ("ольге", "ольга", "ru"), ("ольгой", "ольга", "ru"),
+    ("євгенові", "євген", "uk"), ("михайлові", "михайло", "uk"),
+]
+
+
+@pytest.mark.parametrize("form,want,gender", SURNAME_CASES)
+def test_surname_paradigms(form, want, gender):
+    assert surname_to_nominative(form, gender) == want
+
+
+@pytest.mark.parametrize("form,want", PATRONYMIC_CASES)
+def test_patronymic_paradigms(form, want):
+    assert patronymic_to_nominative(form) == want
+
+
+@pytest.mark.parametrize("form,want,lang", GIVEN_CASES)
+def test_given_paradigms(form, want, lang):
+    assert given_to_nominative(form, lang) == want
+
+
+def test_long_tail_rate_quantified():
+    """Report + floor the overall long-tail rate INCLUDING the known
+    dictionary-only failures (the honest number the verdict asked for)."""
+    total, ok = 0, 0
+    for form, want, gender in SURNAME_CASES + SURNAME_KNOWN_HARD:
+        total += 1
+        ok += surname_to_nominative(form, gender) == want
+    for form, want in PATRONYMIC_CASES:
+        total += 1
+        ok += patronymic_to_nominative(form) == want
+    for form, want, lang in GIVEN_CASES:
+        total += 1
+        ok += given_to_nominative(form, lang) == want
+    rate = ok / total
+    print(f"\nadversarial declension long-tail rate: {ok}/{total} = {rate:.3f}")
+    # everything except the fleeting-vowel surname lexicon gap
+    assert rate >= (total - len(SURNAME_KNOWN_HARD)) / total
+
+
+def test_known_hard_cases_documented():
+    """The residual gap is exactly the fleeting-vowel surname family — if a
+    future change fixes it, promote these into SURNAME_CASES."""
+    for form, want, gender in SURNAME_KNOWN_HARD:
+        assert surname_to_nominative(form, gender) != want
