@@ -427,6 +427,35 @@ def q_knn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return res.select("vec_id", _r4("cos_sim").alias("cos_sim"))
 
 
+def q_hybrid_ladder_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """L13 end-to-end: the adaptive AC → fuzzy → vector ladder with the
+    vector stage served from the partitioned IVF ANN index (the production
+    shape; reference `_hybrid_search` + ES HNSW).  Rows-only: the ladder is
+    driver-side adaptive control flow (stage gating on collected aggregates),
+    not SQL-expressible; stage semantics are pinned by tests/test_hybrid_plan
+    and tests/test_hybrid_ann."""
+    import tempfile
+
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        write_ivf_index,
+    )
+    from hybrid_sanctions_search_engine_spark.plans.hybrid import (
+        HybridSearchPlan,
+        SearchOpts,
+    )
+
+    docs = _docs(spark, sf)
+    emb = _tbl(spark, sf, "embeddings")
+    ann_dir = tempfile.mkdtemp(prefix="entry_hybrid_ann_")
+    write_ivf_index(emb, ann_dir, n_centroids=8)
+    plan = HybridSearchPlan(docs, embeddings=emb, ann_index_dir=ann_dir, ann_kind="ivf")
+    res, _trace = plan.search("sparc quary", SearchOpts(top_k=10))
+    plan.close()  # results are collected-row-backed; caches can go now
+    return res.select("doc_id", _r4("score").alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
 FUZZY_QUERY_NAME = "customer#000000012"
 
 
@@ -975,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_384": q_knn_cosine_384,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_lsh": q_knn_lsh,
+        "hybrid_ladder_ann": q_hybrid_ladder_ann,
         "fuzzy_candidates": q_fuzzy_candidates,
         "fuzzy_rescore": q_fuzzy_rescore,
         "similarity_blend": q_similarity_blend,

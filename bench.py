@@ -45,18 +45,18 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 4)
         return out
 
-    def timed_best2(name: str, fn):
-        """Best-of-2 for the build measurements: this box is co-tenant
+    def timed_best2(name: str, fn, repeats: int = 2):
+        """Best-of-N for the build measurements: this box is co-tenant
         (nonzero steal jiffies; single runs swing ±50% — see BENCH.md), and
         external interference only ever slows a run down, so the faster run
         is the less-biased sample."""
-        t0 = time.monotonic()
-        out = fn()
-        first = time.monotonic() - t0
-        t0 = time.monotonic()
-        out = fn()
-        second = time.monotonic() - t0
-        timings[name] = round(min(first, second), 4)
+        best = float("inf")
+        out = None
+        for _ in range(repeats):
+            t0 = time.monotonic()
+            out = fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 4)
         return out
 
     index_dir = tempfile.mkdtemp(prefix="bench_index_")
@@ -90,6 +90,7 @@ def main() -> None:
             "index_build_240k",
             lambda: build_index(expanded, big_dir, n_shards=64, chunk_bits=12,
                                 resume=False),
+            repeats=3,
         )
         extra["index_build_at_scale"] = {
             "n_docs": n_big,
@@ -97,7 +98,7 @@ def main() -> None:
             "postings_per_sec": round(
                 big_report["postings"] / timings["index_build_240k"], 1
             ),
-            "repeats": 2,
+            "repeats": 3,
         }
         expanded.unpersist()
         idx, meta = load_index(spark, index_dir)

@@ -152,6 +152,15 @@ class HybridSearchPlan:
             self.stats: CorpusStats = corpus_stats(docs, text_col)
             self.dictionary = term_doc_freq(self.postings).persist()
 
+    def close(self) -> None:
+        """Release the plan's persisted frames (postings/doc-lengths/
+        dictionary or the loaded index).  Results already returned by
+        ``search()`` stay valid — they are built from collected stage rows,
+        not from the cached lineage."""
+        for df in (self.index_df, self.postings, self.dl, self.dictionary):
+            if df is not None:
+                df.unpersist()
+
     # -- stages -----------------------------------------------------------
 
     def ac_stage(self, query: str, k: int) -> DataFrame:
