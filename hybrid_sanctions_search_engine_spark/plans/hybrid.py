@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.bm25 import bm25_topk, score_terms
-from ..operators.fusion import combine_results, dedup_keep_best, topk
 from ..operators.fuzzy import fuzzy_term_candidates
 from ..operators.postings import (
     CorpusStats,
@@ -336,19 +335,27 @@ class HybridSearchPlan:
         trace.append(
             SearchTraceStep("AC", ac_n, ac_best, (time.monotonic() - t0) * 1000)
         )
-        ac = spark.createDataFrame(ac_rows, schema)
 
         # escalation decision (_should_escalate, hybrid_search_service.py:912-928)
         escalate = opts.enable_escalation and (
             ac_n == 0 or ac_best < opts.escalation_threshold
         )
 
-        lexical = ac
+        # lexical keep-best merge is driver-side over k-bounded row sets
+        # (≤ 2k rows) — every stage result is already collected, so fusing
+        # through Spark jobs would only add per-job scheduling floors
+        lexical_best: dict[int, float] = {}
+        for r in ac_rows:
+            doc, sc = r["doc_id"], r["score"]
+            if doc not in lexical_best or sc > lexical_best[doc]:
+                lexical_best[doc] = sc
         if escalate:
             t1 = time.monotonic()
             fz_rows = self.fuzzy_stage(query, k, opts).collect()
-            fz = spark.createDataFrame(fz_rows, schema)
-            lexical = dedup_keep_best(ac.unionByName(fz))
+            for r in fz_rows:
+                doc, sc = r["doc_id"], r["score"]
+                if doc not in lexical_best or sc > lexical_best[doc]:
+                    lexical_best[doc] = sc
             trace.append(
                 SearchTraceStep(
                     "FUZZY",
@@ -358,7 +365,6 @@ class HybridSearchPlan:
                 )
             )
 
-        vector = None
         vec_rows: list = []
         have_vectors = self.embeddings is not None or self.ann_index_dir is not None
         if escalate and have_vectors:
@@ -386,11 +392,12 @@ class HybridSearchPlan:
             or vec_best > opts.vector_better_factor * ac_best
         )
 
+        vector_best: dict[int, float] | None = None
         if use_vector:
             # post-boosts on vector-fallback hits (hybrid_search_service.py:
             # 1248-1260): cosine > 0.7 ⇒ ×1.3, > 0.5 ⇒ ×1.1 — driver-side over
             # the k-bounded collected rows, the cosine rides in the stage output
-            boosted = []
+            vector_best = {}
             for r in vec_rows:
                 s, cos = r["score"], r["cos_sim"]
                 if opts.enable_cosine_boost:
@@ -398,31 +405,52 @@ class HybridSearchPlan:
                         s *= 1.3
                     elif cos > 0.5:
                         s *= 1.1
-                boosted.append({"doc_id": r["doc_id"], "score": s})
-            vector = spark.createDataFrame(boosted, schema)
+                doc = r["doc_id"]
+                if doc not in vector_best or s > vector_best[doc]:
+                    vector_best[doc] = s
             if opts.enable_anchor_boost:
                 # L10 anchors (dob ⇒ ×1.2, id ⇒ ×1.1): needs the candidate
-                # text — broadcast join of ≤ k hits against the doc store
+                # text — one broadcast semi-probe of ≤ k hits against the doc
+                # store, collected back for the driver-side fusion
                 from ..operators.fuzzy import anchor_boost, extract_anchors
 
                 dates, ids = extract_anchors(query)
                 if dates or ids:
+                    vector = spark.createDataFrame(
+                        [{"doc_id": d, "score": s} for d, s in vector_best.items()],
+                        schema,
+                    )
                     with_text = self.docs.select("doc_id", self.text_col).join(
                         F.broadcast(vector), "doc_id"
                     )
-                    vector = anchor_boost(
-                        with_text, query, text_col=self.text_col,
-                        dob_boost=1.2, id_boost=1.1,
-                    ).select("doc_id", "score")
+                    vector_best = {
+                        r["doc_id"]: r["score"]
+                        for r in anchor_boost(
+                            with_text, query, text_col=self.text_col,
+                            dob_boost=1.2, id_boost=1.1,
+                        ).select("doc_id", "score").collect()
+                    }
 
-        if vector is not None:
-            fused = combine_results(
-                lexical, vector, opts.ac_weight, opts.vector_weight
-            ).select("doc_id", "score")
+        # fusion (combine_results semantics, driver-side over ≤ 3k rows):
+        # ac_w·lex + vec_w·vec + shared bonus; empty AC escalates the vector
+        # weight to 1.0 (reference no-AC fallback, fusion.combine_results)
+        if vector_best is not None:
+            vec_w = 1.0 if not lexical_best else opts.vector_weight
+            fused: dict[int, float] = {}
+            for doc in lexical_best.keys() | vector_best.keys():
+                lex = lexical_best.get(doc)
+                vec = vector_best.get(doc)
+                score = (lex or 0.0) * opts.ac_weight + (vec or 0.0) * vec_w
+                if lex is not None and vec is not None:
+                    score += 0.1  # SHARED_HIT_BONUS
+                fused[doc] = score
         else:
-            fused = lexical.select("doc_id", "score")
+            fused = lexical_best
 
-        result = topk(dedup_keep_best(fused), k)
+        top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        result = spark.createDataFrame(
+            [{"doc_id": d, "score": s} for d, s in top], schema
+        )
         trace.append(
             SearchTraceStep(
                 "HYBRID", -1, ac_best, 0.0,
