@@ -247,6 +247,22 @@ def main() -> None:
                 "q_hybrid_escalated_ann",
                 lambda: plan_ann.search("sparc quary", SearchOpts(top_k=10))[0].collect(),
             )
+
+            # batched msearch ladder: 100 queries (1/3 typo'd so a realistic
+            # fraction escalates through fuzzy+vector) in ~4 Spark jobs
+            hybrid_batch = []
+            for i in range(100):
+                a, b = vocab[i % 20], vocab[(i * 7 + 3) % 20]
+                if i % 3 == 0:
+                    a = a[:-1] + "x"
+                hybrid_batch.append((i, f"{a} {b}"))
+            timed_best2(
+                "q_hybrid_batch_100",
+                lambda: plan_ann.search_many(hybrid_batch, SearchOpts(top_k=10))[0].collect(),
+            )
+            extra["amortized_ms_per_hybrid_query"] = round(
+                timings["q_hybrid_batch_100"] * 1000 / 100, 2
+            )
         finally:
             shutil.rmtree(ann_dir, ignore_errors=True)
     finally:

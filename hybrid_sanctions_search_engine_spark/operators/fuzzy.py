@@ -243,17 +243,17 @@ def similarity_blend_full(
     return pairs.withColumn(out_col, blend)
 
 
-def rapidfuzz_rerank(
+def rapidfuzz_rerank_expr(
     candidates: DataFrame,
-    query_text: str,
+    query_col,
     text_col: str = "text",
     score_col: str = "score",
 ) -> DataFrame:
-    """L9: the reference's vector-fallback reranking
-    (``hybrid_search_service.py:990-1030``): fuzz = max(ratio, partial_ratio,
-    token_sort_ratio) on a 0-100 scale; score ×1.2 when fuzz > 80, ×1.1 when
-    fuzz > 60; re-sort by the boosted score.  ratio/token_sort are JVM
-    Columns; partial_ratio is the Arrow UDF over the (small) candidate set."""
+    """L9 rerank with the query as a COLUMN (per-row query text — the batched
+    msearch ladder joins each hit with its own query string): fuzz =
+    max(ratio, partial_ratio, token_sort_ratio) on a 0-100 scale; score ×1.2
+    when fuzz > 80, ×1.1 when fuzz > 60.  ratio/token_sort are JVM Columns;
+    partial_ratio is the Arrow UDF over the (small) candidate set."""
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
@@ -261,7 +261,7 @@ def rapidfuzz_rerank(
     def partial_udf(a, b):
         return partial_ratio_series(a, b)
 
-    q = F.lit(query_text.lower())
+    q = F.lower(query_col)
     t = F.lower(F.col(text_col))
     ratio = (
         1.0 - F.levenshtein(q, t) / F.greatest(F.length(q), F.length(t), F.lit(1))
@@ -271,7 +271,7 @@ def rapidfuzz_rerank(
     token_sort = (
         1.0 - F.levenshtein(sq, st) / F.greatest(F.length(sq), F.length(st), F.lit(1))
     ) * 100.0
-    partial = partial_udf(F.lit(query_text), F.col(text_col)) * 100.0
+    partial = partial_udf(query_col, F.col(text_col)) * 100.0
     fuzz = F.greatest(ratio, partial, token_sort)
     boosted = (
         F.when(fuzz > 80, F.col(score_col) * 1.2)
@@ -282,6 +282,19 @@ def rapidfuzz_rerank(
         candidates.withColumn("fuzz_score", fuzz)
         .withColumn(score_col, boosted)
         .orderBy(F.desc(score_col))
+    )
+
+
+def rapidfuzz_rerank(
+    candidates: DataFrame,
+    query_text: str,
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """L9: the reference's vector-fallback reranking
+    (``hybrid_search_service.py:990-1030``) for a single query string."""
+    return rapidfuzz_rerank_expr(
+        candidates, F.lit(query_text), text_col=text_col, score_col=score_col
     )
 
 

@@ -458,3 +458,327 @@ class HybridSearchPlan:
             )
         )
         return result, trace
+
+    # -- batched msearch ladder --------------------------------------------
+
+    def search_many(
+        self, queries: list[tuple[int, str]], opts: SearchOpts | None = None
+    ) -> tuple[DataFrame, dict[int, dict]]:
+        """The whole query set through the adaptive ladder in a BOUNDED number
+        of Spark jobs (the reference's msearch shape, S7): one batched AC job,
+        one fuzzy-expansion job + one fuzzy-scoring job for the escalating
+        subset, one batched vector job — instead of ~6 jobs per query.
+        Per-query semantics are identical to ``search()`` (parity-tested);
+        returns ((query_id, doc_id, score, rank), {query_id: meta}).
+
+        Per-query latency in ``search()`` is dominated by Spark's per-job
+        scheduling floor; batching amortizes it across the set — the same
+        argument ``operators.bm25.batch_topk`` makes for plain BM25."""
+        import time  # noqa: F401
+
+        from ..functions.normalize import fold_homoglyphs
+        from ..functions.vectors import pseudo_embedding
+        from ..operators.bm25 import batch_topk
+        from ..operators.fuzzy import extract_anchors, rapidfuzz_rerank_expr
+
+        opts = opts or SearchOpts()
+        k = opts.top_k
+        spark = self.docs.sparkSession
+        qtext = dict(queries)
+
+        # --- stage 1: batched AC (+ homoglyph variants as extra entries) ---
+        entries = list(queries)
+        variant_of: dict[int, int] = {}
+        next_id = max((q for q, _ in queries), default=0) + 1
+        for qid, text in queries:
+            folded, n_folds = fold_homoglyphs(text)
+            if n_folds > 0 and folded != text:
+                entries.append((next_id, folded))
+                variant_of[next_id] = qid
+                next_id += 1
+        if self.index_df is not None:
+            from .wand import batch_topk_indexed
+
+            ac_all = batch_topk_indexed(
+                spark, self.index_dir, entries, k=k,
+                index_df=self.index_df, meta=self.index_meta,
+            ).select("query_id", "doc_id", "score").collect()
+        else:
+            ac_all = batch_topk(
+                self.docs, entries, k=k, text_col=self.text_col,
+                postings=self.postings, stats=self.stats,
+            ).select("query_id", "doc_id", "score").collect()
+        ac_best_rows: dict[int, dict[int, float]] = {q: {} for q, _ in queries}
+        for r in ac_all:
+            qid = variant_of.get(r["query_id"], r["query_id"])
+            cur = ac_best_rows[qid]
+            if r["doc_id"] not in cur or r["score"] > cur[r["doc_id"]]:
+                cur[r["doc_id"]] = r["score"]
+        ac_rows = {
+            qid: sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            for qid, best in ac_best_rows.items()
+        }
+
+        escalating = [
+            qid for qid, _ in queries
+            if opts.enable_escalation and (
+                not ac_rows[qid]
+                or max(s for _, s in ac_rows[qid]) < opts.escalation_threshold
+            )
+        ]
+
+        # --- stage 2: batched fuzzy for the escalating subset --------------
+        fz_rows: dict[int, list[tuple[int, float]]] = {q: [] for q in escalating}
+        if escalating and self.index_df is not None:
+            # index-backed fuzzy needs per-query term weights inside the WAND
+            # scorer — not batchable today; fall back to the per-query stage
+            for qid in escalating:
+                rows = self.fuzzy_stage(qtext[qid], k, opts).collect()
+                fz_rows[qid] = [(r["doc_id"], r["score"]) for r in rows]
+        elif escalating:
+            qterm_pairs = []
+            for qid in escalating:
+                for t in dict.fromkeys(query_terms(qtext[qid])):
+                    qterm_pairs.append((qid, t))
+            if qterm_pairs:
+                from pyspark.sql import Window
+
+                qdf = spark.createDataFrame(
+                    qterm_pairs, "query_id int, qterm string"
+                )
+                cand = (
+                    self.dictionary.join(
+                        F.broadcast(qdf),
+                        F.col("term").startswith(F.substring("qterm", 1, 2)),
+                    )
+                    .withColumn("edit_dist", F.levenshtein("term", "qterm"))
+                    .where(F.col("edit_dist") <= opts.fuzzy_max_edits)
+                )
+                w = Window.partitionBy("query_id", "qterm").orderBy(
+                    F.asc("edit_dist"), F.asc("term")
+                )
+                expanded_rows = (
+                    cand.withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") <= opts.fuzzy_max_expansions)
+                    .withColumn(
+                        "term_weight",
+                        1.0
+                        - F.col("edit_dist")
+                        / F.greatest(F.length("term"), F.length("qterm")),
+                    )
+                    .groupBy("query_id", "term")
+                    .agg(F.max("term_weight").alias("term_weight"))
+                    .collect()
+                )
+                if expanded_rows:
+                    all_terms = sorted({r["term"] for r in expanded_rows})
+                    scored = score_terms(
+                        self.postings, self.dl, all_terms, self.stats
+                    )
+                    wdf = spark.createDataFrame(
+                        [
+                            (r["query_id"], r["term"], float(r["term_weight"]))
+                            for r in expanded_rows
+                        ],
+                        "query_id int, term string, term_weight double",
+                    )
+                    w2 = Window.partitionBy("query_id").orderBy(
+                        F.desc("score"), F.asc("doc_id")
+                    )
+                    fz_all = (
+                        scored.join(F.broadcast(wdf), "term")
+                        .withColumn(
+                            "term_score", F.col("term_score") * F.col("term_weight")
+                        )
+                        .groupBy("query_id", "doc_id")
+                        .agg(F.sum("term_score").alias("score"))
+                        .withColumn("rn", F.row_number().over(w2))
+                        .where(F.col("rn") <= k)
+                        .collect()
+                    )
+                    for r in fz_all:
+                        fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
+
+        # --- stage 3: batched vector for the escalating subset -------------
+        have_vectors = self.embeddings is not None or self.ann_index_dir is not None
+        vec_rows: dict[int, list] = {q: [] for q in escalating}
+        if escalating and have_vectors:
+            from pyspark.sql import Window
+
+            import numpy as np
+
+            qvecs = {q: pseudo_embedding(qtext[q], self.embedding_dim) for q in escalating}
+            qrows = [
+                {"query_id": q, "qtext": qtext[q], "qvec": qvecs[q]}
+                for q in escalating
+            ]
+            qdf = spark.createDataFrame(
+                qrows, "query_id int, qtext string, qvec array<double>"
+            )
+            if self.ann_index_dir is not None and self.ann_kind == "ivf":
+                cells = {
+                    q: [
+                        int(c)
+                        for c in np.argsort(
+                            -(self.ann_centroids @ (
+                                np.asarray(qvecs[q])
+                                / max(np.linalg.norm(qvecs[q]), 1e-12)
+                            ))
+                        )[: self.ann_n_probe]
+                    ]
+                    for q in escalating
+                }
+                union_cells = sorted({c for cs in cells.values() for c in cs})
+                celldf = spark.createDataFrame(
+                    [(q, c) for q, cs in cells.items() for c in cs],
+                    "query_id int, ivf_cell int",
+                )
+                base = (
+                    self.ann_df.where(F.col("ivf_cell").isin(union_cells))
+                    .join(F.broadcast(celldf), "ivf_cell")
+                    .join(F.broadcast(qdf), "query_id")
+                )
+            elif self.ann_index_dir is not None:
+                from ..operators.similarity import (
+                    _LSH_TOP_BITS,
+                    lsh_signature_of,
+                )
+                import itertools
+                import json as _json
+                import os as _os
+
+                with open(_os.path.join(self.ann_index_dir, "_lsh_meta.json")) as fh:
+                    lmeta = _json.load(fh)
+                n_planes = lmeta["n_planes"]
+                sigs, bands = {}, {}
+                for q in escalating:
+                    s = lsh_signature_of(qvecs[q], lmeta["dim"], n_planes, lmeta["seed"])
+                    sigs[q] = s
+                    qband = (s >> (n_planes - _LSH_TOP_BITS)) & ((1 << _LSH_TOP_BITS) - 1)
+                    bs = set()
+                    for h in range(self.ann_max_hamming + 1):
+                        for flips in itertools.combinations(range(_LSH_TOP_BITS), h):
+                            b = qband
+                            for f in flips:
+                                b ^= 1 << f
+                            bs.add(b)
+                    bands[q] = bs
+                union_bands = sorted({b for bs in bands.values() for b in bs})
+                banddf = spark.createDataFrame(
+                    [(q, b, sigs[q]) for q, bs in bands.items() for b in bs],
+                    "query_id int, lsh_band int, qsig long",
+                )
+                base = (
+                    spark.read.parquet(self.ann_index_dir)
+                    .where(F.col("lsh_band").isin(union_bands))
+                    .join(F.broadcast(banddf), "lsh_band")
+                    .where(
+                        F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("qsig")))
+                        <= self.ann_max_hamming
+                    )
+                    .join(F.broadcast(qdf), "query_id")
+                )
+            else:
+                base = self.embeddings.crossJoin(F.broadcast(qdf))
+            from ..functions.vectors import cosine_col
+
+            if self.embedding_dim >= 128:
+                from ..operators.similarity import cosine_pair_udf
+
+                cos = cosine_pair_udf()(F.col("embedding"), F.col("qvec"))
+            else:
+                cos = cosine_col(F.col("embedding"), F.col("qvec"))
+            wv = Window.partitionBy("query_id").orderBy(
+                F.desc("cos_sim"), F.asc("doc_id")
+            )
+            hits = (
+                base.withColumn("cos_sim", cos)
+                .select(
+                    "query_id", F.col("vec_id").alias("doc_id"), "cos_sim", "qtext"
+                )
+                .withColumn("rn", F.row_number().over(wv))
+                .where(F.col("rn") <= k)
+                .withColumn("score", F.col("cos_sim"))
+            )
+            # text joins in for the L9 rerank AND the driver-side anchor check
+            with_text = hits.join(
+                self.docs.select("doc_id", self.text_col), "doc_id"
+            )
+            if opts.rapidfuzz_rerank:
+                with_text = rapidfuzz_rerank_expr(
+                    with_text, F.col("qtext"), text_col=self.text_col,
+                    score_col="score",
+                )
+            for r in with_text.select(
+                "query_id", "doc_id", "score", "cos_sim", self.text_col
+            ).collect():
+                vec_rows[r["query_id"]].append(r)
+
+        # --- driver-side gating + boosts + fusion per query -----------------
+        out_rows = []
+        meta: dict[int, dict] = {}
+        for qid, _text in queries:
+            lexical_best: dict[int, float] = dict(ac_rows[qid])
+            for doc, sc in fz_rows.get(qid, []):
+                if doc not in lexical_best or sc > lexical_best[doc]:
+                    lexical_best[doc] = sc
+            vrows = vec_rows.get(qid, [])
+            ac_n = len(ac_rows[qid])
+            ac_best = max((s for _, s in ac_rows[qid]), default=0.0)
+            vec_best = max((r["score"] for r in vrows), default=0.0)
+            use_vector = bool(vrows) and opts.enable_vector_fallback and (
+                ac_n == 0
+                or ac_best < opts.weak_ac_threshold
+                or vec_best > opts.vector_better_factor * ac_best
+            )
+            vector_best: dict[int, float] | None = None
+            if use_vector:
+                dates, ids = (
+                    extract_anchors(qtext[qid])
+                    if opts.enable_anchor_boost
+                    else ([], [])
+                )
+                vector_best = {}
+                for r in vrows:
+                    s, cos = r["score"], r["cos_sim"]
+                    if opts.enable_cosine_boost:
+                        if cos > 0.7:
+                            s *= 1.3
+                        elif cos > 0.5:
+                            s *= 1.1
+                    # L10 anchors, driver-side over the carried text — the
+                    # same containment × multiplier as operators.fuzzy
+                    # .anchor_boost (dob ×1.2, id ×1.1)
+                    text = r[self.text_col]
+                    if dates and any(d in text for d in dates):
+                        s *= 1.2
+                    if ids and any(i in text for i in ids):
+                        s *= 1.1
+                    doc = r["doc_id"]
+                    if doc not in vector_best or s > vector_best[doc]:
+                        vector_best[doc] = s
+            if vector_best is not None:
+                vec_w = 1.0 if not lexical_best else opts.vector_weight
+                fused: dict[int, float] = {}
+                for doc in lexical_best.keys() | vector_best.keys():
+                    lex = lexical_best.get(doc)
+                    vec = vector_best.get(doc)
+                    score = (lex or 0.0) * opts.ac_weight + (vec or 0.0) * vec_w
+                    if lex is not None and vec is not None:
+                        score += 0.1  # SHARED_HIT_BONUS
+                    fused[doc] = score
+            else:
+                fused = lexical_best
+            top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            for rank, (doc, s) in enumerate(top, start=1):
+                out_rows.append(
+                    {"query_id": qid, "doc_id": doc, "score": s, "rank": rank}
+                )
+            meta[qid] = {
+                "escalated": qid in escalating,
+                "vector_fallback_used": use_vector,
+            }
+        result = spark.createDataFrame(
+            out_rows, "query_id int, doc_id long, score double, rank int"
+        )
+        return result, meta

@@ -1,0 +1,100 @@
+"""Batched msearch ladder (`search_many`) ≡ per-query `search()`.
+
+The batched path runs the whole query set through the adaptive ladder in a
+bounded number of Spark jobs (one AC batch, one fuzzy expansion + one fuzzy
+scoring, one vector batch); per-query semantics must be IDENTICAL to the
+sequential ladder — same stage formulas, same gating, same boosts, same
+tie-breaks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hybrid_sanctions_search_engine_spark.functions.vectors import pseudo_embedding
+from hybrid_sanctions_search_engine_spark.plans.hybrid import (
+    HybridSearchPlan,
+    SearchOpts,
+)
+
+DIM = 64
+
+QUERIES = [
+    (1, "spark query join window"),   # strong AC — no escalation
+    (2, "sparc"),                     # typo — AC empty, full ladder
+    (3, "zzzqqq"),                    # nothing lexical — vector only
+    (4, "sраrk query"),               # homoglyph-mixed (Cyrillic а/р)
+    (5, "merge sort"),                # ordinary
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_smoke_dir):
+    docs = spark.read.parquet(os.path.join(sf_smoke_dir, "documents.parquet"))
+    rows = [
+        (r["doc_id"], pseudo_embedding(r["text"], DIM))
+        for r in docs.select("doc_id", "text").limit(200).collect()
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return docs, emb
+
+
+def _assert_parity(plan, opts):
+    batched, meta = plan.search_many(QUERIES, opts)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    for qid, text in QUERIES:
+        res, trace = plan.search(text, opts)
+        want = [
+            (i + 1, r["doc_id"], round(r["score"], 9))
+            for i, r in enumerate(res.collect())
+        ]
+        assert sorted(got.get(qid, [])) == want, (qid, text)
+        hybrid = next(t for t in trace if t.stage == "HYBRID")
+        assert meta[qid]["escalated"] == hybrid.meta["escalated"], qid
+        assert (
+            meta[qid]["vector_fallback_used"]
+            == hybrid.meta["vector_fallback_used"]
+        ), qid
+
+
+def test_search_many_parity_bruteforce(spark, corpus):
+    docs, emb = corpus
+    plan = HybridSearchPlan(docs, embeddings=emb, embedding_dim=DIM)
+    _assert_parity(plan, SearchOpts(top_k=8))
+
+
+def test_search_many_parity_ivf(spark, corpus, tmp_path):
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        write_ivf_index,
+    )
+
+    docs, emb = corpus
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_centroids=8, iters=8)
+    plan = HybridSearchPlan(
+        docs, embeddings=emb, embedding_dim=DIM,
+        ann_index_dir=path, ann_kind="ivf", ann_n_probe=3,
+    )
+    _assert_parity(plan, SearchOpts(top_k=8))
+
+
+def test_search_many_parity_no_rerank_with_anchor(spark, corpus):
+    """Anchor boosts flow through the batched driver-side path identically
+    (rerank off isolates the anchor multiplication)."""
+    docs, emb = corpus
+    plan = HybridSearchPlan(docs, embeddings=emb, embedding_dim=DIM)
+    opts = SearchOpts(top_k=8, rapidfuzz_rerank=False)
+    anchored = [(9, "zzzqqq 1995-06-24")]
+    batched, _ = plan.search_many(anchored, opts)
+    got = sorted(
+        (r["doc_id"], round(r["score"], 9)) for r in batched.collect()
+    )
+    res, _ = plan.search(anchored[0][1], opts)
+    want = sorted((r["doc_id"], round(r["score"], 9)) for r in res.collect())
+    assert got == want
