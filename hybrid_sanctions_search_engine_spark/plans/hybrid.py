@@ -543,17 +543,30 @@ class HybridSearchPlan:
             if qterm_pairs:
                 from pyspark.sql import Window
 
-                qdf = spark.createDataFrame(
-                    qterm_pairs, "query_id int, qterm string"
-                )
-                cand = (
-                    self.dictionary.join(
-                        F.broadcast(qdf),
-                        F.col("term").startswith(F.substring("qterm", 1, 2)),
+                # equi-join on the shared prefix (hash join, one dictionary
+                # scan) instead of a non-equi startswith condition (which
+                # nested-loops |dict| × |qterms| at scale).  1-char query
+                # terms join on a 1-char prefix to keep fuzzy_term_candidates'
+                # q[:2] semantics exactly.
+                by_len: dict[int, list] = {}
+                for qid, t in qterm_pairs:
+                    by_len.setdefault(min(len(t), 2), []).append((qid, t))
+                cands = []
+                for plen, pairs in sorted(by_len.items()):
+                    qdf = spark.createDataFrame(
+                        pairs, "query_id int, qterm string"
+                    ).withColumn("pfx", F.substring("qterm", 1, plen))
+                    cands.append(
+                        self.dictionary.withColumn(
+                            "pfx", F.substring("term", 1, plen)
+                        ).join(F.broadcast(qdf), "pfx")
                     )
-                    .withColumn("edit_dist", F.levenshtein("term", "qterm"))
-                    .where(F.col("edit_dist") <= opts.fuzzy_max_edits)
-                )
+                cand = cands[0]
+                for c in cands[1:]:
+                    cand = cand.unionByName(c)
+                cand = cand.withColumn(
+                    "edit_dist", F.levenshtein("term", "qterm")
+                ).where(F.col("edit_dist") <= opts.fuzzy_max_edits)
                 w = Window.partitionBy("query_id", "qterm").orderBy(
                     F.asc("edit_dist"), F.asc("term")
                 )
