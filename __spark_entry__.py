@@ -456,6 +456,33 @@ def q_hybrid_ladder_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hybrid_msearch(spark: SparkSession, sf: str) -> DataFrame:
+    """S7 × L13: the batched msearch ladder — a five-query set (strong, typo,
+    gibberish, homoglyph-mixed, ordinary) through the adaptive ladder in a
+    bounded number of jobs.  Rows-only (driver-side adaptive staging);
+    per-query parity with search() is pinned by tests/test_hybrid_batch.py."""
+    from hybrid_sanctions_search_engine_spark.plans.hybrid import (
+        HybridSearchPlan,
+        SearchOpts,
+    )
+
+    docs = _docs(spark, sf)
+    emb = _tbl(spark, sf, "embeddings")
+    plan = HybridSearchPlan(docs, embeddings=emb)
+    batch = [
+        (1, "spark query join window"),
+        (2, "sparc"),
+        (3, "zzzqqq"),
+        (4, "sраrk query"),  # Cyrillic а/р homoglyphs
+        (5, "merge sort"),
+    ]
+    res, _meta = plan.search_many(batch, SearchOpts(top_k=5))
+    plan.close()
+    return res.select(
+        "query_id", "doc_id", _r4("score").alias("score"), "rank"
+    ).orderBy("query_id", "rank")
+
+
 FUZZY_QUERY_NAME = "customer#000000012"
 
 
@@ -1005,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "knn_lsh": q_knn_lsh,
         "hybrid_ladder_ann": q_hybrid_ladder_ann,
+        "hybrid_msearch": q_hybrid_msearch,
         "fuzzy_candidates": q_fuzzy_candidates,
         "fuzzy_rescore": q_fuzzy_rescore,
         "similarity_blend": q_similarity_blend,
