@@ -529,13 +529,7 @@ class HybridSearchPlan:
 
         # --- stage 2: batched fuzzy for the escalating subset --------------
         fz_rows: dict[int, list[tuple[int, float]]] = {q: [] for q in escalating}
-        if escalating and self.index_df is not None:
-            # index-backed fuzzy needs per-query term weights inside the WAND
-            # scorer — not batchable today; fall back to the per-query stage
-            for qid in escalating:
-                rows = self.fuzzy_stage(qtext[qid], k, opts).collect()
-                fz_rows[qid] = [(r["doc_id"], r["score"]) for r in rows]
-        elif escalating:
+        if escalating:
             qterm_pairs = []
             for qid in escalating:
                 for t in dict.fromkeys(query_terms(qtext[qid])):
@@ -583,7 +577,23 @@ class HybridSearchPlan:
                     .agg(F.max("term_weight").alias("term_weight"))
                     .collect()
                 )
-                if expanded_rows:
+                if expanded_rows and self.index_df is not None:
+                    # weighted batch scoring straight off the compressed
+                    # index: the chunk-group Arrow scorer multiplies each
+                    # expanded term's contribution by its edit-ratio weight
+                    from .wand import batch_topk_indexed
+
+                    fz_all = batch_topk_indexed(
+                        spark, self.index_dir, [], k=k,
+                        index_df=self.index_df, meta=self.index_meta,
+                        query_terms_override=[
+                            (r["query_id"], r["term"], float(r["term_weight"]))
+                            for r in expanded_rows
+                        ],
+                    ).collect()
+                    for r in fz_all:
+                        fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
+                elif expanded_rows:
                     all_terms = sorted({r["term"] for r in expanded_rows})
                     scored = score_terms(
                         self.postings, self.dl, all_terms, self.stats

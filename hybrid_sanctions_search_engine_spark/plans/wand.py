@@ -244,6 +244,7 @@ def batch_topk_indexed(
     index_df: DataFrame | None = None,
     meta: IndexMeta | None = None,
     n_groups: int | None = None,
+    query_terms_override: list[tuple[int, str, float]] | None = None,
 ) -> DataFrame:
     """Many queries in ONE job over the COMPRESSED index (the serving shape
     ``operators.bm25.batch_topk`` provides over raw documents, minus its
@@ -265,7 +266,12 @@ def batch_topk_indexed(
     relative, not bit-exactly.
 
     Memory note: the accumulator is dense in the query set (8 B × local docs
-    × nq per task) — split query sets of many thousands into sub-batches."""
+    × nq per task) — split query sets of many thousands into sub-batches.
+
+    ``query_terms_override``: explicit (query_id, term, weight) triples
+    instead of tokenizing ``queries`` — each term's BM25 contribution is
+    multiplied by its weight (the batched fuzzy-expansion shape, where an
+    expanded term contributes at its edit-ratio discount)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -274,20 +280,24 @@ def batch_topk_indexed(
 
     if index_df is None or meta is None:
         index_df, meta = load_index(spark, index_dir)
-    pairs = [
-        (qid, t)
-        for qid, q in queries
-        for t in dict.fromkeys(py_index_tokens(q))
-    ]
+    if query_terms_override is not None:
+        triples = list(query_terms_override)
+        qid_list = list(dict.fromkeys(q for q, _, _ in triples))
+    else:
+        triples = [
+            (qid, t, 1.0)
+            for qid, q in queries
+            for t in dict.fromkeys(py_index_tokens(q))
+        ]
+        qid_list = [qid for qid, _ in queries]
     out_schema = "query_id long, doc_id long, score double, rank int, n_terms_matched int"
-    if not pairs:
+    if not triples:
         return spark.createDataFrame([], out_schema)
-    all_terms = sorted({t for _, t in pairs})
-    qid_list = [qid for qid, _ in queries]
+    all_terms = sorted({t for _, t, _ in triples})
     qidx = {qid: i for i, qid in enumerate(qid_list)}
-    term_to_qidx: dict[str, list[int]] = {}
-    for qid, t in pairs:
-        term_to_qidx.setdefault(t, []).append(qidx[qid])
+    term_to_qidx: dict[str, list[tuple[int, float]]] = {}
+    for qid, t, wgt in triples:
+        term_to_qidx.setdefault(t, []).append((qidx[qid], float(wgt)))
     shard_of = _shard_of_terms(all_terms, meta.n_shards)
     shards = sorted(set(shard_of.values()))
     matched = index_df.where(
@@ -328,13 +338,14 @@ def batch_topk_indexed(
         # columns: the queries containing it): within a group a (term, doc)
         # pair appears once, so the scatter is collision-free
         for t in pd.unique(terms_arr):
-            qis = term_to_qidx.get(t)
-            if not qis:
+            qws = term_to_qidx.get(t)
+            if not qws:
                 continue
             m = terms_arr == t
             p, c = pos[m], contrib[m]
-            cols = np.asarray(qis, dtype=np.intp)
-            acc[p[:, None], cols[None, :]] += c[:, None]
+            cols = np.asarray([qi for qi, _ in qws], dtype=np.intp)
+            wts = np.asarray([w for _, w in qws], dtype=np.float64)
+            acc[p[:, None], cols[None, :]] += c[:, None] * wts[None, :]
             cnt[p[:, None], cols[None, :]] += 1
         # vectorized per-query top-k: one matrix partition finds each
         # column's k-th matched score; only the ≥k-th candidates (k + ties,

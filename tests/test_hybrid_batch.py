@@ -98,3 +98,17 @@ def test_search_many_parity_no_rerank_with_anchor(spark, corpus):
     res, _ = plan.search(anchored[0][1], opts)
     want = sorted((r["doc_id"], round(r["score"], 9)) for r in res.collect())
     assert got == want
+
+
+def test_search_many_parity_index_backed(spark, sf_smoke_dir, corpus, tmp_path):
+    """Index-backed batched ladder (AC via batch_topk_indexed, fuzzy via the
+    weighted chunk-group scorer) ≡ the per-query index-backed ladder."""
+    from hybrid_sanctions_search_engine_spark.sources.index_io import build_index
+
+    docs, emb = corpus
+    index_dir = str(tmp_path / "hb_idx")
+    build_index(docs, index_dir, n_shards=4, chunk_bits=7)
+    plan = HybridSearchPlan(
+        docs, embeddings=emb, embedding_dim=DIM, index_dir=index_dir
+    )
+    _assert_parity(plan, SearchOpts(top_k=8))
