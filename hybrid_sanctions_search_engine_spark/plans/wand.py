@@ -272,8 +272,6 @@ def batch_topk_indexed(
     instead of tokenizing ``queries`` — each term's BM25 contribution is
     multiplied by its weight (the batched fuzzy-expansion shape, where an
     expanded term contributes at its edit-ratio discount)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
 
     from ..sources.index_io import decode_shard_rows
@@ -306,87 +304,15 @@ def batch_topk_indexed(
     if n_groups is None:
         n_groups = max(32, spark.sparkContext.defaultParallelism * 2)
 
-    nq = len(qid_list)
-    qids_np = np.asarray(qid_list, dtype=np.int64)
-    n_docs_f, avgdl, k1, b = float(meta.n_docs), meta.avgdl, meta.k1, meta.b
-    kk = k
+    from ..operators.bm25 import BATCH_SCORE_SCHEMA, make_batch_group_scorer
 
-    def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "query_id": np.array([], dtype=np.int64),
-                "doc_id": np.array([], dtype=np.int64),
-                "score": np.array([], dtype=np.float64),
-                "n_terms_matched": np.array([], dtype=np.int32),
-            }
-        )
-        flat = decode_shard_rows(pdf, include_df=True)
-        if flat.empty:
-            return empty
-        ids = flat["doc_id"].to_numpy(dtype=np.int64)
-        docs_local = np.unique(ids)
-        pos = np.searchsorted(docs_local, ids)
-        tf = flat["tf"].to_numpy(dtype=np.float64)
-        dl = flat["doc_len"].to_numpy(dtype=np.float64)
-        dfv = flat["df"].to_numpy(dtype=np.float64)
-        idf = np.log(1.0 + (n_docs_f - dfv + 0.5) / (dfv + 0.5))
-        contrib = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        acc = np.zeros((docs_local.size, nq), dtype=np.float64)
-        cnt = np.zeros((docs_local.size, nq), dtype=np.int32)
-        terms_arr = flat["term"].to_numpy()
-        # one 2-D fancy-index add per distinct term (rows: the term's docs,
-        # columns: the queries containing it): within a group a (term, doc)
-        # pair appears once, so the scatter is collision-free
-        for t in pd.unique(terms_arr):
-            qws = term_to_qidx.get(t)
-            if not qws:
-                continue
-            m = terms_arr == t
-            p, c = pos[m], contrib[m]
-            cols = np.asarray([qi for qi, _ in qws], dtype=np.intp)
-            wts = np.asarray([w for _, w in qws], dtype=np.float64)
-            acc[p[:, None], cols[None, :]] += c[:, None] * wts[None, :]
-            cnt[p[:, None], cols[None, :]] += 1
-        # vectorized per-query top-k: one matrix partition finds each
-        # column's k-th matched score; only the ≥k-th candidates (k + ties,
-        # a handful) get the exact (-score, doc) lexsort
-        s_masked = np.where(cnt > 0, acc, -np.inf)
-        nrows = docs_local.size
-        if nrows > kk:
-            kth = np.partition(s_masked, nrows - kk, axis=0)[nrows - kk, :]
-        else:
-            kth = np.full(nq, -np.inf)
-        out_q, out_d, out_s, out_n = [], [], [], []
-        for qi in range(nq):
-            cand = np.flatnonzero(
-                (s_masked[:, qi] >= kth[qi]) & (cnt[:, qi] > 0)
-            )
-            if cand.size == 0:
-                continue
-            d = docs_local[cand]
-            s = acc[cand, qi]
-            order = cand[np.lexsort((d, -s))[:kk]]
-            out_q.append(np.full(order.size, qids_np[qi]))
-            out_d.append(docs_local[order])
-            out_s.append(acc[order, qi])
-            out_n.append(cnt[order, qi])
-        if not out_q:
-            return empty
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "doc_id": np.concatenate(out_d),
-                "score": np.concatenate(out_s),
-                "n_terms_matched": np.concatenate(out_n).astype(np.int32),
-            }
-        )
-
+    score_group = make_batch_group_scorer(
+        term_to_qidx, qid_list, meta.n_docs, meta.avgdl, meta.k1, meta.b, k,
+        flatten=lambda pdf: decode_shard_rows(pdf, include_df=True),
+    )
     local_topk = (
         matched.groupBy(F.pmod(F.col("chunk"), F.lit(n_groups)).alias("grp"))
-        .applyInPandas(
-            score_group,
-            "query_id long, doc_id long, score double, n_terms_matched int",
-        )
+        .applyInPandas(score_group, BATCH_SCORE_SCHEMA)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
