@@ -112,3 +112,26 @@ def test_search_many_parity_index_backed(spark, sf_smoke_dir, corpus, tmp_path):
         docs, embeddings=emb, embedding_dim=DIM, index_dir=index_dir
     )
     _assert_parity(plan, SearchOpts(top_k=8))
+
+
+def test_search_many_parity_lsh(spark, corpus, tmp_path):
+    """LSH-band-backed batched vector stage ≡ per-query knn_lsh_probe path."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        write_lsh_index,
+    )
+
+    docs, emb = corpus
+    path = str(tmp_path / "lshb")
+    write_lsh_index(emb, path, dim=DIM, n_planes=16)
+    plan = HybridSearchPlan(
+        docs, embeddings=emb, embedding_dim=DIM,
+        ann_index_dir=path, ann_kind="lsh", ann_max_hamming=6,
+    )
+    _assert_parity(plan, SearchOpts(top_k=8))
+
+
+def test_search_many_empty_and_unknown(spark, corpus):
+    docs, emb = corpus
+    plan = HybridSearchPlan(docs, embeddings=emb, embedding_dim=DIM)
+    res, meta = plan.search_many([], SearchOpts(top_k=5))
+    assert res.count() == 0 and meta == {}
