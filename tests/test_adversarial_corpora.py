@@ -76,3 +76,81 @@ def test_adversarial_rank_identity(spark, tmp_path_factory, name):
         ]
         assert via_df == expected, (name, q, "dataframe")
         assert via_index == expected, (name, q, "index")
+
+
+def _python_batch(docs_list, queries, k):
+    out = {}
+    for qid, q in queries:
+        out[qid] = python_bm25_topk(docs_list, q, k)
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_batch_paths_match_python_oracle(spark, tmp_path_factory, name):
+    """Both batch serving paths (document-side and compressed-index, sharing
+    the per-group Arrow scorer) reproduce the independent python oracle on
+    every adversarial corpus — the whole query set in ONE batch."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import batch_topk
+    from hybrid_sanctions_search_engine_spark.plans.wand import batch_topk_indexed
+
+    docs_list = CORPORA[name]
+    docs = spark.createDataFrame(docs_list, "doc_id long, text string")
+    index_dir = str(tmp_path_factory.mktemp(f"advb_{name}"))
+    build_index(docs, index_dir, n_shards=2, chunk_bits=4)
+    queries = list(enumerate(QUERIES))
+    want = _python_batch(docs_list, queries, k=5)
+
+    for label, res in (
+        ("doc-side", batch_topk(docs, queries, k=5)),
+        ("indexed", batch_topk_indexed(spark, index_dir, queries, k=5)),
+    ):
+        got: dict[int, list] = {qid: [] for qid, _ in queries}
+        for r in res.collect():
+            got[r["query_id"]].append((r["rank"], r["doc_id"], round(r["score"], 9)))
+        for qid, q in queries:
+            ranked = [(d, s) for _, d, s in sorted(got[qid])]
+            assert ranked == want[qid], (name, q, label)
+
+
+def test_batch_paths_randomized_corpus(spark, tmp_path_factory):
+    """Seeded random corpus (uneven lengths, empty docs, sparse huge ids,
+    1-4-term queries incl. duplicates and absent terms): both batch paths ==
+    python oracle for a 20-query batch."""
+    import random
+
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import batch_topk
+    from hybrid_sanctions_search_engine_spark.plans.wand import batch_topk_indexed
+
+    rng = random.Random(1234)
+    vocab = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st"]
+    docs_list = []
+    for i in range(60):
+        # sparse ids exercise chunking; +10**9 keeps ids collision-free
+        doc_id = i + 10**9 if i % 7 == 0 else i
+        n_tok = rng.choice([0, 1, 3, 8, 40, 200])
+        docs_list.append(
+            (doc_id, " ".join(rng.choice(vocab) for _ in range(n_tok)))
+        )
+    queries = []
+    for qid in range(20):
+        n = rng.randint(1, 4)
+        ts = [rng.choice(vocab + ["zz"]) for _ in range(n)]  # zz never occurs
+        if qid % 5 == 0 and ts:
+            ts.append(ts[0])  # duplicate term in the query string
+        queries.append((qid, " ".join(ts)))
+
+    docs = spark.createDataFrame(docs_list, "doc_id long, text string")
+    index_dir = str(tmp_path_factory.mktemp("advb_rand"))
+    build_index(docs, index_dir, n_shards=4, chunk_bits=5)
+    want = _python_batch(docs_list, queries, k=7)
+
+    for label, res in (
+        ("doc-side", batch_topk(docs, queries, k=7)),
+        ("indexed", batch_topk_indexed(spark, index_dir, queries, k=7)),
+    ):
+        got: dict[int, list] = {qid: [] for qid, _ in queries}
+        for r in res.collect():
+            got[r["query_id"]].append((r["rank"], r["doc_id"], round(r["score"], 9)))
+        for qid, q in queries:
+            ranked = [(d, s) for _, d, s in sorted(got[qid])]
+            assert ranked == want[qid], (q, label)
