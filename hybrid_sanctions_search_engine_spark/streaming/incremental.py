@@ -126,6 +126,99 @@ def search_with_delta(
     return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def search_many_with_delta(
+    spark: SparkSession,
+    index_dir: str,
+    delta_postings: DataFrame | None,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    index_df: DataFrame | None = None,
+    meta: IndexMeta | None = None,
+) -> DataFrame:
+    """Batched overlay serving: the whole query set against base ∪ delta in
+    two jobs (one ``batch_topk_indexed`` over the compressed base, one
+    Arrow-scored batch over the delta postings under the delta's own stats),
+    merged keep-best per (query, doc) driver-side over the k-bounded rows —
+    per-query semantics identical to ``search_with_delta``
+    (parity-tested)."""
+    from ..functions.tokenize import py_index_tokens
+    from ..operators.bm25 import (
+        BATCH_SCORE_SCHEMA,
+        make_batch_group_scorer,
+    )
+    from ..plans.wand import batch_topk_indexed
+
+    base_rows = batch_topk_indexed(
+        spark, index_dir, queries, k=k, index_df=index_df, meta=meta
+    ).select("query_id", "doc_id", "score").collect()
+    best: dict[tuple[int, int], float] = {}
+    for r in base_rows:
+        key = (r["query_id"], r["doc_id"])
+        if key not in best or r["score"] > best[key]:
+            best[key] = r["score"]
+
+    if delta_postings is not None and not delta_postings.isEmpty():
+        row = (
+            delta_postings.select("doc_id", "doc_len")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"))
+            .collect()[0]
+        )
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
+        pairs = [
+            (qid, t)
+            for qid, q in queries
+            for t in dict.fromkeys(py_index_tokens(q))
+        ]
+        if pairs:
+            all_terms = sorted({t for _, t in pairs})
+            qid_list = [qid for qid, _ in queries]
+            qidx = {qid: i for i, qid in enumerate(qid_list)}
+            term_to_qidx: dict[str, list[tuple[int, float]]] = {}
+            for qid, t in pairs:
+                term_to_qidx.setdefault(t, []).append((qidx[qid], 1.0))
+            matched = delta_postings.where(F.col("term").isin(all_terms))
+            tdf = matched.groupBy("term").agg(
+                F.count("*").cast("double").alias("df")
+            )
+            flat = matched.join(F.broadcast(tdf), "term").select(
+                "term", "doc_id", "tf", "doc_len", "df"
+            )
+            n_groups = max(8, spark.sparkContext.defaultParallelism)
+            scorer = make_batch_group_scorer(
+                term_to_qidx, qid_list, n_docs, avgdl, 1.2, 0.75, k
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            delta_rows = (
+                flat.groupBy(F.pmod(F.col("doc_id"), F.lit(n_groups)).alias("grp"))
+                .applyInPandas(scorer, BATCH_SCORE_SCHEMA)
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .select("query_id", "doc_id", "score")
+                .collect()
+            )
+            for r in delta_rows:
+                key = (r["query_id"], r["doc_id"])
+                if key not in best or r["score"] > best[key]:
+                    best[key] = r["score"]
+
+    per_q: dict[int, list[tuple[int, float]]] = {qid: [] for qid, _ in queries}
+    for (qid, doc), s in best.items():
+        per_q[qid].append((doc, s))
+    out = []
+    for qid, _ in queries:
+        top = sorted(per_q[qid], key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rank, (doc, s) in enumerate(top, start=1):
+            out.append({"query_id": qid, "doc_id": doc, "score": s, "rank": rank})
+    return spark.createDataFrame(
+        out, "query_id long, doc_id long, score double, rank int"
+    )
+
+
 MERGE_SUMMARY_SCHEMA = "shard int, manifest_json string"
 
 

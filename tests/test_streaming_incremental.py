@@ -460,3 +460,49 @@ def test_half_finished_object_store_swap(spark, sf_smoke_dir, tmp_path):
     mf = json.load(open(_os.path.join(victim, "_manifest.json")))
     assert mf["status"] == "complete"
     assert topk() == want
+
+
+def test_search_many_with_delta_parity(spark, sf_smoke_dir, tmp_path):
+    """Batched overlay serving ≡ per-query search_with_delta for a mixed
+    query set (hits in base only, delta only, both, and nowhere)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.operators.postings import build_postings
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        search_many_with_delta,
+        search_with_delta,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    base_docs = docs.where(F.col("doc_id") % 3 != 0)
+    delta_docs = docs.where(F.col("doc_id") % 3 == 0)
+    idx_dir = str(tmp_path / "om_idx")
+    build_index(base_docs, idx_dir, n_shards=4, chunk_bits=6, resume=False)
+    delta = build_postings(delta_docs, positions=False).select(
+        "term", "doc_id", "doc_len", "tf"
+    )
+
+    queries = [
+        (1, "spark query join"),
+        (2, "window"),
+        (3, "zzz_nothing"),
+        (4, "merge sort customer"),
+    ]
+    batched = search_many_with_delta(spark, idx_dir, delta, queries, k=8)
+    got: dict[int, list] = {qid: [] for qid, _ in queries}
+    for r in batched.collect():
+        got[r["query_id"]].append((r["rank"], r["doc_id"], round(r["score"], 9)))
+    for qid, q in queries:
+        want = [
+            (i + 1, r["doc_id"], round(r["score"], 9))
+            for i, r in enumerate(
+                search_with_delta(spark, idx_dir, delta, q, k=8).collect()
+            )
+        ]
+        assert sorted(got[qid]) == want, q
+
+    # empty delta degenerates to the plain indexed batch
+    empty = search_many_with_delta(spark, idx_dir, None, queries[:2], k=5)
+    assert empty.count() > 0
