@@ -548,7 +548,7 @@ class HybridSearchPlan:
                 cands = []
                 for plen, pairs in sorted(by_len.items()):
                     qdf = spark.createDataFrame(
-                        pairs, "query_id int, qterm string"
+                        pairs, "query_id long, qterm string"
                     ).withColumn("pfx", F.substring("qterm", 1, plen))
                     cands.append(
                         self.dictionary.withColumn(
@@ -603,7 +603,7 @@ class HybridSearchPlan:
                             (r["query_id"], r["term"], float(r["term_weight"]))
                             for r in expanded_rows
                         ],
-                        "query_id int, term string, term_weight double",
+                        "query_id long, term string, term_weight double",
                     )
                     w2 = Window.partitionBy("query_id").orderBy(
                         F.desc("score"), F.asc("doc_id")
@@ -636,7 +636,7 @@ class HybridSearchPlan:
                 for q in escalating
             ]
             qdf = spark.createDataFrame(
-                qrows, "query_id int, qtext string, qvec array<double>"
+                qrows, "query_id long, qtext string, qvec array<double>"
             )
             if self.ann_index_dir is not None and self.ann_kind == "ivf":
                 cells = {
@@ -654,7 +654,7 @@ class HybridSearchPlan:
                 union_cells = sorted({c for cs in cells.values() for c in cs})
                 celldf = spark.createDataFrame(
                     [(q, c) for q, cs in cells.items() for c in cs],
-                    "query_id int, ivf_cell int",
+                    "query_id long, ivf_cell int",
                 )
                 base = (
                     self.ann_df.where(F.col("ivf_cell").isin(union_cells))
@@ -689,7 +689,7 @@ class HybridSearchPlan:
                 union_bands = sorted({b for bs in bands.values() for b in bs})
                 banddf = spark.createDataFrame(
                     [(q, b, sigs[q]) for q, bs in bands.items() for b in bs],
-                    "query_id int, lsh_band int, qsig long",
+                    "query_id long, lsh_band int, qsig long",
                 )
                 base = (
                     spark.read.parquet(self.ann_index_dir)
@@ -802,6 +802,6 @@ class HybridSearchPlan:
                 "vector_fallback_used": use_vector,
             }
         result = spark.createDataFrame(
-            out_rows, "query_id int, doc_id long, score double, rank int"
+            out_rows, "query_id long, doc_id long, score double, rank int"
         )
         return result, meta
