@@ -36,3 +36,29 @@ def load_table(spark: SparkSession, name: str, directory: str | None = None) -> 
 
 def load_documents(spark: SparkSession, directory: str | None = None) -> DataFrame:
     return load_table(spark, "documents", directory)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by the join key so
+    subsequent equi-joins on that key are CO-LOCATED — Catalyst plans a
+    SortMergeJoin with NO shuffle exchange on either side (asserted in
+    tests/test_bucketed_join.py from the physical plan).
+
+    At 100 TB this is the standing-fact-table shape: pay the bucketing
+    shuffle once at write time, then every (customer ⋈ orders)-style join
+    reads bucket-aligned files.  ``saveAsTable`` goes through the session
+    catalog (Iceberg/Hive in production; the local Derby metastore in
+    tests)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)  # external table location
+    writer.format("parquet").saveAsTable(table_name)
