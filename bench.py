@@ -239,8 +239,11 @@ def main() -> None:
         ann_dir = tempfile.mkdtemp(prefix="bench_ann_")
         emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         write_ivf_index(emb, ann_dir, n_centroids=16)
+        # production serving shape: AC + fuzzy off the prebuilt compressed
+        # index, vector off the partitioned IVF ANN index
         plan_ann = HybridSearchPlan(
-            docs, embeddings=emb, ann_index_dir=ann_dir, ann_kind="ivf"
+            docs, embeddings=emb, ann_index_dir=ann_dir, ann_kind="ivf",
+            index_dir=index_dir,
         )
         try:
             timed_best2(

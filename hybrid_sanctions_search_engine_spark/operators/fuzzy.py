@@ -248,6 +248,7 @@ def rapidfuzz_rerank_expr(
     query_col,
     text_col: str = "text",
     score_col: str = "score",
+    sort: bool = True,
 ) -> DataFrame:
     """L9 rerank with the query as a COLUMN (per-row query text — the batched
     msearch ladder joins each hit with its own query string): fuzz =
@@ -278,11 +279,12 @@ def rapidfuzz_rerank_expr(
         .when(fuzz > 60, F.col(score_col) * 1.1)
         .otherwise(F.col(score_col))
     )
-    return (
-        candidates.withColumn("fuzz_score", fuzz)
-        .withColumn(score_col, boosted)
-        .orderBy(F.desc(score_col))
+    out = candidates.withColumn("fuzz_score", fuzz).withColumn(
+        score_col, boosted
     )
+    # sort=False skips the global sort exchange when the caller re-ranks
+    # driver-side anyway (the batched ladder collects then fuses)
+    return out.orderBy(F.desc(score_col)) if sort else out
 
 
 def rapidfuzz_rerank(

@@ -73,6 +73,83 @@ def knn_bruteforce(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def knn_bruteforce_many(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for MANY queries in one shuffle-free scan →
+    (query_id, id, cos_sim), per-query order (sim desc, id asc).
+
+    This is the batched-serving counterpart of ``knn_bruteforce`` — the
+    reference's vector stage is always index-served per request
+    (``elasticsearch_adapters.py:819-843``); Spark's amortized equivalent for
+    a query *set* is one scan scoring every query at once.  The naive shape
+    (``crossJoin(queries)`` + a per-query window) materializes
+    |corpus| × |queries| rows through a shuffle — the exact per-(query, doc)
+    fan-out CLAUDE.md bans for BM25.  Here the fan-out never leaves the Arrow
+    task: ``mapInPandas`` scores each record batch against the whole query
+    matrix in numpy and emits only the batch-local top-k per query (by the
+    compound (-cos, id) order, so the global window merge is EXACT — ties at
+    the k-th score keep the smallest id, same as ``knn_bruteforce``).
+
+    Scoring loops one ``X @ q`` gemv per query instead of a single
+    ``X @ Q.T`` gemm on purpose: the gemv path is bit-identical to
+    ``cosine_to_query_udf`` (same dtype conversion, same clamp), so
+    ``search_many`` reproduces ``search()``'s scores exactly — the parity
+    tests compare at 9 decimals.  At |queries| ≤ a few hundred the gemv loop
+    is within ~2× of gemm and both are scan-dominated."""
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    out_schema = f"query_id long, {id_col} long, cos_sim double"
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    qids = np.asarray([q for q, _ in queries], dtype=np.int64)
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    qnorms = np.maximum(np.linalg.norm(qmat, axis=1), 1e-300)
+    nq = len(qids)
+    kk = k
+
+    def score_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            norms = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                cos = (x @ qmat[qi]) / (norms * qnorms[qi])
+                top = np.lexsort((ids, -cos))[:kk]
+                out_q.append(np.full(top.size, qids[qi]))
+                out_i.append(ids[top])
+                out_s.append(cos[top])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(
+        score_batches, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -66,6 +66,56 @@ class SearchOpts:
     # cosine > 0.7 ⇒ ×1.3, > 0.5 ⇒ ×1.1; dob anchor ⇒ ×1.2, id anchor ⇒ ×1.1
     enable_cosine_boost: bool = True
     enable_anchor_boost: bool = True
+    # search_many only: launch the batched vector probe for ALL queries at
+    # t0, concurrently with the AC job, and keep only the escalating subset's
+    # results (identical semantics — per-query vector results are
+    # independent, and non-escalating queries' rows are discarded before
+    # gating).  Trades bounded speculative work (the ANN probe is
+    # partition-pruned and k-bounded per query) for taking the vector stage
+    # off the critical path; disable to serve strictly-lazy like search().
+    speculative_vector: bool = True
+
+
+def _timed_into(trace: dict, name: str, fn):
+    """Wrap ``fn`` so its wall time (ms) lands in ``trace[name]``."""
+
+    def run():
+        import time
+
+        t0 = time.monotonic()
+        out = fn()
+        trace[name] = (time.monotonic() - t0) * 1000
+        return out
+
+    return run
+
+
+class _Async:
+    """Run ``fn`` on a self-terminating daemon thread; ``.result()`` joins
+    and re-raises.  Used to overlap independent Spark jobs (job submission is
+    thread-safe); unlike a ThreadPoolExecutor there is nothing to shut down
+    on exception paths — the thread exits with its task."""
+
+    def __init__(self, fn):
+        import threading
+
+        self._out = None
+        self._exc: BaseException | None = None
+
+        def run():
+            try:
+                self._out = fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised in result()
+                self._exc = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def result(self):
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._out
 
 
 @dataclass
@@ -272,7 +322,10 @@ class HybridSearchPlan:
                 spark, self.ann_index_dir, qv, k=k, max_hamming=self.ann_max_hamming
             )
         else:
-            res = knn_bruteforce(self.embeddings, qv, k=k)
+            # arrow=True at every dim: the numpy gemv cosine is bit-identical
+            # to knn_bruteforce_many's per-query gemv, so search() and
+            # search_many() score identically (9-decimal parity tests)
+            res = knn_bruteforce(self.embeddings, qv, k=k, arrow=True)
         hits = res.select(
             F.col("vec_id").alias("doc_id"),
             F.col("cos_sim").alias("score"),
@@ -461,6 +514,62 @@ class HybridSearchPlan:
 
     # -- batched msearch ladder --------------------------------------------
 
+    def _expand_terms_batch(
+        self, qids: list[int], qtext: dict[int, str], opts: SearchOpts
+    ) -> list:
+        """Per-term fuzzy dictionary expansion for a whole query set in ONE
+        job → rows (query_id, term, term_weight).
+
+        Equi-join on the shared prefix (hash join, one dictionary scan)
+        instead of a non-equi startswith condition (which nested-loops
+        |dict| × |qterms| at scale).  1-char query terms join on a 1-char
+        prefix to keep ``fuzzy_term_candidates``'s ``q[:2]`` semantics
+        exactly."""
+        spark = self.docs.sparkSession
+        qterm_pairs = []
+        for qid in qids:
+            for t in dict.fromkeys(query_terms(qtext[qid])):
+                qterm_pairs.append((qid, t))
+        if not qterm_pairs:
+            return []
+        from pyspark.sql import Window
+
+        by_len: dict[int, list] = {}
+        for qid, t in qterm_pairs:
+            by_len.setdefault(min(len(t), 2), []).append((qid, t))
+        cands = []
+        for plen, pairs in sorted(by_len.items()):
+            qdf = spark.createDataFrame(
+                pairs, "query_id long, qterm string"
+            ).withColumn("pfx", F.substring("qterm", 1, plen))
+            cands.append(
+                self.dictionary.withColumn(
+                    "pfx", F.substring("term", 1, plen)
+                ).join(F.broadcast(qdf), "pfx")
+            )
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        cand = cand.withColumn(
+            "edit_dist", F.levenshtein("term", "qterm")
+        ).where(F.col("edit_dist") <= opts.fuzzy_max_edits)
+        w = Window.partitionBy("query_id", "qterm").orderBy(
+            F.asc("edit_dist"), F.asc("term")
+        )
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= opts.fuzzy_max_expansions)
+            .withColumn(
+                "term_weight",
+                1.0
+                - F.col("edit_dist")
+                / F.greatest(F.length("term"), F.length("qterm")),
+            )
+            .groupBy("query_id", "term")
+            .agg(F.max("term_weight").alias("term_weight"))
+            .collect()
+        )
+
     def search_many(
         self, queries: list[tuple[int, str]], opts: SearchOpts | None = None
     ) -> tuple[DataFrame, dict[int, dict]]:
@@ -474,17 +583,228 @@ class HybridSearchPlan:
         Per-query latency in ``search()`` is dominated by Spark's per-job
         scheduling floor; batching amortizes it across the set — the same
         argument ``operators.bm25.batch_topk`` makes for plain BM25."""
-        import time  # noqa: F401
+        import time
 
         from ..functions.normalize import fold_homoglyphs
         from ..functions.vectors import pseudo_embedding
         from ..operators.bm25 import batch_topk
         from ..operators.fuzzy import extract_anchors, rapidfuzz_rerank_expr
 
+        t_start = time.monotonic()
+        # per-stage wall times land in self.last_batch_trace (ms) — the
+        # batched analogue of search()'s SearchTraceStep list
+        self.last_batch_trace: dict[str, float] = {}
         opts = opts or SearchOpts()
         k = opts.top_k
         spark = self.docs.sparkSession
         qtext = dict(queries)
+
+        # --- speculative fuzzy expansion, overlapped with AC ---------------
+        # The per-term dictionary expansion depends only on the query texts,
+        # not on the AC outcome — so it runs CONCURRENTLY with the AC job for
+        # ALL queries and is filtered to the escalating subset afterwards
+        # (identical rows: the expansion window partitions per query).  The
+        # one speculative dictionary-probe job is wall-time-free (overlapped)
+        # and its resources are bounded by |query terms| broadcast-joined
+        # prefix buckets.
+        exp_fut = (
+            _Async(
+                _timed_into(
+                    self.last_batch_trace, "expansion_ms",
+                    lambda: self._expand_terms_batch(
+                        [qid for qid, _ in queries], qtext, opts
+                    ),
+                )
+            )
+            if opts.enable_escalation
+            else None
+        )
+
+        # --- stage 3: batched vector for the escalating subset -------------
+        # Candidates come from a partition-pruned ANN probe (IVF cells / LSH
+        # bands) or — with no ANN index — from `knn_bruteforce_many`, a
+        # shuffle-free mapInPandas scan that keeps the query×doc fan-out
+        # inside numpy Arrow tasks (NEVER a crossJoin + window over
+        # |corpus| × |queries| rows).  The L9 rerank and L10 anchor
+        # containment run IN-CLUSTER as Column exprs over the k-bounded hits;
+        # the collect ships only (query_id, doc_id, score, cos_sim,
+        # anchor_mult) — no document text reaches the driver (at web scale a
+        # 100-query × k × ~100 KB-doc collect would be ~100 MB).
+        have_vectors = self.embeddings is not None or self.ann_index_dir is not None
+
+        def _vector_stage_batch(targets: list[int]) -> dict[int, list]:
+            vec_rows: dict[int, list] = {q: [] for q in targets}
+            if not (targets and have_vectors):
+                return vec_rows
+            from pyspark.sql import Window
+
+            import numpy as np
+
+            qvecs = {q: pseudo_embedding(qtext[q], self.embedding_dim) for q in targets}
+            qdf = spark.createDataFrame(
+                [{"query_id": q, "qvec": qvecs[q]} for q in targets],
+                "query_id long, qvec array<double>",
+            )
+            if self.ann_index_dir is not None and self.ann_kind == "ivf":
+                cells = {
+                    q: [
+                        int(c)
+                        for c in np.argsort(
+                            -(self.ann_centroids @ (
+                                np.asarray(qvecs[q])
+                                / max(np.linalg.norm(qvecs[q]), 1e-12)
+                            ))
+                        )[: self.ann_n_probe]
+                    ]
+                    for q in targets
+                }
+                union_cells = sorted({c for cs in cells.values() for c in cs})
+                celldf = spark.createDataFrame(
+                    [(q, c) for q, cs in cells.items() for c in cs],
+                    "query_id long, ivf_cell int",
+                )
+                base = (
+                    self.ann_df.where(F.col("ivf_cell").isin(union_cells))
+                    .join(F.broadcast(celldf), "ivf_cell")
+                    .join(F.broadcast(qdf), "query_id")
+                )
+            elif self.ann_index_dir is not None:
+                from ..operators.similarity import (
+                    _LSH_TOP_BITS,
+                    lsh_signature_of,
+                )
+                import itertools
+                import json as _json
+                import os as _os
+
+                with open(_os.path.join(self.ann_index_dir, "_lsh_meta.json")) as fh:
+                    lmeta = _json.load(fh)
+                n_planes = lmeta["n_planes"]
+                sigs, bands = {}, {}
+                for q in targets:
+                    s = lsh_signature_of(qvecs[q], lmeta["dim"], n_planes, lmeta["seed"])
+                    sigs[q] = s
+                    qband = (s >> (n_planes - _LSH_TOP_BITS)) & ((1 << _LSH_TOP_BITS) - 1)
+                    bs = set()
+                    for h in range(self.ann_max_hamming + 1):
+                        for flips in itertools.combinations(range(_LSH_TOP_BITS), h):
+                            b = qband
+                            for f in flips:
+                                b ^= 1 << f
+                            bs.add(b)
+                    bands[q] = bs
+                union_bands = sorted({b for bs in bands.values() for b in bs})
+                banddf = spark.createDataFrame(
+                    [(q, b, sigs[q]) for q, bs in bands.items() for b in bs],
+                    "query_id long, lsh_band int, qsig long",
+                )
+                base = (
+                    spark.read.parquet(self.ann_index_dir)
+                    .where(F.col("lsh_band").isin(union_bands))
+                    .join(F.broadcast(banddf), "lsh_band")
+                    .where(
+                        F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("qsig")))
+                        <= self.ann_max_hamming
+                    )
+                    .join(F.broadcast(qdf), "query_id")
+                )
+            else:
+                base = None
+            if base is not None:
+                if self.embedding_dim >= 128:
+                    from ..operators.similarity import cosine_pair_udf
+
+                    cos = cosine_pair_udf()(F.col("embedding"), F.col("qvec"))
+                else:
+                    from ..functions.vectors import cosine_col
+
+                    cos = cosine_col(F.col("embedding"), F.col("qvec"))
+                wv = Window.partitionBy("query_id").orderBy(
+                    F.desc("cos_sim"), F.asc("doc_id")
+                )
+                hits = (
+                    base.withColumn("cos_sim", cos)
+                    .select(
+                        "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
+                    )
+                    .withColumn("rn", F.row_number().over(wv))
+                    .where(F.col("rn") <= k)
+                    .drop("rn")
+                )
+            else:
+                # no ANN index: exact multi-query cosine in ONE shuffle-free
+                # scan (mapInPandas gemv per query, batch-local top-k) — the
+                # scale-correct replacement for crossJoin + window
+                from ..operators.similarity import knn_bruteforce_many
+
+                hits = knn_bruteforce_many(
+                    self.embeddings, [(q, qvecs[q]) for q in targets], k=k
+                ).select("query_id", F.col("vec_id").alias("doc_id"), "cos_sim")
+            hits = hits.withColumn("score", F.col("cos_sim"))
+            # qtext (for the L9 rerank) + pre-extracted anchors join in as a
+            # broadcast side table; doc text joins only transiently for the
+            # in-cluster exprs and never reaches the driver
+            anchors = {
+                q: (
+                    extract_anchors(qtext[q])
+                    if opts.enable_anchor_boost
+                    else ([], [])
+                )
+                for q in targets
+            }
+            qmeta = spark.createDataFrame(
+                [
+                    {
+                        "query_id": q,
+                        "qtext": qtext[q],
+                        "qdates": anchors[q][0],
+                        "qid_anchors": anchors[q][1],
+                    }
+                    for q in targets
+                ],
+                "query_id long, qtext string, qdates array<string>, "
+                "qid_anchors array<string>",
+            )
+            # the ≤ nq×k hit set broadcasts INTO the doc store (the big side
+            # streams through a broadcast hash join — never shuffled), same
+            # shape as search()'s single-query text probe
+            with_text = self.docs.select("doc_id", self.text_col).join(
+                F.broadcast(hits.join(F.broadcast(qmeta), "query_id")),
+                "doc_id",
+            )
+            if opts.rapidfuzz_rerank:
+                with_text = rapidfuzz_rerank_expr(
+                    with_text, F.col("qtext"), text_col=self.text_col,
+                    score_col="score", sort=False,
+                )
+            # L10 anchors in-cluster: same containment × multiplier as
+            # operators.fuzzy.anchor_boost (dob ×1.2, id ×1.1); empty anchor
+            # arrays make both exists() false → multiplier 1.0
+            tc = self.text_col
+            anchor_mult = F.when(
+                F.exists(F.col("qdates"), lambda d: F.col(tc).contains(d)),
+                F.lit(1.2),
+            ).otherwise(F.lit(1.0)) * F.when(
+                F.exists(F.col("qid_anchors"), lambda i: F.col(tc).contains(i)),
+                F.lit(1.1),
+            ).otherwise(F.lit(1.0))
+            for r in with_text.select(
+                "query_id", "doc_id", "score", "cos_sim",
+                anchor_mult.alias("anchor_mult"),
+            ).collect():
+                vec_rows[r["query_id"]].append(r)
+            return vec_rows
+
+        vec_fut = (
+            _Async(
+                _timed_into(
+                    self.last_batch_trace, "vector_ms",
+                    lambda: _vector_stage_batch([qid for qid, _ in queries]),
+                )
+            )
+            if opts.speculative_vector and opts.enable_escalation and have_vectors
+            else None
+        )
 
         # --- stage 1: batched AC (+ homoglyph variants as extra entries) ---
         entries = list(queries)
@@ -519,6 +839,8 @@ class HybridSearchPlan:
             for qid, best in ac_best_rows.items()
         }
 
+        self.last_batch_trace["ac_ms"] = (time.monotonic() - t_start) * 1000
+
         escalating = [
             qid for qid, _ in queries
             if opts.enable_escalation and (
@@ -527,215 +849,82 @@ class HybridSearchPlan:
             )
         ]
 
-        # --- stage 2: batched fuzzy for the escalating subset --------------
-        fz_rows: dict[int, list[tuple[int, float]]] = {q: [] for q in escalating}
-        if escalating:
-            qterm_pairs = []
-            for qid in escalating:
-                for t in dict.fromkeys(query_terms(qtext[qid])):
-                    qterm_pairs.append((qid, t))
-            if qterm_pairs:
-                from pyspark.sql import Window
-
-                # equi-join on the shared prefix (hash join, one dictionary
-                # scan) instead of a non-equi startswith condition (which
-                # nested-loops |dict| × |qterms| at scale).  1-char query
-                # terms join on a 1-char prefix to keep fuzzy_term_candidates'
-                # q[:2] semantics exactly.
-                by_len: dict[int, list] = {}
-                for qid, t in qterm_pairs:
-                    by_len.setdefault(min(len(t), 2), []).append((qid, t))
-                cands = []
-                for plen, pairs in sorted(by_len.items()):
-                    qdf = spark.createDataFrame(
-                        pairs, "query_id long, qterm string"
-                    ).withColumn("pfx", F.substring("qterm", 1, plen))
-                    cands.append(
-                        self.dictionary.withColumn(
-                            "pfx", F.substring("term", 1, plen)
-                        ).join(F.broadcast(qdf), "pfx")
-                    )
-                cand = cands[0]
-                for c in cands[1:]:
-                    cand = cand.unionByName(c)
-                cand = cand.withColumn(
-                    "edit_dist", F.levenshtein("term", "qterm")
-                ).where(F.col("edit_dist") <= opts.fuzzy_max_edits)
-                w = Window.partitionBy("query_id", "qterm").orderBy(
-                    F.asc("edit_dist"), F.asc("term")
-                )
-                expanded_rows = (
-                    cand.withColumn("rn", F.row_number().over(w))
-                    .where(F.col("rn") <= opts.fuzzy_max_expansions)
-                    .withColumn(
-                        "term_weight",
-                        1.0
-                        - F.col("edit_dist")
-                        / F.greatest(F.length("term"), F.length("qterm")),
-                    )
-                    .groupBy("query_id", "term")
-                    .agg(F.max("term_weight").alias("term_weight"))
-                    .collect()
-                )
-                if expanded_rows and self.index_df is not None:
-                    # weighted batch scoring straight off the compressed
-                    # index: the chunk-group Arrow scorer multiplies each
-                    # expanded term's contribution by its edit-ratio weight
-                    from .wand import batch_topk_indexed
-
-                    fz_all = batch_topk_indexed(
-                        spark, self.index_dir, [], k=k,
-                        index_df=self.index_df, meta=self.index_meta,
-                        query_terms_override=[
-                            (r["query_id"], r["term"], float(r["term_weight"]))
-                            for r in expanded_rows
-                        ],
-                    ).collect()
-                    for r in fz_all:
-                        fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
-                elif expanded_rows:
-                    all_terms = sorted({r["term"] for r in expanded_rows})
-                    scored = score_terms(
-                        self.postings, self.dl, all_terms, self.stats
-                    )
-                    wdf = spark.createDataFrame(
-                        [
-                            (r["query_id"], r["term"], float(r["term_weight"]))
-                            for r in expanded_rows
-                        ],
-                        "query_id long, term string, term_weight double",
-                    )
-                    w2 = Window.partitionBy("query_id").orderBy(
-                        F.desc("score"), F.asc("doc_id")
-                    )
-                    fz_all = (
-                        scored.join(F.broadcast(wdf), "term")
-                        .withColumn(
-                            "term_score", F.col("term_score") * F.col("term_weight")
-                        )
-                        .groupBy("query_id", "doc_id")
-                        .agg(F.sum("term_score").alias("score"))
-                        .withColumn("rn", F.row_number().over(w2))
-                        .where(F.col("rn") <= k)
-                        .collect()
-                    )
-                    for r in fz_all:
-                        fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
-
-        # --- stage 3: batched vector for the escalating subset -------------
-        have_vectors = self.embeddings is not None or self.ann_index_dir is not None
-        vec_rows: dict[int, list] = {q: [] for q in escalating}
-        if escalating and have_vectors:
+        # --- stages 2+3 run CONCURRENTLY: the fuzzy scoring job (over the
+        # already-expanded terms) and the vector job both depend only on the
+        # AC result (escalating set) — wall time is AC + max(fuzzy, vector),
+        # not the sum.  Spark job submission is thread-safe; the driver-side
+        # work in each closure is k-bounded.
+        def _fuzzy_stage_batch() -> dict[int, list[tuple[int, float]]]:
             from pyspark.sql import Window
 
-            import numpy as np
-
-            qvecs = {q: pseudo_embedding(qtext[q], self.embedding_dim) for q in escalating}
-            qrows = [
-                {"query_id": q, "qtext": qtext[q], "qvec": qvecs[q]}
-                for q in escalating
+            fz_rows: dict[int, list[tuple[int, float]]] = {q: [] for q in escalating}
+            if not escalating or exp_fut is None:
+                return fz_rows
+            esc = set(escalating)
+            expanded_rows = [
+                r for r in exp_fut.result() if r["query_id"] in esc
             ]
-            qdf = spark.createDataFrame(
-                qrows, "query_id long, qtext string, qvec array<double>"
-            )
-            if self.ann_index_dir is not None and self.ann_kind == "ivf":
-                cells = {
-                    q: [
-                        int(c)
-                        for c in np.argsort(
-                            -(self.ann_centroids @ (
-                                np.asarray(qvecs[q])
-                                / max(np.linalg.norm(qvecs[q]), 1e-12)
-                            ))
-                        )[: self.ann_n_probe]
-                    ]
-                    for q in escalating
-                }
-                union_cells = sorted({c for cs in cells.values() for c in cs})
-                celldf = spark.createDataFrame(
-                    [(q, c) for q, cs in cells.items() for c in cs],
-                    "query_id long, ivf_cell int",
-                )
-                base = (
-                    self.ann_df.where(F.col("ivf_cell").isin(union_cells))
-                    .join(F.broadcast(celldf), "ivf_cell")
-                    .join(F.broadcast(qdf), "query_id")
-                )
-            elif self.ann_index_dir is not None:
-                from ..operators.similarity import (
-                    _LSH_TOP_BITS,
-                    lsh_signature_of,
-                )
-                import itertools
-                import json as _json
-                import os as _os
+            if expanded_rows and self.index_df is not None:
+                # weighted batch scoring straight off the compressed
+                # index: the chunk-group Arrow scorer multiplies each
+                # expanded term's contribution by its edit-ratio weight
+                from .wand import batch_topk_indexed
 
-                with open(_os.path.join(self.ann_index_dir, "_lsh_meta.json")) as fh:
-                    lmeta = _json.load(fh)
-                n_planes = lmeta["n_planes"]
-                sigs, bands = {}, {}
-                for q in escalating:
-                    s = lsh_signature_of(qvecs[q], lmeta["dim"], n_planes, lmeta["seed"])
-                    sigs[q] = s
-                    qband = (s >> (n_planes - _LSH_TOP_BITS)) & ((1 << _LSH_TOP_BITS) - 1)
-                    bs = set()
-                    for h in range(self.ann_max_hamming + 1):
-                        for flips in itertools.combinations(range(_LSH_TOP_BITS), h):
-                            b = qband
-                            for f in flips:
-                                b ^= 1 << f
-                            bs.add(b)
-                    bands[q] = bs
-                union_bands = sorted({b for bs in bands.values() for b in bs})
-                banddf = spark.createDataFrame(
-                    [(q, b, sigs[q]) for q, bs in bands.items() for b in bs],
-                    "query_id long, lsh_band int, qsig long",
+                fz_all = batch_topk_indexed(
+                    spark, self.index_dir, [], k=k,
+                    index_df=self.index_df, meta=self.index_meta,
+                    query_terms_override=[
+                        (r["query_id"], r["term"], float(r["term_weight"]))
+                        for r in expanded_rows
+                    ],
+                ).collect()
+                for r in fz_all:
+                    fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
+            elif expanded_rows:
+                all_terms = sorted({r["term"] for r in expanded_rows})
+                scored = score_terms(
+                    self.postings, self.dl, all_terms, self.stats
                 )
-                base = (
-                    spark.read.parquet(self.ann_index_dir)
-                    .where(F.col("lsh_band").isin(union_bands))
-                    .join(F.broadcast(banddf), "lsh_band")
-                    .where(
-                        F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("qsig")))
-                        <= self.ann_max_hamming
+                wdf = spark.createDataFrame(
+                    [
+                        (r["query_id"], r["term"], float(r["term_weight"]))
+                        for r in expanded_rows
+                    ],
+                    "query_id long, term string, term_weight double",
+                )
+                w2 = Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+                fz_all = (
+                    scored.join(F.broadcast(wdf), "term")
+                    .withColumn(
+                        "term_score", F.col("term_score") * F.col("term_weight")
                     )
-                    .join(F.broadcast(qdf), "query_id")
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.sum("term_score").alias("score"))
+                    .withColumn("rn", F.row_number().over(w2))
+                    .where(F.col("rn") <= k)
+                    .collect()
                 )
-            else:
-                base = self.embeddings.crossJoin(F.broadcast(qdf))
-            from ..functions.vectors import cosine_col
+                for r in fz_all:
+                    fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
+            return fz_rows
 
-            if self.embedding_dim >= 128:
-                from ..operators.similarity import cosine_pair_udf
-
-                cos = cosine_pair_udf()(F.col("embedding"), F.col("qvec"))
-            else:
-                cos = cosine_col(F.col("embedding"), F.col("qvec"))
-            wv = Window.partitionBy("query_id").orderBy(
-                F.desc("cos_sim"), F.asc("doc_id")
-            )
-            hits = (
-                base.withColumn("cos_sim", cos)
-                .select(
-                    "query_id", F.col("vec_id").alias("doc_id"), "cos_sim", "qtext"
+        fz_fut = _Async(
+            _timed_into(self.last_batch_trace, "fuzzy_ms", _fuzzy_stage_batch)
+        )
+        if vec_fut is None:
+            vec_fut = _Async(
+                _timed_into(
+                    self.last_batch_trace, "vector_ms",
+                    lambda: _vector_stage_batch(escalating),
                 )
-                .withColumn("rn", F.row_number().over(wv))
-                .where(F.col("rn") <= k)
-                .withColumn("score", F.col("cos_sim"))
             )
-            # text joins in for the L9 rerank AND the driver-side anchor check
-            with_text = hits.join(
-                self.docs.select("doc_id", self.text_col), "doc_id"
-            )
-            if opts.rapidfuzz_rerank:
-                with_text = rapidfuzz_rerank_expr(
-                    with_text, F.col("qtext"), text_col=self.text_col,
-                    score_col="score",
-                )
-            for r in with_text.select(
-                "query_id", "doc_id", "score", "cos_sim", self.text_col
-            ).collect():
-                vec_rows[r["query_id"]].append(r)
+        fz_rows = fz_fut.result()
+        # speculative results cover ALL queries — keep only the escalating
+        # subset so gating sees exactly what search() would have computed
+        vec_all = vec_fut.result()
+        vec_rows = {q: vec_all.get(q, []) for q in escalating}
 
         # --- driver-side gating + boosts + fusion per query -----------------
         out_rows = []
@@ -756,11 +945,6 @@ class HybridSearchPlan:
             )
             vector_best: dict[int, float] | None = None
             if use_vector:
-                dates, ids = (
-                    extract_anchors(qtext[qid])
-                    if opts.enable_anchor_boost
-                    else ([], [])
-                )
                 vector_best = {}
                 for r in vrows:
                     s, cos = r["score"], r["cos_sim"]
@@ -769,14 +953,11 @@ class HybridSearchPlan:
                             s *= 1.3
                         elif cos > 0.5:
                             s *= 1.1
-                    # L10 anchors, driver-side over the carried text — the
-                    # same containment × multiplier as operators.fuzzy
-                    # .anchor_boost (dob ×1.2, id ×1.1)
-                    text = r[self.text_col]
-                    if dates and any(d in text for d in dates):
-                        s *= 1.2
-                    if ids and any(i in text for i in ids):
-                        s *= 1.1
+                    # L10 anchors were evaluated in-cluster (anchor_mult
+                    # column); the multiplication happens here so the stage-4
+                    # gate above still sees the pre-boost score, exactly like
+                    # search()
+                    s *= r["anchor_mult"]
                     doc = r["doc_id"]
                     if doc not in vector_best or s > vector_best[doc]:
                         vector_best[doc] = s
@@ -804,4 +985,5 @@ class HybridSearchPlan:
         result = spark.createDataFrame(
             out_rows, "query_id long, doc_id long, score double, rank int"
         )
+        self.last_batch_trace["total_ms"] = (time.monotonic() - t_start) * 1000
         return result, meta

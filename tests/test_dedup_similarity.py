@@ -232,3 +232,40 @@ def test_lsh_partitioned_probe(spark, tmp_path):
 
     got = knn_lsh_probe(spark, path, rows[0][1], k=3, max_hamming=2).collect()
     assert got and got[0]["vec_id"] == 0 and abs(got[0]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_knn_bruteforce_many_matches_per_query(spark):
+    """Batched multi-query exact kNN ≡ per-query knn_bruteforce (arrow path),
+    including tie-breaks, and its plan has NO cartesian fan-out — the
+    query×doc product lives inside the mapInPandas task, never in a join."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        knn_bruteforce_many,
+    )
+
+    dim = 32
+    texts = [f"doc number {i} spark {'join ' * (i % 5)}query" for i in range(60)]
+    rows = [(i, pseudo_embedding(t, dim)) for i, t in enumerate(texts)]
+    # duplicate embeddings force cosine ties → exercises the doc_id tie-break
+    rows += [(100 + i, rows[i][1]) for i in range(5)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4)
+    queries = [
+        (7, pseudo_embedding("spark join query", dim)),
+        (8, pseudo_embedding("doc number 3", dim)),
+        (9, pseudo_embedding("zzz unrelated", dim)),
+    ]
+    batched = knn_bruteforce_many(emb, queries, k=6)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cos_sim"]))
+    for qid, qv in queries:
+        want = [
+            (r["vec_id"], r["cos_sim"])
+            for r in knn_bruteforce(emb, qv, k=6, arrow=True).collect()
+        ]
+        assert got[qid] == want, qid
+
+    plan = batched._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
