@@ -268,6 +268,20 @@ def main() -> None:
             )
         finally:
             shutil.rmtree(ann_dir, ignore_errors=True)
+
+        # ANN recall curves at the reference's real 384 dims (the ef_search-
+        # dial analogue of the ES HNSW config): recall@10 vs n_probe / vs
+        # max_hamming, on member (ANN-friendly) and boundary (adversarial)
+        # queries.  Reported in extra only — not part of the headline wall
+        # time (it is a quality table, not a throughput number).
+        from hybrid_sanctions_search_engine_spark.operators.ann_recall import (
+            recall_report,
+        )
+
+        t0 = time.monotonic()
+        rec = recall_report(spark, n=20_000, dim=384)
+        rec["measure_sec"] = round(time.monotonic() - t0, 1)
+        extra["ann_recall"] = rec
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(big_dir, ignore_errors=True)

@@ -1,0 +1,238 @@
+"""ANN recall measurement: recall@k vs the probe-width dials.
+
+The reference's ES HNSW analogue publishes its ef_search trade-off dials
+(``/root/reference/src/ai_service/layers/embeddings/indexing/
+elasticsearch_index_manager.py:209-214``: ``num_candidates``/``ef_search``);
+this module publishes the equivalent curves for our two ANN layouts —
+recall@k vs ``n_probe`` (IVF) and vs ``max_hamming`` (LSH multi-probe) —
+measured against brute-force ground truth on a clustered fixture.
+
+Methodology: the candidate sets are derived from the WRITTEN index's own
+partition columns (``ivf_cell`` / ``lsh_sig``), loaded once, with the probe
+selection replayed in numpy — semantically identical to
+``knn_ivf_probe`` / ``knn_lsh_probe`` (both prune to those candidates and
+exact-cosine rerank; the equivalence is pinned by
+``tests/test_ann_recall.py``), so a 5-dial × 50-query sweep costs one index
+read instead of 250 Spark jobs.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+
+import numpy as np
+
+from .similarity import _LSH_TOP_BITS, lsh_signature_of
+
+
+def make_clustered_fixture(
+    n: int = 20_000,
+    dim: int = 384,
+    n_clusters: int = 64,
+    noise: float = 0.35,
+    n_queries: int = 50,
+    seed: int = 7,
+    query_mode: str = "boundary",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic clustered vectors + held-out queries (both L2-normalized).
+
+    Clustered, not uniform, on purpose: on a uniform corpus the best
+    neighbor is barely above the mean similarity and hyperplane bits are
+    ~random (measured in round 3 — BENCH.md), so recall curves would say
+    nothing.  Real embedding spaces are clustered; ANN dials are tuned for
+    that regime.
+
+    ``query_mode``: "member" draws queries from a single cluster (the
+    ANN-friendly regime — one IVF cell holds all true neighbors);
+    "boundary" blends two cluster centers per query (the adversarial
+    regime — truth straddles cells and the probe width has to pay for
+    it).  Publishing both shows where the dial starts to matter."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # noise is the TOTAL perturbation norm, not per-dimension: a per-dim σ
+    # of `noise` at dim 384 gives a noise vector of norm noise·√384 ≈ 6.9 —
+    # 98% noise, i.e. a uniform corpus in disguise (recall curves were flat
+    # until this was scaled).  σ = noise/√dim keeps same-cluster cosine at
+    # ≈ 1/(1+noise²) regardless of dim.
+    sigma = noise / np.sqrt(dim)
+    assign = rng.integers(0, n_clusters, size=n)
+    x = centers[assign] + sigma * rng.standard_normal((n, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    qa = rng.integers(0, n_clusters, size=n_queries)
+    qb = (qa + 1 + rng.integers(0, n_clusters - 1, size=n_queries)) % n_clusters
+    wb = rng.uniform(0.9, 1.1, size=n_queries)[:, None]
+    qnoise = sigma * rng.standard_normal((n_queries, dim))
+    if query_mode == "member":
+        q = centers[qa] + qnoise
+    elif query_mode == "boundary":
+        # blend two centers with near-equal weight (0.9-1.1): the true top-k
+        # then spans both clusters' cells and the probe width has to widen
+        # to recover it (single-center queries measure 1.0 at n_probe=1)
+        q = centers[qa] + wb * centers[qb] + qnoise
+    else:
+        raise ValueError(f"unknown query_mode: {query_mode!r}")
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return x, q
+
+
+def brute_force_topk(x: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
+    """Exact cosine top-k ids per query (rows of ``q``) — the ground truth."""
+    sims = q @ x.T  # both normalized
+    out = np.empty((q.shape[0], k), dtype=np.int64)
+    for i in range(q.shape[0]):
+        s = sims[i]
+        cand = np.argpartition(-s, k)[: k * 2]
+        out[i] = cand[np.lexsort((cand, -s[cand]))][:k]
+    return out
+
+
+def ivf_recall_curve(
+    index_dir: str,
+    x: np.ndarray,
+    queries: np.ndarray,
+    truth: np.ndarray,
+    n_probes: list[int],
+    k: int = 10,
+) -> dict[int, float]:
+    """recall@k vs n_probe, replaying ``knn_ivf_probe``'s candidate selection
+    (nearest-centroid cells by cosine, exact rerank inside) from the written
+    index's cell assignments."""
+    import pyarrow.dataset as ds
+
+    meta = json.load(open(os.path.join(index_dir, "_ivf_meta.json")))
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    tbl = ds.dataset(index_dir, format="parquet", partitioning="hive").to_table(
+        columns=["vec_id", "ivf_cell"]
+    )
+    vec_ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    cells = np.asarray(tbl["ivf_cell"], dtype=np.int64)
+    cell_of = np.empty(vec_ids.max() + 1, dtype=np.int64)
+    cell_of[vec_ids] = cells
+    out: dict[int, float] = {}
+    for n_probe in n_probes:
+        hits = 0
+        for i in range(queries.shape[0]):
+            probe = set(np.argsort(-(cents @ queries[i]))[:n_probe].tolist())
+            cand = np.flatnonzero(np.isin(cell_of, list(probe)))
+            if cand.size == 0:
+                continue
+            s = x[cand] @ queries[i]
+            kk = min(k, cand.size)
+            top = cand[np.lexsort((cand, -s))[:kk]]
+            hits += len(set(top.tolist()) & set(truth[i].tolist()))
+        out[n_probe] = hits / (queries.shape[0] * k)
+    return out
+
+
+def lsh_recall_curve(
+    index_dir: str,
+    x: np.ndarray,
+    queries: np.ndarray,
+    truth: np.ndarray,
+    max_hammings: list[int],
+    k: int = 10,
+) -> dict[int, float]:
+    """recall@k vs max_hamming, replaying ``knn_lsh_probe``'s candidate
+    selection (band enumeration + full-signature Hamming filter) from the
+    written index's signatures."""
+    import pyarrow.dataset as ds
+
+    meta = json.load(open(os.path.join(index_dir, "_lsh_meta.json")))
+    dim, n_planes, seed = meta["dim"], meta["n_planes"], meta["seed"]
+    tbl = ds.dataset(index_dir, format="parquet", partitioning="hive").to_table(
+        columns=["vec_id", "lsh_sig"]
+    )
+    vec_ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    sigs = np.asarray(tbl["lsh_sig"], dtype=np.int64)
+    order = np.argsort(vec_ids)
+    vec_ids, sigs = vec_ids[order], sigs[order]
+    out: dict[int, float] = {}
+    for mh in max_hammings:
+        hits = 0
+        for i in range(queries.shape[0]):
+            qsig = lsh_signature_of(queries[i].tolist(), dim, n_planes, seed)
+            qband = (qsig >> (n_planes - _LSH_TOP_BITS)) & ((1 << _LSH_TOP_BITS) - 1)
+            bands = set()
+            for h in range(mh + 1):
+                for flips in itertools.combinations(range(_LSH_TOP_BITS), h):
+                    b = qband
+                    for f in flips:
+                        b ^= 1 << f
+                    bands.add(b)
+            band = (sigs >> (n_planes - _LSH_TOP_BITS)) & ((1 << _LSH_TOP_BITS) - 1)
+            # popcount via byte view (numpy < 2.0 has no bitwise_count)
+            xor = np.bitwise_xor(sigs, qsig)
+            ham = np.unpackbits(xor.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            mask = np.isin(band, list(bands)) & (ham <= mh)
+            cand = vec_ids[mask]
+            if cand.size == 0:
+                continue
+            s = x[cand] @ queries[i]
+            kk = min(k, cand.size)
+            top = cand[np.lexsort((cand, -s))[:kk]]
+            hits += len(set(top.tolist()) & set(truth[i].tolist()))
+        out[mh] = hits / (queries.shape[0] * k)
+    return out
+
+
+def recall_report(
+    spark,
+    n: int = 20_000,
+    dim: int = 384,
+    n_clusters: int = 64,
+    noise: float = 0.35,
+    n_centroids: int = 64,
+    n_planes: int = 16,
+    k: int = 10,
+    n_probes: list[int] | None = None,
+    max_hammings: list[int] | None = None,
+    workdir: str | None = None,
+) -> dict:
+    """Build both ANN indexes over the clustered fixture and return the two
+    recall curves — the table bench.py publishes into BENCH_r{N}.json."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .similarity import write_ivf_index, write_lsh_index
+
+    n_probes = n_probes or [1, 2, 4, 8, 16]
+    max_hammings = max_hammings or [0, 1, 2, 3]
+    import pandas as pd
+
+    base = workdir or tempfile.mkdtemp(prefix="ann_recall_")
+    ivf_dir = os.path.join(base, "ivf")
+    lsh_dir = os.path.join(base, "lsh")
+    out: dict = {"n": n, "dim": dim, "k": k, "noise": noise}
+    try:
+        for mode in ("member", "boundary"):
+            x, q = make_clustered_fixture(
+                n=n, dim=dim, n_clusters=n_clusters, noise=noise, query_mode=mode
+            )
+            if mode == "member":  # x is identical across modes (same seed)
+                emb = spark.createDataFrame(
+                    pd.DataFrame(
+                        {"vec_id": np.arange(n, dtype=np.int64), "embedding": list(x)}
+                    )
+                )
+                write_ivf_index(emb, ivf_dir, n_centroids=n_centroids)
+                write_lsh_index(emb, lsh_dir, dim=dim, n_planes=n_planes)
+            truth = brute_force_topk(x, q, k)
+            out[f"ivf_recall_at_{k}_by_n_probe_{mode}"] = {
+                str(d): round(v, 4)
+                for d, v in ivf_recall_curve(ivf_dir, x, q, truth, n_probes, k).items()
+            }
+            out[f"lsh_recall_at_{k}_by_max_hamming_{mode}"] = {
+                str(d): round(v, 4)
+                for d, v in lsh_recall_curve(
+                    lsh_dir, x, q, truth, max_hammings, k
+                ).items()
+            }
+        return out
+    finally:
+        if workdir is None:
+            shutil.rmtree(base, ignore_errors=True)

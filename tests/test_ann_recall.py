@@ -1,0 +1,107 @@
+"""ANN recall curves: emulation ≡ the real partition-pruned probes, and
+recall floors at the serving defaults.
+
+The reference's ES HNSW layer publishes its ef_search/num_candidates dials
+(``elasticsearch_index_manager.py:209-214``); ``operators.ann_recall``
+publishes the recall@k-vs-dial analogue for IVF (n_probe) and LSH
+(max_hamming).  The curve machinery replays probe selection in numpy from
+the written index's own columns — these tests pin (a) that the replay is
+EXACTLY the candidate selection ``knn_ivf_probe`` / ``knn_lsh_probe``
+perform, and (b) recall floors at the default dials on the clustered
+384-dim fixture (deterministic seed, so the floors are tight)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hybrid_sanctions_search_engine_spark.operators.ann_recall import (
+    brute_force_topk,
+    ivf_recall_curve,
+    lsh_recall_curve,
+    make_clustered_fixture,
+    recall_report,
+)
+
+N, DIM = 4000, 384
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    x, q = make_clustered_fixture(n=N, dim=DIM, query_mode="boundary")
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(N, dtype=np.int64), "embedding": list(x)})
+    )
+    base = tmp_path_factory.mktemp("ann_recall")
+    ivf_dir, lsh_dir = str(base / "ivf"), str(base / "lsh")
+    write_ivf_index(emb, ivf_dir, n_centroids=16)
+    write_lsh_index(emb, lsh_dir, dim=DIM, n_planes=16)
+    return x, q, emb, ivf_dir, lsh_dir
+
+
+def test_ivf_replay_matches_real_probe(spark, built):
+    """The numpy replay returns EXACTLY knn_ivf_probe's result ids."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        knn_ivf_probe,
+        load_ivf_index,
+    )
+
+    x, q, _, ivf_dir, _ = built
+    indexed, cents = load_ivf_index(spark, ivf_dir)
+    truth = brute_force_topk(x, q[:3], 10)
+    # recall computed by the curve on these 3 queries ...
+    curve = ivf_recall_curve(ivf_dir, x, q[:3], truth, [2], k=10)
+    # ... must equal recall of the REAL probe's collected ids
+    hits = 0
+    for i in range(3):
+        got = [
+            r["vec_id"]
+            for r in knn_ivf_probe(indexed, cents, q[i].tolist(), k=10, n_probe=2)
+            .collect()
+        ]
+        hits += len(set(got) & set(truth[i].tolist()))
+    assert curve[2] == pytest.approx(hits / 30)
+
+
+def test_lsh_replay_matches_real_probe(spark, built):
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        knn_lsh_probe,
+    )
+
+    x, q, _, _, lsh_dir = built
+    truth = brute_force_topk(x, q[:3], 10)
+    curve = lsh_recall_curve(lsh_dir, x, q[:3], truth, [2], k=10)
+    hits = 0
+    for i in range(3):
+        got = [
+            r["vec_id"]
+            for r in knn_lsh_probe(
+                spark, lsh_dir, q[i].tolist(), k=10, max_hamming=2
+            ).collect()
+        ]
+        hits += len(set(got) & set(truth[i].tolist()))
+    assert curve[2] == pytest.approx(hits / 30)
+
+
+def test_recall_floors_at_default_dials(spark):
+    """Floors at the serving defaults (HybridSearchPlan: n_probe=3,
+    max_hamming=2) on the 8k × 384 clustered fixture — measured
+    {ivf member@1: 1.0, ivf boundary@2: 1.0, lsh member@2: 0.552,
+    lsh member@3: 0.776}; floors leave margin for BLAS variation only."""
+    rep = recall_report(
+        spark, n=8000, dim=DIM, n_probes=[1, 2, 3], max_hammings=[2, 3]
+    )
+    assert rep["ivf_recall_at_10_by_n_probe_member"]["1"] >= 0.95
+    assert rep["ivf_recall_at_10_by_n_probe_boundary"]["2"] >= 0.95
+    assert rep["ivf_recall_at_10_by_n_probe_boundary"]["3"] >= 0.95
+    assert rep["lsh_recall_at_10_by_max_hamming_member"]["2"] >= 0.45
+    assert rep["lsh_recall_at_10_by_max_hamming_member"]["3"] >= 0.65
+    # the curves are monotone in the dial
+    ivf_b = rep["ivf_recall_at_10_by_n_probe_boundary"]
+    assert ivf_b["1"] <= ivf_b["2"] <= ivf_b["3"]
