@@ -98,6 +98,15 @@ def q_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_ops.phrase_match(_docs(spark, sf), ["key", "order"])
 
 
+def q_phrase_slop(spark: SparkSession, sf: str) -> DataFrame:
+    """Sloppy phrase (anchored contract, slop=2) — the reference's watchlist
+    adapter queries match_phrase with slop (elasticsearch_watchlist_adapter
+    .py:218-229); operators/bm25.py:phrase_match documents the semantics."""
+    return bm25_ops.phrase_match(
+        _docs(spark, sf), ["table", "value", "row"], slop=2
+    )
+
+
 def q_prefix_terms(spark: SparkSession, sf: str) -> DataFrame:
     postings = post_ops.build_postings(_docs(spark, sf), positions=False)
     return bm25_ops.prefix_match_terms(postings, "sc")
@@ -1007,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_top20": q_term_df_top20,
         "corpus_stats": q_corpus_stats,
         "phrase_match": q_phrase_match,
+        "phrase_slop": q_phrase_slop,
         "prefix_terms": q_prefix_terms,
         "wildcard_docs": q_wildcard_docs,
         "salted_term_df": q_salted_term_df,
@@ -1115,6 +1125,22 @@ pos AS (
 SELECT a.doc_id, count(*)::INT AS n_occurrences
 FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i = a.i + 1
 WHERE a.tok = 'key' AND b.tok = 'order'
+GROUP BY a.doc_id
+""",
+        "phrase_slop": f"""
+WITH {_ORACLE_TOKS},
+pos AS (
+  SELECT doc_id, generate_subscripts(tokens, 1) AS i, unnest(tokens) AS tok FROM toks
+)
+SELECT a.doc_id, count(*)::INT AS n_occurrences
+FROM pos a
+WHERE a.tok = 'table'
+  AND EXISTS (SELECT 1 FROM pos b
+              WHERE b.doc_id = a.doc_id AND b.tok = 'value'
+                AND b.i BETWEEN a.i + 1 AND a.i + 3)
+  AND EXISTS (SELECT 1 FROM pos c
+              WHERE c.doc_id = a.doc_id AND c.tok = 'row'
+                AND c.i BETWEEN a.i + 2 AND a.i + 4)
 GROUP BY a.doc_id
 """,
         "prefix_terms": f"""

@@ -288,24 +288,45 @@ def phrase_match(
     phrase_terms: list[str],
     text_col: str = "text",
     postings: DataFrame | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """doc_ids containing the terms adjacently (ES match_phrase, slop=0;
-    reference query at ``elasticsearch_adapters.py:206-216``).
+    """doc_ids containing the phrase (ES match_phrase; reference query at
+    ``elasticsearch_adapters.py:206-216``, and the watchlist adapter's
+    slop=1 variant at ``elasticsearch_watchlist_adapter.py:218-229``).
+
+    ``slop`` semantics (anchored, documented contract shared with the
+    indexed path and the DuckDB oracle): an occurrence is a position ``p``
+    of term 0 such that every later term ``i`` appears somewhere in
+    ``[p+i, p+i+slop]`` — each term may lag its exact slot by at most
+    ``slop`` extra positions.  slop=0 is exact adjacency.  (ES's sloppy
+    phrase additionally allows reordering at slop ≥ 2; this contract keeps
+    order — the stricter, deterministic subset.)
 
     Positions-list intersection: start from term 0's positions and
-    successively keep only positions p with p+i present in term i's list —
-    all JVM array expressions (`F.filter` + `array_contains`), no UDF.
+    successively keep only positions p with p+i(+d) present in term i's
+    list — all JVM array expressions (`F.filter` + `array_contains`), no
+    UDF.
     """
     if not phrase_terms:
         raise ValueError("empty phrase")
+    if slop < 0:
+        raise ValueError("slop must be >= 0")
     if postings is None:
         postings = build_postings(docs, text_col, positions=True)
     current = (
         postings.where(F.col("term") == phrase_terms[0])
         .select("doc_id", F.col("positions").alias("cand"))
     )
-    def _adjacent_in(pos_col: str, offset: int):
-        return lambda p: F.array_contains(F.col(pos_col), p + F.lit(offset))
+    def _within_slop(pos_col: str, offset: int):
+        def pred(p):
+            cond = F.array_contains(F.col(pos_col), p + F.lit(offset))
+            for d in range(1, slop + 1):
+                cond = cond | F.array_contains(
+                    F.col(pos_col), p + F.lit(offset + d)
+                )
+            return cond
+
+        return pred
 
     for i, term in enumerate(phrase_terms[1:], start=1):
         nxt = postings.where(F.col("term") == term).select(
@@ -313,7 +334,7 @@ def phrase_match(
         )
         current = (
             current.join(nxt, "doc_id")
-            .withColumn("cand", F.filter(F.col("cand"), _adjacent_in(f"pos_{i}", i)))
+            .withColumn("cand", F.filter(F.col("cand"), _within_slop(f"pos_{i}", i)))
             .where(F.size("cand") > 0)
             .select("doc_id", "cand")
         )

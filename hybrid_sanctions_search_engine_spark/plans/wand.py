@@ -333,7 +333,9 @@ PHRASE_SCHEMA = StructType(
 _PHRASE_POS_BITS = 40  # positions < 2^40 — far beyond any document length
 
 
-def _phrase_chunk_scorer(ordered_terms: list[str], chunk_bits: int):
+def _phrase_chunk_scorer(
+    ordered_terms: list[str], chunk_bits: int, slop: int = 0
+):
     """Per-chunk phrase matcher over decoded postings + position streams.
 
     Fully vectorized: each term's postings flatten to packed int64 keys
@@ -341,7 +343,13 @@ def _phrase_chunk_scorer(ordered_terms: list[str], chunk_bits: int):
     local doc ids fit in ``chunk_bits`` bits), and a phrase occurrence is a
     key present for EVERY term — one ``np.intersect1d`` chain per chunk, no
     per-candidate-doc Python loop (round-3 verdict item 8; the loop version
-    cost O(candidate docs) interpreter iterations per chunk)."""
+    cost O(candidate docs) interpreter iterations per chunk).
+
+    ``slop`` (anchored contract shared with ``operators.bm25.phrase_match``):
+    term i may sit anywhere in ``[p+i, p+i+slop]`` — its keys are expanded
+    to the ≤ slop+1 shifted copies before the intersect.  A shift that
+    borrows below a document's position 0 produces a key no anchor can
+    match (anchors are real positions), so no masking is needed."""
     from ..functions.codec import varint_decode
 
     def match(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -364,11 +372,18 @@ def _phrase_chunk_scorer(ordered_terms: list[str], chunk_bits: int):
             per_term[row["term"]] = (local << _PHRASE_POS_BITS) | pos
         if any(t not in per_term for t in ordered_terms):
             return empty
-        # a phrase occurrence at (doc, p) needs term i at position p + i:
-        # shift each term's keys by its offset and intersect
+        # a phrase occurrence at (doc, p) needs term i within
+        # [p + i, p + i + slop]: shift each term's keys by its offset (and
+        # the ≤ slop extra lags) and intersect
         keys = per_term[ordered_terms[0]]
         for offset, t in enumerate(ordered_terms[1:], start=1):
             kt = per_term[t] - offset  # (doc << 40) | (pos - offset)
+            if slop:
+                kt = np.unique(
+                    np.concatenate(
+                        [kt - d for d in range(slop + 1)]
+                    )
+                )
             keys = np.intersect1d(keys, kt, assume_unique=True)
             if keys.size == 0:
                 return empty
@@ -389,13 +404,18 @@ def phrase_search(
     phrase: str | list[str],
     index_df: DataFrame | None = None,
     meta: IndexMeta | None = None,
+    slop: int = 0,
 ) -> DataFrame:
-    """Exact phrase match (slop=0) over a positions-enabled compressed index
+    """Phrase match over a positions-enabled compressed index
     → (doc_id, n_occurrences).  Same shard/row-group pruning as topk_search;
-    adjacency verified from the varint position streams per chunk.
+    adjacency (or the anchored ``slop`` window — see
+    ``operators.bm25.phrase_match`` for the contract; the reference's
+    watchlist adapter queries with slop=1,
+    ``elasticsearch_watchlist_adapter.py:218-229``) verified from the
+    varint position streams per chunk.
 
     Rank-identity vs the DataFrame ``operators.bm25.phrase_match`` is
-    asserted in tests/test_wand.py."""
+    asserted in tests/test_wand.py (slop 0, 1, 2)."""
     if index_df is None or meta is None:
         index_df, meta = load_index(spark, index_dir)
     if not meta.has_positions:
@@ -413,6 +433,8 @@ def phrase_search(
     )
     return (
         matched.groupBy("chunk")
-        .applyInPandas(_phrase_chunk_scorer(terms, meta.chunk_bits), PHRASE_SCHEMA)
+        .applyInPandas(
+            _phrase_chunk_scorer(terms, meta.chunk_bits, slop), PHRASE_SCHEMA
+        )
         .orderBy("doc_id")
     )

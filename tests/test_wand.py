@@ -194,3 +194,59 @@ def test_both_pruning_paths_identical(spark, corpus, query):
                              index_df=idx, meta=meta).collect()
     ]
     assert a == b
+
+
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [
+        (["table", "value"], 1),
+        (["table", "value", "row"], 1),
+        (["table", "value", "row"], 2),
+        (["key", "order"], 2),
+    ],
+)
+def test_phrase_slop_identity_vs_dataframe(spark, pos_corpus, phrase, slop):
+    """Sloppy phrase: indexed packed-key path ≡ DataFrame positions path
+    under the anchored slop contract, and slop strictly widens the match
+    set (slop=0 matches ⊆ slop=s matches)."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import phrase_match
+    from hybrid_sanctions_search_engine_spark.plans.wand import phrase_search
+
+    docs, index_dir, idx, meta = pos_corpus
+    expected = sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_match(docs, phrase, slop=slop).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search(
+            spark, index_dir, phrase, index_df=idx, meta=meta, slop=slop
+        ).collect()
+    )
+    assert got == expected
+    exact_docs = {
+        r["doc_id"] for r in phrase_match(docs, phrase, slop=0).collect()
+    }
+    assert exact_docs <= {d for d, _ in expected}
+
+
+def test_phrase_slop_semantics_unit(spark):
+    """Pin the anchored contract on a hand-built doc: in 'a x b y c' with
+    phrase [a,b,c] anchored at p=0, b sits at slot+1 and c at slot+2 — so
+    slop=1 admits b but not c (needs slop 2); 'a b c' matches at every
+    slop; reversed 'c b a' never matches (the contract keeps order)."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "a x b y c"), (2, "a b c"), (3, "c b a")],
+        "doc_id long, text string",
+    )
+    def match(slop):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_match(docs, ["a", "b", "c"], slop=slop).collect()
+        }
+
+    assert match(0) == {2: 1}
+    assert match(1) == {2: 1}
+    assert match(2) == {1: 1, 2: 1}
