@@ -147,6 +147,54 @@ _SURNAME_OBLIQUE = [
     ("ові", "", None),
 ]
 
+# fleeting-vowel surnames (Кравец → Кравца, Турок → Турка): the oblique
+# stem drops the е/о, which no suffix rule can restore — pymorphy does this
+# from its lexicon, so we gate a restore rule behind a small lexicon of
+# common -ец/-ець/-ок surnames (RU + UK spellings).  The rule also accepts
+# the un-dropped stem directly (Швец → Швеца keeps the е), so non-fleeting
+# consonant surnames in the lexicon strip cleanly too.  UK metathesis
+# (Швець → Шевця) stays out of scope — it reorders the stem, not just the
+# vowel, and needs a full lexicon entry per paradigm.
+FLEETING_VOWEL_SURNAMES = frozenset({
+    # -ец / -ець
+    "кравец", "кравець", "швец", "швець", "донец", "донець",
+    "немец", "чернец", "молодец", "богомолец", "богомолець",
+    "горобец", "горобець", "коломиец", "коломієць", "баранец",
+    "боровец", "половец", "жнец", "удовец", "мудрец", "малец",
+    # -ок
+    "турок", "мазурок", "щиголок", "приходок",
+})
+
+# singular oblique endings only: the plural genitive -ов collides with
+# nominative -ов surnames (Кравцов must NOT become Кравец)
+_FLEETING_OBLIQUE = ("ові", "еві", "ом", "ем", "а", "я", "у", "ю", "е", "і")
+
+
+# uk-flavored case endings (кравця/кравцю/кравцем/кравцеві) prefer the uk
+# -ець restoration when both spellings are in the lexicon; ru endings
+# (кравца/кравцу/кравцом/кравце) prefer bare -ец
+_FLEETING_UK_OBLIQUE = frozenset({"ові", "еві", "я", "ю", "і", "ем"})
+
+
+def _fleeting_surname_restore(token: str) -> str | None:
+    t = token.lower()
+    for obl in _FLEETING_OBLIQUE:
+        if not t.endswith(obl) or len(t) <= len(obl) + 2:
+            continue
+        stem = token[: len(token) - len(obl)]
+        low = stem.lower()
+        if low in FLEETING_VOWEL_SURNAMES:
+            return stem
+        uk_first = obl in _FLEETING_UK_OBLIQUE
+        for vowel in ("е", "о"):
+            restored = stem[:-1] + vowel + stem[-1]
+            cands = [restored + "ь", restored] if uk_first else [restored, restored + "ь"]
+            for cand in cands:
+                if cand.lower() in FLEETING_VOWEL_SURNAMES:
+                    return cand
+    return None
+
+
 # adjective-type surnames: the oblique endings -ого/-ому/-ым/-ом are shared
 # by -ый (Белый) and stressed -ой (Толстой) nominatives — without pymorphy's
 # dictionary the default is -ый, with the common stressed--ой stems listed
@@ -179,6 +227,11 @@ def surname_to_nominative(token: str, gender: str | None = None) -> str:
     t = token.lower()
     if any(t.endswith(s) for s in INVARIABLE_SURNAME_SUFFIXES):
         return token
+    if t in FLEETING_VOWEL_SURNAMES:
+        return token  # already nominative (Кравец ends in a consonant)
+    fleet = _fleeting_surname_restore(token)
+    if fleet is not None:
+        return fleet
     for obl, masc, fem in _SURNAME_OBLIQUE:
         if not t.endswith(obl) or len(t) <= len(obl) + 1:
             continue

@@ -72,8 +72,21 @@ SURNAME_CASES = [
     ("шевчук", "шевчук", "male"), ("сагдеева", "сагдеев", "male"),
 ]
 
-# dictionary-only: fleeting-vowel surname stems need pymorphy's lexicon
-SURNAME_KNOWN_HARD = [("кравца", "кравец", "male")]
+# fleeting-vowel surnames (round-4 verdict item 6): lexicon-gated restore
+SURNAME_FLEETING_CASES = [
+    ("кравца", "кравец", "male"), ("кравцу", "кравец", "male"),
+    ("кравцом", "кравец", "male"), ("кравце", "кравец", "male"),
+    ("кравця", "кравець", "male"), ("кравцеві", "кравець", "male"),
+    ("немца", "немец", "male"), ("турка", "турок", "male"),
+    ("швеца", "швец", "male"),   # non-fleeting lexicon surname strips too
+    ("кравец", "кравец", "male"),  # nominative passes through
+    # the -ов family must NOT be captured (Кравцов ≠ Кравец)
+    ("кравцова", "кравцов", "male"), ("кравцов", "кравцов", "male"),
+]
+
+# dictionary-only residue: UK metathesis reorders the stem (Швець → Шевця);
+# restoring it needs a per-paradigm lexicon entry, not a vowel rule
+SURNAME_KNOWN_HARD = [("шевця", "швець", "male")]
 
 PATRONYMIC_CASES = [
     ("ивановича", "иванович"), ("ивановичу", "иванович"),
@@ -110,6 +123,11 @@ def test_surname_paradigms(form, want, gender):
     assert surname_to_nominative(form, gender) == want
 
 
+@pytest.mark.parametrize("form,want,gender", SURNAME_FLEETING_CASES)
+def test_surname_fleeting_vowel(form, want, gender):
+    assert surname_to_nominative(form, gender) == want
+
+
 @pytest.mark.parametrize("form,want", PATRONYMIC_CASES)
 def test_patronymic_paradigms(form, want):
     assert patronymic_to_nominative(form) == want
@@ -124,7 +142,9 @@ def test_long_tail_rate_quantified():
     """Report + floor the overall long-tail rate INCLUDING the known
     dictionary-only failures (the honest number the verdict asked for)."""
     total, ok = 0, 0
-    for form, want, gender in SURNAME_CASES + SURNAME_KNOWN_HARD:
+    for form, want, gender in (
+        SURNAME_CASES + SURNAME_FLEETING_CASES + SURNAME_KNOWN_HARD
+    ):
         total += 1
         ok += surname_to_nominative(form, gender) == want
     for form, want in PATRONYMIC_CASES:
