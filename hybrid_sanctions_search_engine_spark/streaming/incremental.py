@@ -55,8 +55,25 @@ def start_delta_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         postings = batch_df.groupBy("term", "doc_id", "doc_len").agg(
             F.count("*").cast("int").alias("tf")
-        )
+        ).persist()
         postings.write.mode("append").parquet(delta_dir)
+        # fold this batch's corpus stats into the delta manifest so overlay
+        # queries read (n_docs, avgdl) from one tiny JSON instead of a
+        # distinct().agg() job per call (round-3 verdict item 8).  Docs are
+        # new-only and arrive whole within a batch (the merge_compact
+        # contract), so per-batch distinct counts ADD exactly.  batch_id
+        # guards foreachBatch's at-least-once retries from double-counting.
+        row = (
+            postings.select("doc_id", "doc_len")
+            .distinct()
+            .agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.sum("doc_len"), F.lit(0)).alias("toks"),
+            )
+            .collect()[0]
+        )
+        postings.unpersist()
+        _fold_delta_stats(delta_dir, batch_id, int(row["n"]), int(row["toks"]))
 
     return (
         exploded.writeStream.foreachBatch(write_batch)
@@ -64,6 +81,49 @@ def start_delta_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DELTA_STATS_FILE = "_delta_stats.json"
+
+
+def _fold_delta_stats(
+    delta_dir: str, batch_id: int, n_docs: int, total_len: int
+) -> None:
+    import json
+
+    from ..sources.fs import fs_for
+
+    fs = fs_for(delta_dir)
+    path = os.path.join(delta_dir, DELTA_STATS_FILE)
+    try:
+        cur = fs.read_json(path)
+    except (OSError, ValueError):
+        cur = {"n_docs": 0, "total_len": 0, "last_batch_id": -1}
+    if batch_id <= cur.get("last_batch_id", -1):
+        return  # retried batch — postings may duplicate, stats must not
+    fs.commit_json(
+        path,
+        {
+            "n_docs": cur["n_docs"] + n_docs,
+            "total_len": cur["total_len"] + total_len,
+            "last_batch_id": batch_id,
+        },
+    )
+
+
+def load_delta_stats(delta_dir: str) -> tuple[int, float] | None:
+    """(n_docs, avgdl) from the delta manifest ``start_delta_stream``
+    maintains — None when the manifest is absent (pre-manifest deltas fall
+    back to the distinct().agg() job)."""
+    import json
+
+    try:
+        with open(os.path.join(delta_dir, DELTA_STATS_FILE)) as fh:
+            st = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    n = int(st.get("n_docs", 0))
+    return n, float(st.get("total_len", 0)) / max(n, 1)
 
 
 def load_delta_postings(spark: SparkSession, delta_dir: str) -> DataFrame | None:
@@ -74,18 +134,28 @@ def load_delta_postings(spark: SparkSession, delta_dir: str) -> DataFrame | None
 
 
 def delta_bm25_topk(
-    delta_postings: DataFrame, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75
+    delta_postings: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    delta_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """BM25 top-k directly over streamed delta postings
-    (term, doc_id, doc_len, tf) — stats derived from the delta itself."""
+    (term, doc_id, doc_len, tf) — stats from the delta manifest when the
+    caller passes them (``load_delta_stats``), else derived with one
+    distinct().agg() job."""
     from ..plans.wand import query_terms
 
     terms = query_terms(query)
-    docs_dl = delta_postings.select("doc_id", "doc_len").distinct()
-    row = docs_dl.agg(
-        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
+    if delta_stats is not None:
+        n_docs, avgdl = int(delta_stats[0]), float(delta_stats[1] or 1.0)
+    else:
+        docs_dl = delta_postings.select("doc_id", "doc_len").distinct()
+        row = docs_dl.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
     matched = delta_postings.where(F.col("term").isin(terms))
     tdf = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     scored = (
@@ -113,15 +183,24 @@ def search_with_delta(
     k: int = 10,
     index_df: DataFrame | None = None,
     meta: IndexMeta | None = None,
+    delta_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Overlay query: base compressed index ∪ delta postings, keep-best per
-    doc (reference overlay semantics: each side scored under its own stats)."""
+    doc (reference overlay semantics: each side scored under its own stats).
+
+    ``delta_stats`` (from ``load_delta_stats``) skips both the isEmpty probe
+    and the stats job — the manifest already says whether the delta holds
+    documents and what its (n_docs, avgdl) are."""
     base = topk_search(
         spark, index_dir, query, k=k, index_df=index_df, meta=meta
     ).select("doc_id", "score")
-    if delta_postings is None or delta_postings.isEmpty():
+    if delta_postings is None or (
+        delta_stats[0] == 0 if delta_stats is not None else delta_postings.isEmpty()
+    ):
         return base.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    delta = delta_bm25_topk(delta_postings, query, k=k).select("doc_id", "score")
+    delta = delta_bm25_topk(
+        delta_postings, query, k=k, delta_stats=delta_stats
+    ).select("doc_id", "score")
     merged = dedup_keep_best(base.unionByName(delta))
     return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -134,13 +213,18 @@ def search_many_with_delta(
     k: int = 10,
     index_df: DataFrame | None = None,
     meta: IndexMeta | None = None,
+    delta_stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Batched overlay serving: the whole query set against base ∪ delta in
     two jobs (one ``batch_topk_indexed`` over the compressed base, one
     Arrow-scored batch over the delta postings under the delta's own stats),
     merged keep-best per (query, doc) driver-side over the k-bounded rows —
     per-query semantics identical to ``search_with_delta``
-    (parity-tested)."""
+    (parity-tested).
+
+    ``delta_stats`` (from ``load_delta_stats``, maintained by the delta
+    stream's manifest) removes the per-call isEmpty probe + distinct().agg()
+    stats job — round-3 verdict item 8."""
     from ..functions.tokenize import py_index_tokens
     from ..operators.bm25 import (
         BATCH_SCORE_SCHEMA,
@@ -157,14 +241,20 @@ def search_many_with_delta(
         if key not in best or r["score"] > best[key]:
             best[key] = r["score"]
 
-    if delta_postings is not None and not delta_postings.isEmpty():
-        row = (
-            delta_postings.select("doc_id", "doc_len")
-            .distinct()
-            .agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"))
-            .collect()[0]
-        )
-        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
+    has_delta = delta_postings is not None and (
+        delta_stats[0] > 0 if delta_stats is not None else not delta_postings.isEmpty()
+    )
+    if has_delta:
+        if delta_stats is not None:
+            n_docs, avgdl = int(delta_stats[0]), float(delta_stats[1] or 1.0)
+        else:
+            row = (
+                delta_postings.select("doc_id", "doc_len")
+                .distinct()
+                .agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"))
+                .collect()[0]
+            )
+            n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
         pairs = [
             (qid, t)
             for qid, q in queries

@@ -506,3 +506,77 @@ def test_search_many_with_delta_parity(spark, sf_smoke_dir, tmp_path):
     # empty delta degenerates to the plain indexed batch
     empty = search_many_with_delta(spark, idx_dir, None, queries[:2], k=5)
     assert empty.count() > 0
+
+
+def test_delta_stats_manifest(spark, tmp_path):
+    """The delta stream maintains (n_docs, total_len) in _delta_stats.json;
+    serving with the manifest stats is row-identical to recomputing them,
+    the manifest matches a fresh distinct().agg(), and a retried batch_id
+    does not double-count."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        _fold_delta_stats,
+        load_delta_postings,
+        load_delta_stats,
+        search_many_with_delta,
+        search_with_delta,
+        start_delta_stream,
+    )
+
+    d = {k: str(tmp_path / k) for k in ("input", "delta", "ckpt", "index")}
+    _os.makedirs(d["input"], exist_ok=True)
+    base_docs = spark.createDataFrame(
+        [(i, f"base doc number {i} spark query value", "en", "b", 30) for i in range(40)],
+        SCHEMA,
+    )
+    build_index(base_docs, d["index"], n_shards=2, chunk_bits=6)
+
+    _write_docs(
+        spark, d["input"],
+        [(900001, "zyzzyva streamed one two three", "en", "s", 30),
+         (900002, "zyzzyva spark four five", "en", "s", 23)],
+    )
+    q = start_delta_stream(spark, d["input"], d["delta"], d["ckpt"], SCHEMA)
+    q.awaitTermination(120)
+    _write_docs(
+        spark, d["input"],
+        [(900003, "zyzzyva value six", "en", "s", 17)],
+    )
+    q2 = start_delta_stream(spark, d["input"], d["delta"], d["ckpt"], SCHEMA)
+    q2.awaitTermination(120)
+
+    delta = load_delta_postings(spark, d["delta"])
+    stats = load_delta_stats(d["delta"])
+    assert stats is not None
+    row = (
+        delta.select("doc_id", "doc_len").distinct()
+        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("t")).collect()[0]
+    )
+    assert stats[0] == int(row["n"]) == 3
+    assert stats[1] == pytest.approx(float(row["t"]) / int(row["n"]))
+
+    # batch-id replay guard: folding an already-seen batch id is a no-op
+    before = load_delta_stats(d["delta"])
+    _fold_delta_stats(d["delta"], batch_id=0, n_docs=99, total_len=9999)
+    assert load_delta_stats(d["delta"]) == before
+
+    queries = [(1, "zyzzyva"), (2, "spark query"), (3, "nothing_zz")]
+    with_stats = search_many_with_delta(
+        spark, d["index"], delta, queries, k=5, delta_stats=stats
+    ).collect()
+    without = search_many_with_delta(
+        spark, d["index"], delta, queries, k=5
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+    assert sorted(map(key, with_stats)) == sorted(map(key, without))
+
+    one_with = search_with_delta(
+        spark, d["index"], delta, "zyzzyva", k=5, delta_stats=stats
+    ).collect()
+    one_without = search_with_delta(spark, d["index"], delta, "zyzzyva", k=5).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in one_with] == [
+        (r["doc_id"], round(r["score"], 9)) for r in one_without
+    ]
