@@ -39,6 +39,13 @@ def _r4(col):
 BM25_QUERY_TERMS = ["spark", "query", "join"]
 
 # DuckDB CTEs mirroring the JVM index tokenizer + postings build exactly.
+
+from hybrid_sanctions_search_engine_spark.sources.webpages import (
+    extract_text_sql as _webpage_extract_sql,
+)
+
+_WEBPAGE_EXTRACT_SQL = _webpage_extract_sql("html")
+
 _ORACLE_TOKS = """
 toks AS (
   SELECT doc_id,
@@ -104,6 +111,29 @@ def q_phrase_slop(spark: SparkSession, sf: str) -> DataFrame:
     .py:218-229); operators/bm25.py:phrase_match documents the semantics."""
     return bm25_ops.phrase_match(
         _docs(spark, sf), ["table", "value", "row"], slop=2
+    )
+
+
+def q_webpage_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """North-rule input shape: synthesize the Common-Crawl-style page table
+    (url, warc_ts, html binary, text, lang) deterministically from the
+    documents table, then run the documented extraction spec (JVM regex
+    chain, sources/webpages.py) over the html bytes.  The DuckDB oracle
+    rebuilds BOTH the generator and the extractor in SQL — byte-identical
+    text per url is the per-row invariant."""
+    from hybrid_sanctions_search_engine_spark.sources.webpages import (
+        extract_text_col,
+        synth_webpages,
+    )
+
+    pages = synth_webpages(_docs(spark, sf))
+    return (
+        pages.select(
+            "url",
+            extract_text_col(F.col("html")).alias("text"),
+            "lang",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
     )
 
 
@@ -1017,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "phrase_match": q_phrase_match,
         "phrase_slop": q_phrase_slop,
+        "webpage_extract": q_webpage_extract,
         "prefix_terms": q_prefix_terms,
         "wildcard_docs": q_wildcard_docs,
         "salted_term_df": q_salted_term_df,
@@ -1142,6 +1173,23 @@ WHERE a.tok = 'table'
               WHERE c.doc_id = a.doc_id AND c.tok = 'row'
                 AND c.i BETWEEN a.i + 2 AND a.i + 4)
 GROUP BY a.doc_id
+""",
+        "webpage_extract": f"""
+WITH pages AS (
+  SELECT 'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+         '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+         '</title><style>p {{ color: #000; }}</style>' ||
+         '<script>var trap = ''<p>not text</p>'';</script></head><body>' ||
+         CASE doc_id % 3 WHEN 0 THEN '<div class="nav">home &gt; docs</div>'
+                         WHEN 1 THEN '<!-- boilerplate banner -->'
+                         ELSE '<header>corpus &amp; archive</header>' END ||
+         '<p>' || replace(text, '&', '&amp;') || '</p></body></html>' AS html,
+         lang
+  FROM documents
+)
+SELECT url, {_WEBPAGE_EXTRACT_SQL} AS text, lang,
+       length({_WEBPAGE_EXTRACT_SQL})::BIGINT AS n_chars
+FROM pages
 """,
         "prefix_terms": f"""
 WITH {_ORACLE_TOKS}
