@@ -282,6 +282,56 @@ def main() -> None:
         rec = recall_report(spark, n=20_000, dim=384)
         rec["measure_sec"] = round(time.monotonic() - t0, 1)
         extra["ann_recall"] = rec
+
+        # block-max θ-pruning effectiveness on a Zipfian corpus — the regime
+        # pruning exists for (the uniform harness corpus measures ~100%
+        # survival by construction; BENCH.md).  Ubiquitous + rare query:
+        # survival = chunks decoded / candidate chunks.
+        from hybrid_sanctions_search_engine_spark.sources.synth import (
+            zipf_documents,
+        )
+
+        zdir = tempfile.mkdtemp(prefix="bench_zipf_")
+        try:
+            zdocs = zipf_documents(spark, 60_000, vocab_size=30_000,
+                                   doc_len=60).persist()
+            zdocs.count()
+            t0 = time.monotonic()
+            build_index(zdocs, zdir, n_shards=8, chunk_bits=7, resume=False)
+            z_build = time.monotonic() - t0
+            zidx, zmeta = load_index(spark, zdir)
+            zidx = zidx.cache()
+            zidx.count()
+            # seed > k so θ collects k rare-term hits (the WAND dynamic —
+            # the rare term sits one-posting-per-chunk)
+            stats: dict = {}
+            topk_search(spark, zdir, "w1 w9000", k=5, seed_chunks=8,
+                        index_df=zidx, meta=zmeta, stats_out=stats).collect()
+            t0 = time.monotonic()
+            topk_search(spark, zdir, "w1 w9000", k=5, seed_chunks=8,
+                        index_df=zidx, meta=zmeta).collect()
+            pruned_sec = time.monotonic() - t0
+            t0 = time.monotonic()
+            topk_search(spark, zdir, "w1 w9000", k=5, index_df=zidx,
+                        meta=zmeta, seed_chunks=10**6).collect()
+            exhaustive_sec = time.monotonic() - t0
+            extra["zipf_pruning"] = {
+                "n_docs": 60_000,
+                "build_sec": round(z_build, 2),
+                "chunks_total": stats.get("chunks_total"),
+                "chunks_scored": stats.get("chunks_scored"),
+                "survival": round(
+                    stats["chunks_scored"] / stats["chunks_total"], 4
+                )
+                if stats.get("chunks_total")
+                else None,
+                "pruned_sec": round(pruned_sec, 3),
+                "exhaustive_sec": round(exhaustive_sec, 3),
+            }
+            zidx.unpersist()
+            zdocs.unpersist()
+        finally:
+            shutil.rmtree(zdir, ignore_errors=True)
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(big_dir, ignore_errors=True)

@@ -115,6 +115,7 @@ def topk_search(
     meta: IndexMeta | None = None,
     term_weights: dict[str, float] | None = None,
     max_driver_chunks: int = 4096,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Exact top-k BM25 over the compressed index → (doc_id, score,
     n_terms_matched) ordered (score desc, doc_id asc).
@@ -124,7 +125,13 @@ def topk_search(
 
     ``term_weights`` scales each term's stored contribution (the fuzzy
     stage's edit-ratio discounts); chunk upper bounds stay valid because
-    weights are ≤ 1."""
+    weights are ≤ 1.
+
+    ``stats_out``: pass a dict to receive pruning telemetry —
+    ``chunks_total`` (candidate chunks), ``chunks_scored`` (seed +
+    survivors actually decoded), ``theta`` (the k-th seed score used as
+    the pruning threshold).  Drives the Zipf-corpus pruning-effectiveness
+    bench (uniform corpora measure ~100% survival; see BENCH.md)."""
     if index_df is None or meta is None:
         index_df, meta = load_index(spark, index_dir)
     terms = query_terms(query) if isinstance(query, str) else list(query)
@@ -199,6 +206,10 @@ def topk_search(
     complete = len(probe) <= max_driver_chunks
     if complete and len(probe) <= seed_chunks * 2:
         # small index: two-phase pruning can't win — one job, done
+        if stats_out is not None:
+            stats_out.update(
+                chunks_total=len(probe), chunks_scored=len(probe), theta=None
+            )
         return (
             run([int(r["chunk"]) for r in probe])
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -218,10 +229,19 @@ def topk_search(
             for r in probe[seed_chunks:]
             if float(r["ub"]) >= theta
         ]
+        if stats_out is not None:
+            stats_out.update(
+                chunks_total=len(probe),
+                chunks_scored=len(seed) + len(survivors),
+                theta=theta if theta != float("-inf") else None,
+            )
         rest = run(survivors) if survivors else None
     else:
         # truncated ranking: θ-prune as a DataFrame filter + semi-join so the
         # O(chunks) frame stays in the cluster
+        if stats_out is not None:
+            # counts stay in-cluster here by design; only θ is known
+            stats_out.update(chunks_total=None, chunks_scored=None, theta=theta)
         survivor_chunks = ubs_df.where(
             (F.col("ub") >= theta) & ~F.col("chunk").isin(seed)
         ).select("chunk")
