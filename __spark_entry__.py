@@ -137,6 +137,32 @@ def q_webpage_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_phrase_msearch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched phrase serving (msearch shape): several phrases in ONE job
+    over a positions-enabled compressed index — each chunk task decodes the
+    union of needed position streams once and runs every phrase's intersect
+    chain over the shared decode (plans/wand.py::batch_phrase_search;
+    anchored slop=1 contract)."""
+    import tempfile as _tf
+
+    from hybrid_sanctions_search_engine_spark.plans.wand import (
+        batch_phrase_search,
+    )
+    from hybrid_sanctions_search_engine_spark.sources.index_io import (
+        build_index,
+        load_index,
+    )
+
+    d = _tf.mkdtemp(prefix="entry_phrase_ms_")
+    build_index(_docs(spark, sf), d, n_shards=2, chunk_bits=7,
+                store_positions=True)
+    idx, meta = load_index(spark, d)
+    return batch_phrase_search(
+        spark, d, [(1, "key order"), (2, "table value row")],
+        index_df=idx, meta=meta, slop=1,
+    )
+
+
 def q_prefix_terms(spark: SparkSession, sf: str) -> DataFrame:
     postings = post_ops.build_postings(_docs(spark, sf), positions=False)
     return bm25_ops.prefix_match_terms(postings, "sc")
@@ -1048,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "phrase_slop": q_phrase_slop,
         "webpage_extract": q_webpage_extract,
+        "phrase_msearch": q_phrase_msearch,
         "prefix_terms": q_prefix_terms,
         "wildcard_docs": q_wildcard_docs,
         "salted_term_df": q_salted_term_df,
@@ -1190,6 +1217,27 @@ WITH pages AS (
 SELECT url, {_WEBPAGE_EXTRACT_SQL} AS text, lang,
        length({_WEBPAGE_EXTRACT_SQL})::BIGINT AS n_chars
 FROM pages
+""",
+        "phrase_msearch": f"""
+WITH {_ORACLE_TOKS},
+pos AS (
+  SELECT doc_id, generate_subscripts(tokens, 1) AS i, unnest(tokens) AS tok FROM toks
+)
+SELECT 1::BIGINT AS query_id, a.doc_id, count(*)::INT AS n_occurrences
+FROM pos a
+WHERE a.tok = 'key'
+  AND EXISTS (SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id AND b.tok = 'order'
+              AND b.i BETWEEN a.i + 1 AND a.i + 2)
+GROUP BY a.doc_id
+UNION ALL
+SELECT 2::BIGINT AS query_id, a.doc_id, count(*)::INT AS n_occurrences
+FROM pos a
+WHERE a.tok = 'table'
+  AND EXISTS (SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id AND b.tok = 'value'
+              AND b.i BETWEEN a.i + 1 AND a.i + 2)
+  AND EXISTS (SELECT 1 FROM pos c WHERE c.doc_id = a.doc_id AND c.tok = 'row'
+              AND c.i BETWEEN a.i + 2 AND a.i + 3)
+GROUP BY a.doc_id
 """,
         "prefix_terms": f"""
 WITH {_ORACLE_TOKS}

@@ -165,6 +165,17 @@ FLEETING_VOWEL_SURNAMES = frozenset({
     "турок", "мазурок", "щиголок", "приходок",
 })
 
+# UK metathesis family: the oblique stem REORDERS relative to the
+# nominative (Швець → Шевця: the е moves before the в), so no vowel-insert
+# rule can recover it — these are per-paradigm lexicon entries mapping the
+# oblique stem to its nominative (the pymorphy-lexicon behavior, scoped to
+# common surnames)
+_METATHESIS_SURNAME_STEMS = {
+    "шевц": "швець",   # Швець: шевця / шевцю / шевцем / шевцеві
+    "женц": "жнець",   # Жнець: женця / женцем
+    "шевч": "швець",   # colloquial шевч- obliques fold to the same nominative
+}
+
 # singular oblique endings only: the plural genitive -ов collides with
 # nominative -ов surnames (Кравцов must NOT become Кравец)
 _FLEETING_OBLIQUE = ("ові", "еві", "ом", "ем", "а", "я", "у", "ю", "е", "і")
@@ -185,6 +196,8 @@ def _fleeting_surname_restore(token: str) -> str | None:
         low = stem.lower()
         if low in FLEETING_VOWEL_SURNAMES:
             return stem
+        if low in _METATHESIS_SURNAME_STEMS:
+            return _METATHESIS_SURNAME_STEMS[low]
         uk_first = obl in _FLEETING_UK_OBLIQUE
         for vowel in ("е", "о"):
             restored = stem[:-1] + vowel + stem[-1]

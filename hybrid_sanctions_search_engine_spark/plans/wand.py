@@ -320,7 +320,7 @@ def batch_topk_indexed(
     shards = sorted(set(shard_of.values()))
     matched = index_df.where(
         F.col("shard").isin(shards) & F.col("term").isin(all_terms)
-    ).select("term", "chunk", "df", "doc_gaps", "tfs", "doc_lens")
+    ).select("term", "chunk", "df", "n_docs", "doc_gaps", "tfs", "doc_lens")
     if n_groups is None:
         n_groups = max(32, spark.sparkContext.defaultParallelism * 2)
 
@@ -377,36 +377,10 @@ def _phrase_chunk_scorer(
             {"doc_id": np.int64, "n_occurrences": np.int32}
         )
         chunk_base = int(key[0]) << chunk_bits
-        per_term: dict[str, np.ndarray] = {}
-        for _, row in pdf.iterrows():
-            ids = delta_decode(row["doc_gaps"]).astype(np.int64)
-            tfs = varint_decode(row["tfs"]).astype(np.int64)
-            deltas = varint_decode(row["positions"]).astype(np.int64)
-            # positions: segmented cumsum of the flat delta stream (segment k
-            # = posting k's tf deltas), all-numpy
-            c = np.cumsum(deltas)
-            starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
-            seg_base = np.where(starts > 0, c[starts - 1], 0)
-            pos = c - np.repeat(seg_base, tfs)
-            local = np.repeat(ids - chunk_base, tfs)
-            per_term[row["term"]] = (local << _PHRASE_POS_BITS) | pos
-        if any(t not in per_term for t in ordered_terms):
+        per_term = _decode_position_keys(pdf, chunk_base)
+        keys = _phrase_intersect(per_term, ordered_terms, slop)
+        if keys is None or keys.size == 0:
             return empty
-        # a phrase occurrence at (doc, p) needs term i within
-        # [p + i, p + i + slop]: shift each term's keys by its offset (and
-        # the ≤ slop extra lags) and intersect
-        keys = per_term[ordered_terms[0]]
-        for offset, t in enumerate(ordered_terms[1:], start=1):
-            kt = per_term[t] - offset  # (doc << 40) | (pos - offset)
-            if slop:
-                kt = np.unique(
-                    np.concatenate(
-                        [kt - d for d in range(slop + 1)]
-                    )
-                )
-            keys = np.intersect1d(keys, kt, assume_unique=True)
-            if keys.size == 0:
-                return empty
         docs, counts = np.unique(keys >> _PHRASE_POS_BITS, return_counts=True)
         return pd.DataFrame(
             {
@@ -416,6 +390,45 @@ def _phrase_chunk_scorer(
         )
 
     return match
+
+
+def _decode_position_keys(pdf: pd.DataFrame, chunk_base: int) -> dict:
+    """Per-term packed (local_doc << 40) | position key arrays for one
+    chunk's rows — positions via segmented cumsum of the flat delta stream
+    (segment k = posting k's tf deltas), all-numpy."""
+    from ..functions.codec import varint_decode
+
+    per_term: dict[str, np.ndarray] = {}
+    for _, row in pdf.iterrows():
+        ids = delta_decode(row["doc_gaps"]).astype(np.int64)
+        tfs = varint_decode(row["tfs"]).astype(np.int64)
+        deltas = varint_decode(row["positions"]).astype(np.int64)
+        c = np.cumsum(deltas)
+        starts = np.concatenate(([0], np.cumsum(tfs)[:-1]))
+        seg_base = np.where(starts > 0, c[starts - 1], 0)
+        pos = c - np.repeat(seg_base, tfs)
+        local = np.repeat(ids - chunk_base, tfs)
+        per_term[row["term"]] = (local << _PHRASE_POS_BITS) | pos
+    return per_term
+
+
+def _phrase_intersect(
+    per_term: dict, ordered_terms: list[str], slop: int
+) -> "np.ndarray | None":
+    """Anchor keys of phrase occurrences: a phrase occurrence at (doc, p)
+    needs term i within [p + i, p + i + slop] — shift each term's keys by
+    its offset (and the ≤ slop extra lags) and intersect."""
+    if any(t not in per_term for t in ordered_terms):
+        return None
+    keys = per_term[ordered_terms[0]]
+    for offset, t in enumerate(ordered_terms[1:], start=1):
+        kt = per_term[t] - offset  # (doc << 40) | (pos - offset)
+        if slop:
+            kt = np.unique(np.concatenate([kt - d for d in range(slop + 1)]))
+        keys = np.intersect1d(keys, kt, assume_unique=True)
+        if keys.size == 0:
+            return keys
+    return keys
 
 
 def phrase_search(
@@ -457,4 +470,87 @@ def phrase_search(
             _phrase_chunk_scorer(terms, meta.chunk_bits, slop), PHRASE_SCHEMA
         )
         .orderBy("doc_id")
+    )
+
+
+BATCH_PHRASE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("n_occurrences", IntegerType()),
+    ]
+)
+
+
+def batch_phrase_search(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: list[tuple[int, "str | list[str]"]],
+    index_df: DataFrame | None = None,
+    meta: IndexMeta | None = None,
+    slop: int = 0,
+) -> DataFrame:
+    """Many phrases in ONE job (the msearch shape for phrase queries — the
+    reference's watchlist adapter issues match_phrase per request;
+    ``elasticsearch_watchlist_adapter.py:218-229``): the scan prunes to the
+    UNION of all phrases' shards/terms, each chunk task decodes every needed
+    term's position keys ONCE, and every phrase's intersect chain runs over
+    the shared decode → (query_id, doc_id, n_occurrences).
+
+    Per-phrase results are identical to ``phrase_search`` (parity-tested);
+    the win is one job + one decode for the whole batch instead of a job
+    and a decode per phrase."""
+    if index_df is None or meta is None:
+        index_df, meta = load_index(spark, index_dir)
+    if not meta.has_positions:
+        raise ValueError(
+            "index was built without positions (store_positions=False); "
+            "rebuild with build_index(..., store_positions=True)"
+        )
+    qterms = [
+        (qid, query_terms(p) if isinstance(p, str) else list(p))
+        for qid, p in phrases
+    ]
+    qterms = [(qid, ts) for qid, ts in qterms if ts]
+    if not qterms:
+        return spark.createDataFrame([], BATCH_PHRASE_SCHEMA)
+    all_terms = sorted({t for _, ts in qterms for t in ts})
+    shard_of = _shard_of_terms(all_terms, meta.n_shards)
+    shards = sorted(set(shard_of.values()))
+    matched = index_df.where(
+        F.col("shard").isin(shards) & F.col("term").isin(all_terms)
+    )
+    chunk_bits = meta.chunk_bits
+
+    def match_many(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        chunk_base = int(key[0]) << chunk_bits
+        per_term = _decode_position_keys(pdf, chunk_base)
+        out_q, out_d, out_n = [], [], []
+        for qid, ts in qterms:
+            keys = _phrase_intersect(per_term, ts, slop)
+            if keys is None or keys.size == 0:
+                continue
+            docs, counts = np.unique(keys >> _PHRASE_POS_BITS, return_counts=True)
+            out_q.append(np.full(docs.size, qid, dtype=np.int64))
+            out_d.append(docs + chunk_base)
+            out_n.append(counts.astype(np.int32))
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": [], "doc_id": [], "n_occurrences": []}
+            ).astype(
+                {"query_id": np.int64, "doc_id": np.int64,
+                 "n_occurrences": np.int32}
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_d),
+                "n_occurrences": np.concatenate(out_n),
+            }
+        )
+
+    return (
+        matched.groupBy("chunk")
+        .applyInPandas(match_many, BATCH_PHRASE_SCHEMA)
+        .orderBy("query_id", "doc_id")
     )

@@ -353,25 +353,10 @@ def decode_shard_rows(pdf: pd.DataFrame, include_df: bool = False) -> pd.DataFra
     postings (term, doc_id, tf, doc_len[, df]).  Used by the merge compactor
     (re-encode a shard without re-tokenizing any document) and the indexed
     batch server (score straight off the stored streams)."""
-    from ..functions.codec import delta_decode, varint_decode
+    from ..functions.codec import varint_decode
 
-    terms: list = []
-    dfs: list = []
-    ids_parts: list = []
-    tf_parts: list = []
-    dl_parts: list = []
-    counts: list[int] = []
     has_df = include_df and "df" in pdf.columns
-    for row in pdf.itertuples(index=False):
-        ids = delta_decode(row.doc_gaps)
-        terms.append(row.term)
-        counts.append(ids.size)
-        ids_parts.append(ids)
-        tf_parts.append(varint_decode(row.tfs))
-        dl_parts.append(varint_decode(row.doc_lens))
-        if has_df:
-            dfs.append(row.df)
-    if not ids_parts:
+    if len(pdf) == 0:
         cols = {"term": [], "doc_id": [], "tf": [], "doc_len": []}
         if include_df:
             cols["df"] = []
@@ -379,14 +364,27 @@ def decode_shard_rows(pdf: pd.DataFrame, include_df: bool = False) -> pd.DataFra
             {"doc_id": np.int64, "tf": np.int64, "doc_len": np.int64,
              **({"df": np.int64} if include_df else {})}
         )
+    # ZERO per-row iteration (the loop version paid one python iteration +
+    # three decoder calls per (term, chunk) row): each blob column joins
+    # into ONE buffer and decodes in a single vectorized pass; the stored
+    # ``n_docs`` column gives the per-row value counts, so doc ids come
+    # back via a segmented cumsum over the concatenated gap stream (each
+    # row's first gap is the absolute id — the same pattern the phrase
+    # chunk scorer uses for position streams).
+    counts = pdf["n_docs"].to_numpy(dtype=np.int64)
+    gaps = varint_decode(b"".join(pdf["doc_gaps"])).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    c = np.cumsum(gaps)
+    seg_base = np.where(starts > 0, c[starts - 1], 0)
+    ids = c - np.repeat(seg_base, counts)
     out = {
-        "term": np.repeat(np.asarray(terms, dtype=object), counts),
-        "doc_id": np.concatenate(ids_parts),
-        "tf": np.concatenate(tf_parts).astype(np.int64),
-        "doc_len": np.concatenate(dl_parts).astype(np.int64),
+        "term": np.repeat(pdf["term"].to_numpy(dtype=object), counts),
+        "doc_id": ids,
+        "tf": varint_decode(b"".join(pdf["tfs"])).astype(np.int64),
+        "doc_len": varint_decode(b"".join(pdf["doc_lens"])).astype(np.int64),
     }
     if has_df:
-        out["df"] = np.repeat(np.asarray(dfs, dtype=np.int64), counts)
+        out["df"] = np.repeat(pdf["df"].to_numpy(dtype=np.int64), counts)
     return pd.DataFrame(out)
 
 

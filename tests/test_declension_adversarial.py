@@ -82,11 +82,15 @@ SURNAME_FLEETING_CASES = [
     ("кравец", "кравец", "male"),  # nominative passes through
     # the -ов family must NOT be captured (Кравцов ≠ Кравец)
     ("кравцова", "кравцов", "male"), ("кравцов", "кравцов", "male"),
+    # UK metathesis (round-4 extension): oblique stem reorders vs the
+    # nominative — per-paradigm lexicon entries, not a vowel rule
+    ("шевця", "швець", "male"), ("шевцем", "швець", "male"),
+    ("шевцеві", "швець", "male"),
 ]
 
-# dictionary-only residue: UK metathesis reorders the stem (Швець → Шевця);
-# restoring it needs a per-paradigm lexicon entry, not a vowel rule
-SURNAME_KNOWN_HARD = [("шевця", "швець", "male")]
+# dictionary-only residue: metathesis surnames OUTSIDE the curated lexicon
+# (each paradigm needs its own entry — pymorphy ships the full lexicon)
+SURNAME_KNOWN_HARD = [("перця", "перець", "male")]
 
 PATRONYMIC_CASES = [
     ("ивановича", "иванович"), ("ивановичу", "иванович"),

@@ -250,3 +250,37 @@ def test_phrase_slop_semantics_unit(spark):
     assert match(0) == {2: 1}
     assert match(1) == {2: 1}
     assert match(2) == {1: 1, 2: 1}
+
+
+@pytest.mark.parametrize("slop", [0, 1])
+def test_batch_phrase_parity(spark, pos_corpus, slop):
+    """batch_phrase_search ≡ per-phrase phrase_search for a mixed batch
+    (shared terms, disjoint terms, a no-hit phrase), at slop 0 and 1 —
+    one job + one position decode for the whole batch."""
+    from hybrid_sanctions_search_engine_spark.plans.wand import (
+        batch_phrase_search,
+        phrase_search,
+    )
+
+    docs, index_dir, idx, meta = pos_corpus
+    phrases = [
+        (1, "key order"),
+        (2, ["fast", "key", "order"]),
+        (3, "merge sort"),
+        (4, "zz qq"),
+        (5, "table value"),
+    ]
+    batched = batch_phrase_search(
+        spark, index_dir, phrases, index_df=idx, meta=meta, slop=slop
+    )
+    got: dict[int, list] = {qid: [] for qid, _ in phrases}
+    for r in batched.collect():
+        got[r["query_id"]].append((r["doc_id"], r["n_occurrences"]))
+    for qid, p in phrases:
+        want = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in phrase_search(
+                spark, index_dir, p, index_df=idx, meta=meta, slop=slop
+            ).collect()
+        )
+        assert sorted(got[qid]) == want, (qid, p, slop)
