@@ -134,8 +134,13 @@ def make_batch_group_scorer(
     (term, doc_id, tf, doc_len, df) — the compressed-index path passes the
     varint decoder; raw posting frames pass None.
 
-    Memory: the accumulator is dense in the query set (8 B × local docs ×
-    |queries| per task) — split multi-thousand-query batches."""
+    Memory is BOUNDED regardless of batch size: the dense accumulator is
+    built per query-column BLOCK sized so 8 B × local docs × block ≤
+    ``target_acc_bytes`` (64 MiB default).  Per-term row positions are
+    computed once and reused across blocks, and the scatter order per
+    column is unchanged, so results are bit-identical to the single-block
+    shape — a 10k-query batch simply walks more blocks instead of
+    allocating a docs × 10k matrix."""
     import numpy as np
     import pandas as pd
 
@@ -143,6 +148,7 @@ def make_batch_group_scorer(
     nq = len(qid_list)
     n_docs_f = float(n_docs)
     kk = k
+    target_acc_bytes = 64 << 20
 
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -164,45 +170,58 @@ def make_batch_group_scorer(
         dfv = flat["df"].to_numpy(dtype=np.float64)
         idf = np.log(1.0 + (n_docs_f - dfv + 0.5) / (dfv + 0.5))
         contrib = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
-        acc = np.zeros((docs_local.size, nq), dtype=np.float64)
-        cnt = np.zeros((docs_local.size, nq), dtype=np.int32)
         terms_arr = flat["term"].to_numpy()
-        # one 2-D fancy-index add per distinct term (rows: the term's docs,
-        # columns: the queries containing it): within a group a (term, doc)
-        # pair appears once, so the scatter is collision-free
+        # per-term posting rows + per-term (query columns, weights) — built
+        # once, reused by every column block
+        term_info = []
         for t in pd.unique(terms_arr):
             qws = term_to_qidx.get(t)
             if not qws:
                 continue
-            m = terms_arr == t
-            p, c = pos[m], contrib[m]
+            m = np.flatnonzero(terms_arr == t)
             cols = np.asarray([qi for qi, _ in qws], dtype=np.intp)
             wts = np.asarray([w for _, w in qws], dtype=np.float64)
-            acc[p[:, None], cols[None, :]] += c[:, None] * wts[None, :]
-            cnt[p[:, None], cols[None, :]] += 1
-        # vectorized per-query top-k: one matrix partition finds each
-        # column's k-th matched score; only the ≥k-th candidates (k + ties,
-        # a handful) get the exact (-score, doc) lexsort
-        s_masked = np.where(cnt > 0, acc, -np.inf)
+            term_info.append((pos[m], contrib[m], cols, wts))
         nrows = docs_local.size
-        if nrows > kk:
-            kth = np.partition(s_masked, nrows - kk, axis=0)[nrows - kk, :]
-        else:
-            kth = np.full(nq, -np.inf)
+        qblock = max(1, min(nq, target_acc_bytes // max(8 * nrows, 1)))
         out_q, out_d, out_s, out_n = [], [], [], []
-        for qi in range(nq):
-            cand = np.flatnonzero(
-                (s_masked[:, qi] >= kth[qi]) & (cnt[:, qi] > 0)
-            )
-            if cand.size == 0:
-                continue
-            d = docs_local[cand]
-            s = acc[cand, qi]
-            order = cand[np.lexsort((d, -s))[:kk]]
-            out_q.append(np.full(order.size, qids_np[qi]))
-            out_d.append(docs_local[order])
-            out_s.append(acc[order, qi])
-            out_n.append(cnt[order, qi])
+        for b0 in range(0, nq, qblock):
+            b1 = min(b0 + qblock, nq)
+            bw = b1 - b0
+            acc = np.zeros((nrows, bw), dtype=np.float64)
+            cnt = np.zeros((nrows, bw), dtype=np.int32)
+            # one 2-D fancy-index add per distinct term (rows: the term's
+            # docs, columns: the block's queries containing it): within a
+            # group a (term, doc) pair appears once → collision-free
+            for p, c, cols, wts in term_info:
+                sel = (cols >= b0) & (cols < b1)
+                if not sel.any():
+                    continue
+                bc = cols[sel] - b0
+                bq = wts[sel]
+                acc[p[:, None], bc[None, :]] += c[:, None] * bq[None, :]
+                cnt[p[:, None], bc[None, :]] += 1
+            # vectorized per-query top-k: one matrix partition finds each
+            # column's k-th matched score; only the ≥k-th candidates (k +
+            # ties, a handful) get the exact (-score, doc) lexsort
+            s_masked = np.where(cnt > 0, acc, -np.inf)
+            if nrows > kk:
+                kth = np.partition(s_masked, nrows - kk, axis=0)[nrows - kk, :]
+            else:
+                kth = np.full(bw, -np.inf)
+            for bi in range(bw):
+                cand = np.flatnonzero(
+                    (s_masked[:, bi] >= kth[bi]) & (cnt[:, bi] > 0)
+                )
+                if cand.size == 0:
+                    continue
+                d = docs_local[cand]
+                s = acc[cand, bi]
+                order = cand[np.lexsort((d, -s))[:kk]]
+                out_q.append(np.full(order.size, qids_np[b0 + bi]))
+                out_d.append(docs_local[order])
+                out_s.append(acc[order, bi])
+                out_n.append(cnt[order, bi])
         if not out_q:
             return empty
         return pd.DataFrame(

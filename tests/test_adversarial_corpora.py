@@ -154,3 +154,72 @@ def test_batch_paths_randomized_corpus(spark, tmp_path_factory):
         for qid, q in queries:
             ranked = [(d, s) for _, d, s in sorted(got[qid])]
             assert ranked == want[qid], (q, label)
+
+
+def test_batch_scorer_block_split_identical(spark, sf_smoke_dir):
+    """The memory-adaptive query-column blocking inside the batch scorer is
+    value-IDENTICAL to the single-block shape: running the scorer with a
+    1 KiB accumulator target (block width 1 at any realistic group size)
+    matches the 64 MiB default bit-for-bit on a 600-query batch, and the
+    public batch_topk path is deterministic across invocations."""
+    import inspect
+    import os as _os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import hybrid_sanctions_search_engine_spark.operators.bm25 as bm
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        build_postings,
+        corpus_stats,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    vocab = ["spark", "query", "join", "window", "table", "scan", "merge",
+             "sort", "hash", "agg"]
+    queries = [
+        (i, f"{vocab[i % 10]} {vocab[(i * 3 + 1) % 10]}") for i in range(600)
+    ]
+
+    postings = build_postings(docs, positions=False)
+    stats = corpus_stats(docs)
+    terms = sorted({t for _, q in queries for t in q.split()})
+    matched = postings.where(F.col("term").isin(terms))
+    tdf = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    flat = matched.join(F.broadcast(tdf), "term").select(
+        "term", "doc_id", "tf", "doc_len", "df"
+    ).toPandas()
+    qid_list = [q for q, _ in queries]
+    qidx = {q: i for i, q in enumerate(qid_list)}
+    term_to_qidx: dict = {}
+    for qid, q in queries:
+        for t in dict.fromkeys(q.split()):
+            term_to_qidx.setdefault(t, []).append((qidx[qid], 1.0))
+
+    one_block = bm.make_batch_group_scorer(
+        term_to_qidx, qid_list, stats.n_docs, stats.avgdl, 1.2, 0.75, 5
+    )((0,), flat)
+    # rebuild the factory with a 1 KiB accumulator target to force width-1
+    # column blocks through the otherwise-identical code
+    ns: dict = {}
+    exec(
+        inspect.getsource(bm.make_batch_group_scorer).replace(
+            "64 << 20", "1024"
+        ),
+        vars(bm),
+        ns,
+    )
+    many_blocks = ns["make_batch_group_scorer"](
+        term_to_qidx, qid_list, stats.n_docs, stats.avgdl, 1.2, 0.75, 5
+    )((0,), flat)
+    a = one_block.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    b = many_blocks.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    def run():
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 12))
+            for r in bm.batch_topk(docs, queries, k=5).collect()
+        )
+
+    assert run() == run()
