@@ -31,6 +31,20 @@ def main() -> None:
         load_index,
     )
 
+    def cpu_jiffies() -> tuple[int, int]:
+        """(steal, total) jiffies from /proc/stat — the box is co-tenant and
+        hypervisor steal waves swing measurements ±50% (BENCH.md); recording
+        the steal fraction alongside the numbers makes windows comparable."""
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            return (vals[7] if len(vals) > 7 else 0, sum(vals))
+        except OSError:
+            return (0, 0)
+
+    steal0, total0 = cpu_jiffies()
+
     spark = get_spark("bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -335,6 +349,12 @@ def main() -> None:
     finally:
         shutil.rmtree(index_dir, ignore_errors=True)
         shutil.rmtree(big_dir, ignore_errors=True)
+
+    steal1, total1 = cpu_jiffies()
+    if total1 > total0:
+        extra["conditions"] = {
+            "steal_pct": round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+        }
 
     total = round(sum(timings.values()), 4)
     print(
