@@ -153,9 +153,16 @@ def q_phrase_msearch(spark: SparkSession, sf: str) -> DataFrame:
         load_index,
     )
 
-    d = _tf.mkdtemp(prefix="entry_phrase_ms_")
-    build_index(_docs(spark, sf), d, n_shards=2, chunk_bits=7,
-                store_positions=True)
+    # one index per (process, sf) reused across invocations — the returned
+    # DataFrame is lazy, so per-call mkdtemp dirs could never be cleaned up
+    # and leaked a full index per contract run (review finding, round 4)
+    d = os.path.join(
+        _tf.gettempdir(),
+        f"entry_phrase_ms_{os.getpid()}_{abs(hash(sf)) % 10**8}",
+    )
+    if not os.path.exists(os.path.join(d, "_index_meta.json")):
+        build_index(_docs(spark, sf), d, n_shards=2, chunk_bits=7,
+                    store_positions=True)
     idx, meta = load_index(spark, d)
     return batch_phrase_search(
         spark, d, [(1, "key order"), (2, "table value row")],

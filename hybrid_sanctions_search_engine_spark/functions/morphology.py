@@ -199,12 +199,23 @@ def _fleeting_surname_restore(token: str) -> str | None:
         if low in _METATHESIS_SURNAME_STEMS:
             return _METATHESIS_SURNAME_STEMS[low]
         uk_first = obl in _FLEETING_UK_OBLIQUE
-        for vowel in ("е", "о"):
-            restored = stem[:-1] + vowel + stem[-1]
-            cands = [restored + "ь", restored] if uk_first else [restored, restored + "ь"]
-            for cand in cands:
-                if cand.lower() in FLEETING_VOWEL_SURNAMES:
-                    return cand
+        for vowel in ("е", "о", "є"):
+            bases = [stem[:-1] + vowel + stem[-1]]
+            if len(stem) >= 3 and stem[-2] in ("ь", "й"):
+                # palatalized/glide oblique stems drop the marker when the
+                # vowel restores (мальца → малец, коломийця → коломиец,
+                # богомольця → богомолець) — without this branch those
+                # lexicon entries were unreachable (review finding, round 4)
+                bases.append(stem[:-2] + vowel + stem[-1])
+            for restored in bases:
+                cands = (
+                    [restored + "ь", restored]
+                    if uk_first
+                    else [restored, restored + "ь"]
+                )
+                for cand in cands:
+                    if cand.lower() in FLEETING_VOWEL_SURNAMES:
+                        return cand
     return None
 
 

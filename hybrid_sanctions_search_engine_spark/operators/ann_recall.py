@@ -79,13 +79,16 @@ def make_clustered_fixture(
 
 
 def brute_force_topk(x: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
-    """Exact cosine top-k ids per query (rows of ``q``) — the ground truth."""
+    """Exact cosine top-k ids per query (rows of ``q``) — the ground truth,
+    under the probes' exact tie-break (sim desc, id asc).  Full lexsort on
+    purpose: an argpartition candidate slice can exclude tied-at-k docs
+    with smaller ids and mismeasure a correct probe (review finding,
+    round 4); at fixture sizes the full sort is negligible."""
     sims = q @ x.T  # both normalized
     out = np.empty((q.shape[0], k), dtype=np.int64)
+    ids = np.arange(x.shape[0], dtype=np.int64)
     for i in range(q.shape[0]):
-        s = sims[i]
-        cand = np.argpartition(-s, k)[: k * 2]
-        out[i] = cand[np.lexsort((cand, -s[cand]))][:k]
+        out[i] = np.lexsort((ids, -sims[i]))[:k]
     return out
 
 

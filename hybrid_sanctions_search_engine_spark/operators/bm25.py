@@ -117,6 +117,7 @@ def make_batch_group_scorer(
     b: float,
     k: int,
     flatten=None,
+    target_acc_bytes: int = 64 << 20,
 ):
     """Per-doc-group batch scorer for ``applyInPandas``: accumulates a dense
     (local docs × queries) BM25 score matrix with one 2-D scatter-add per
@@ -148,7 +149,6 @@ def make_batch_group_scorer(
     nq = len(qid_list)
     n_docs_f = float(n_docs)
     kk = k
-    target_acc_bytes = 64 << 20
 
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

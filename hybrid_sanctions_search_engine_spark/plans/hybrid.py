@@ -70,9 +70,12 @@ class SearchOpts:
     # t0, concurrently with the AC job, and keep only the escalating subset's
     # results (identical semantics — per-query vector results are
     # independent, and non-escalating queries' rows are discarded before
-    # gating).  Trades bounded speculative work (the ANN probe is
-    # partition-pruned and k-bounded per query) for taking the vector stage
-    # off the critical path; disable to serve strictly-lazy like search().
+    # gating).  Trades bounded speculative work for taking the vector stage
+    # off the critical path.  ONLY applies when an ANN index serves the
+    # vector stage (partition-pruned, k-bounded per query): the brute-force
+    # fallback is a full corpus scan, so speculating it would pay O(corpus)
+    # for queries that never escalate — that path stays lazy regardless of
+    # this flag.  Disable to serve strictly-lazy like search().
     speculative_vector: bool = True
 
 
@@ -591,9 +594,12 @@ class HybridSearchPlan:
         from ..operators.fuzzy import extract_anchors, rapidfuzz_rerank_expr
 
         t_start = time.monotonic()
-        # per-stage wall times land in self.last_batch_trace (ms) — the
-        # batched analogue of search()'s SearchTraceStep list
-        self.last_batch_trace: dict[str, float] = {}
+        # per-stage wall times build in a LOCAL dict and publish as a
+        # snapshot on return (self.last_batch_trace) — concurrent
+        # search_many calls on one plan each get a self-consistent trace,
+        # and an abandoned speculative thread can only write into its own
+        # call's local dict, never a later call's published one
+        trace: dict[str, float] = {}
         opts = opts or SearchOpts()
         k = opts.top_k
         spark = self.docs.sparkSession
@@ -610,7 +616,7 @@ class HybridSearchPlan:
         exp_fut = (
             _Async(
                 _timed_into(
-                    self.last_batch_trace, "expansion_ms",
+                    trace, "expansion_ms",
                     lambda: self._expand_terms_batch(
                         [qid for qid, _ in queries], qtext, opts
                     ),
@@ -798,11 +804,15 @@ class HybridSearchPlan:
         vec_fut = (
             _Async(
                 _timed_into(
-                    self.last_batch_trace, "vector_ms",
+                    trace, "vector_ms",
                     lambda: _vector_stage_batch([qid for qid, _ in queries]),
                 )
             )
-            if opts.speculative_vector and opts.enable_escalation and have_vectors
+            # ANN-served probes only: the brute-force fallback is an
+            # O(corpus) scan and must not run for queries that may never
+            # escalate (review finding, round 4)
+            if opts.speculative_vector and opts.enable_escalation
+            and self.ann_index_dir is not None
             else None
         )
 
@@ -839,7 +849,7 @@ class HybridSearchPlan:
             for qid, best in ac_best_rows.items()
         }
 
-        self.last_batch_trace["ac_ms"] = (time.monotonic() - t_start) * 1000
+        trace["ac_ms"] = (time.monotonic() - t_start) * 1000
 
         escalating = [
             qid for qid, _ in queries
@@ -910,13 +920,11 @@ class HybridSearchPlan:
                     fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
             return fz_rows
 
-        fz_fut = _Async(
-            _timed_into(self.last_batch_trace, "fuzzy_ms", _fuzzy_stage_batch)
-        )
+        fz_fut = _Async(_timed_into(trace, "fuzzy_ms", _fuzzy_stage_batch))
         if vec_fut is None:
             vec_fut = _Async(
                 _timed_into(
-                    self.last_batch_trace, "vector_ms",
+                    trace, "vector_ms",
                     lambda: _vector_stage_batch(escalating),
                 )
             )
@@ -985,5 +993,6 @@ class HybridSearchPlan:
         result = spark.createDataFrame(
             out_rows, "query_id long, doc_id long, score double, rank int"
         )
-        self.last_batch_trace["total_ms"] = (time.monotonic() - t_start) * 1000
+        trace["total_ms"] = (time.monotonic() - t_start) * 1000
+        self.last_batch_trace = dict(trace)
         return result, meta

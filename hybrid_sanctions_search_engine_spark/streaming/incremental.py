@@ -44,6 +44,14 @@ def start_delta_stream(
     postings (term, doc_id, tf, doc_len). Stateless (no watermark needed —
     postings are append-only facts); exactly-once via the checkpointed file
     sink."""
+    import hashlib
+
+    # stable per-checkpoint lineage key for the stats replay guard: a new
+    # checkpoint restarts batch ids at 0 and must not be mistaken for a
+    # retry of the old stream's batches
+    lineage_key = hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
     stream = spark.readStream.schema(schema).parquet(input_dir)
     from ..operators.postings import tokenized_documents
 
@@ -73,7 +81,10 @@ def start_delta_stream(
             .collect()[0]
         )
         postings.unpersist()
-        _fold_delta_stats(delta_dir, batch_id, int(row["n"]), int(row["toks"]))
+        _fold_delta_stats(
+            delta_dir, batch_id, int(row["n"]), int(row["toks"]),
+            lineage=lineage_key,
+        )
 
     return (
         exploded.writeStream.foreachBatch(write_batch)
@@ -87,8 +98,20 @@ DELTA_STATS_FILE = "_delta_stats.json"
 
 
 def _fold_delta_stats(
-    delta_dir: str, batch_id: int, n_docs: int, total_len: int
+    delta_dir: str,
+    batch_id: int,
+    n_docs: int,
+    total_len: int,
+    lineage: str = "legacy",
 ) -> None:
+    """Fold one microbatch's stats into the delta manifest.
+
+    The replay guard is PER-LINEAGE (``lineage`` = a stable key of the
+    stream's checkpoint dir): foreachBatch retries within one checkpointed
+    stream reuse a batch_id and must not double-count, but a NEW stream
+    (fresh checkpoint, or a second stream into the same delta_dir) restarts
+    batch ids at 0 and its folds must still land — a single global
+    last_batch_id silently dropped them (review finding, round 4)."""
     import json
 
     from ..sources.fs import fs_for
@@ -98,15 +121,51 @@ def _fold_delta_stats(
     try:
         cur = fs.read_json(path)
     except (OSError, ValueError):
-        cur = {"n_docs": 0, "total_len": 0, "last_batch_id": -1}
-    if batch_id <= cur.get("last_batch_id", -1):
-        return  # retried batch — postings may duplicate, stats must not
+        cur = {"n_docs": 0, "total_len": 0}
+    lineages = dict(cur.get("lineages", {}))
+    if "last_batch_id" in cur and "lineages" not in cur:
+        lineages["legacy"] = cur["last_batch_id"]  # pre-lineage manifests
+    if batch_id <= lineages.get(lineage, -1):
+        return  # retried batch within this stream — stats must not double
+    lineages[lineage] = batch_id
     fs.commit_json(
         path,
         {
-            "n_docs": cur["n_docs"] + n_docs,
-            "total_len": cur["total_len"] + total_len,
-            "last_batch_id": batch_id,
+            "n_docs": cur.get("n_docs", 0) + n_docs,
+            "total_len": cur.get("total_len", 0) + total_len,
+            "lineages": lineages,
+            "last_subtracted_fp": cur.get("last_subtracted_fp", ""),
+        },
+    )
+
+
+def _subtract_delta_stats(
+    delta_dir: str, delta_fp: str, n_docs: int, total_len: int
+) -> None:
+    """Called by ``merge_compact`` after a successful fold: the folded
+    documents' stats leave the delta manifest so overlay serving keeps
+    scoring the REMAINING delta under correct (n_docs, avgdl) — without
+    this, every compaction cycle left the manifest over-reporting and the
+    stats-based path diverged from the recompute path (review finding,
+    round 4).  Idempotent per delta fingerprint: a rerun after a crash in
+    the post-commit window must not subtract twice."""
+    from ..sources.fs import fs_for
+
+    fs = fs_for(delta_dir)
+    path = os.path.join(delta_dir, DELTA_STATS_FILE)
+    try:
+        cur = fs.read_json(path)
+    except (OSError, ValueError):
+        return  # no manifest — nothing to correct
+    if cur.get("last_subtracted_fp") == delta_fp:
+        return
+    fs.commit_json(
+        path,
+        {
+            "n_docs": max(0, cur.get("n_docs", 0) - n_docs),
+            "total_len": max(0, cur.get("total_len", 0) - total_len),
+            "lineages": cur.get("lineages", {}),
+            "last_subtracted_fp": delta_fp,
         },
     )
 
@@ -632,6 +691,14 @@ def merge_compact(
         folded_delta_files=folded_record,
     )
     fs.commit_json(os.path.join(index_dir, "_index_meta.json"), asdict(new_meta))
+    # the folded documents' stats leave the delta manifest (idempotent per
+    # fingerprint) so the REMAINING delta keeps serving under correct stats;
+    # only possible when the caller passed file paths (delta_postings alone
+    # does not locate the manifest — such callers manage their own stats)
+    if delta_files:
+        _subtract_delta_stats(
+            os.path.dirname(delta_files[0]), delta_fp, new_docs, new_tokens
+        )
     return {
         "shards_compacted": merge_shards,
         "shards_recovered": sorted(already_swapped),

@@ -162,7 +162,6 @@ def test_batch_scorer_block_split_identical(spark, sf_smoke_dir):
     1 KiB accumulator target (block width 1 at any realistic group size)
     matches the 64 MiB default bit-for-bit on a 600-query batch, and the
     public batch_topk path is deterministic across invocations."""
-    import inspect
     import os as _os
 
     import pandas as pd
@@ -199,18 +198,11 @@ def test_batch_scorer_block_split_identical(spark, sf_smoke_dir):
     one_block = bm.make_batch_group_scorer(
         term_to_qidx, qid_list, stats.n_docs, stats.avgdl, 1.2, 0.75, 5
     )((0,), flat)
-    # rebuild the factory with a 1 KiB accumulator target to force width-1
-    # column blocks through the otherwise-identical code
-    ns: dict = {}
-    exec(
-        inspect.getsource(bm.make_batch_group_scorer).replace(
-            "64 << 20", "1024"
-        ),
-        vars(bm),
-        ns,
-    )
-    many_blocks = ns["make_batch_group_scorer"](
-        term_to_qidx, qid_list, stats.n_docs, stats.avgdl, 1.2, 0.75, 5
+    # a 1 KiB accumulator target forces width-1 column blocks through the
+    # otherwise-identical code
+    many_blocks = bm.make_batch_group_scorer(
+        term_to_qidx, qid_list, stats.n_docs, stats.avgdl, 1.2, 0.75, 5,
+        target_acc_bytes=1024,
     )((0,), flat)
     a = one_block.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
     b = many_blocks.sort_values(["query_id", "doc_id"]).reset_index(drop=True)

@@ -86,6 +86,10 @@ SURNAME_FLEETING_CASES = [
     # nominative — per-paradigm lexicon entries, not a vowel rule
     ("шевця", "швець", "male"), ("шевцем", "швець", "male"),
     ("шевцеві", "швець", "male"),
+    # palatalized/glide oblique stems (ь/й drops when the vowel restores)
+    ("мальца", "малец", "male"), ("мальцу", "малец", "male"),
+    ("коломийца", "коломиец", "male"), ("коломійця", "коломієць", "male"),
+    ("богомольця", "богомолець", "male"), ("богомольца", "богомолец", "male"),
 ]
 
 # dictionary-only residue: metathesis surnames OUTSIDE the curated lexicon

@@ -558,9 +558,17 @@ def test_delta_stats_manifest(spark, tmp_path):
     assert stats[0] == int(row["n"]) == 3
     assert stats[1] == pytest.approx(float(row["t"]) / int(row["n"]))
 
-    # batch-id replay guard: folding an already-seen batch id is a no-op
+    # batch-id replay guard: folding an already-seen batch id WITHIN the
+    # same stream lineage is a no-op; a different lineage would land
+    import hashlib as _hl
+
+    lineage = _hl.sha256(
+        _os.path.abspath(d["ckpt"]).encode()
+    ).hexdigest()[:16]
     before = load_delta_stats(d["delta"])
-    _fold_delta_stats(d["delta"], batch_id=0, n_docs=99, total_len=9999)
+    _fold_delta_stats(
+        d["delta"], batch_id=0, n_docs=99, total_len=9999, lineage=lineage
+    )
     assert load_delta_stats(d["delta"]) == before
 
     queries = [(1, "zyzzyva"), (2, "spark query"), (3, "nothing_zz")]
@@ -580,3 +588,81 @@ def test_delta_stats_manifest(spark, tmp_path):
     assert [(r["doc_id"], round(r["score"], 9)) for r in one_with] == [
         (r["doc_id"], round(r["score"], 9)) for r in one_without
     ]
+
+
+def test_delta_stats_survive_compaction_and_new_lineage(spark, tmp_path):
+    """Round-4 review findings: (a) merge_compact subtracts the folded
+    docs' stats from the delta manifest (idempotently per fingerprint), so
+    the REMAINING delta keeps serving under correct (n_docs, avgdl); (b) a
+    NEW stream lineage (fresh checkpoint → batch ids restart at 0) still
+    folds its stats instead of being mistaken for a replay."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        load_delta_postings,
+        load_delta_stats,
+        merge_compact,
+        start_delta_stream,
+    )
+
+    d = {k: str(tmp_path / k) for k in ("input", "delta", "ckpt", "ckpt2", "index")}
+    _os.makedirs(d["input"], exist_ok=True)
+    base_docs = spark.createDataFrame(
+        [(i, f"base doc {i} alpha beta", "en", "b", 20) for i in range(30)],
+        SCHEMA,
+    )
+    build_index(base_docs, d["index"], n_shards=2, chunk_bits=6)
+
+    # wave 1 via checkpoint 1
+    _write_docs(
+        spark, d["input"],
+        [(800001, "gamma delta one", "en", "s", 15),
+         (800002, "gamma epsilon two", "en", "s", 17)],
+    )
+    start_delta_stream(
+        spark, d["input"], d["delta"], d["ckpt"], SCHEMA
+    ).awaitTermination(120)
+    assert load_delta_stats(d["delta"])[0] == 2
+
+    # fold wave 1; its stats must LEAVE the manifest
+    files = [
+        _os.path.join(d["delta"], f)
+        for f in _os.listdir(d["delta"])
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    report = merge_compact(spark, d["index"], delta_files=files)
+    assert report["new_docs"] == 2
+    stats_after = load_delta_stats(d["delta"])
+    assert stats_after == (0, 0.0)
+    # idempotent: a rerun no-ops at the meta fingerprint and must not
+    # subtract a second time
+    fp_rerun = merge_compact(spark, d["index"], delta_files=files)
+    assert fp_rerun.get("noop")
+    assert load_delta_stats(d["delta"]) == (0, 0.0)
+
+    # caller deletes the folded files (the compact_job contract)
+    for f in files:
+        _os.remove(f)
+
+    # wave 2 arrives via a FRESH checkpoint — batch ids restart at 0; the
+    # per-lineage guard must fold its stats (a global guard dropped them)
+    _write_docs(
+        spark, d["input"],
+        [(800003, "zeta eta three four five", "en", "s", 24)],
+    )
+    start_delta_stream(
+        spark, d["input"], d["delta"], d["ckpt2"], SCHEMA
+    ).awaitTermination(120)
+    stats2 = load_delta_stats(d["delta"])
+    delta = load_delta_postings(spark, d["delta"])
+    row = (
+        delta.select("doc_id", "doc_len").distinct()
+        .agg(F.count("*").alias("n"), F.avg("doc_len").alias("a")).collect()[0]
+    )
+    # NOTE: checkpoint 2 reprocesses ALL input files (fresh source state),
+    # so the delta now holds waves 1+2 again — stats must equal the actual
+    # remaining-file recompute either way
+    assert stats2[0] == int(row["n"])
+    assert stats2[1] == pytest.approx(float(row["a"]))
