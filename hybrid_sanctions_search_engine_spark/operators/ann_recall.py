@@ -181,6 +181,51 @@ def lsh_recall_curve(
     return out
 
 
+def lsh_multiband_recall_curve(
+    index_dir: str,
+    x: np.ndarray,
+    queries: np.ndarray,
+    truth: np.ndarray,
+    n_probe_bands_list: list[int],
+    k: int = 10,
+) -> dict[int, float]:
+    """recall@k vs bands probed, replaying ``knn_lsh_multiband_probe``'s
+    candidate selection (exact band equality, OR over probed bands) from
+    the written index's band assignments."""
+    import pyarrow.dataset as ds
+
+    meta = json.load(open(os.path.join(index_dir, "_lsh_mb_meta.json")))
+    dim, n_bands, band_bits, seed = (
+        meta["dim"], meta["n_bands"], meta["band_bits"], meta["seed"],
+    )
+    tbl = ds.dataset(index_dir, format="parquet", partitioning="hive").to_table(
+        columns=["vec_id", "lsh_band_idx", "lsh_band_val"]
+    )
+    vec_ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    bidx = np.asarray(tbl["lsh_band_idx"], dtype=np.int64)
+    bval = np.asarray(tbl["lsh_band_val"], dtype=np.int64)
+    out: dict[int, float] = {}
+    for npb in n_probe_bands_list:
+        hits = 0
+        for i in range(queries.shape[0]):
+            sig = lsh_signature_of(
+                queries[i].tolist(), dim, n_bands * band_bits, seed
+            )
+            mask = np.zeros(vec_ids.size, dtype=bool)
+            for bi in range(min(npb, n_bands)):
+                v = (sig >> (bi * band_bits)) & ((1 << band_bits) - 1)
+                mask |= (bidx == bi) & (bval == v)
+            cand = np.unique(vec_ids[mask])
+            if cand.size == 0:
+                continue
+            s = x[cand] @ queries[i]
+            kk = min(k, cand.size)
+            top = cand[np.lexsort((cand, -s))[:kk]]
+            hits += len(set(top.tolist()) & set(truth[i].tolist()))
+        out[npb] = hits / (queries.shape[0] * k)
+    return out
+
+
 def recall_report(
     spark,
     n: int = 20_000,
@@ -192,6 +237,9 @@ def recall_report(
     k: int = 10,
     n_probes: list[int] | None = None,
     max_hammings: list[int] | None = None,
+    n_probe_bands: list[int] | None = None,
+    mb_bands: int = 8,
+    mb_band_bits: int = 8,
     workdir: str | None = None,
 ) -> dict:
     """Build both ANN indexes over the clustered fixture and return the two
@@ -201,15 +249,21 @@ def recall_report(
 
     from pyspark.sql import functions as F  # noqa: F401
 
-    from .similarity import write_ivf_index, write_lsh_index
+    from .similarity import (
+        write_ivf_index,
+        write_lsh_index,
+        write_lsh_multiband_index,
+    )
 
     n_probes = n_probes or [1, 2, 4, 8, 16]
     max_hammings = max_hammings or [0, 1, 2, 3]
+    n_probe_bands = n_probe_bands or [1, 2, 4, 8]
     import pandas as pd
 
     base = workdir or tempfile.mkdtemp(prefix="ann_recall_")
     ivf_dir = os.path.join(base, "ivf")
     lsh_dir = os.path.join(base, "lsh")
+    mb_dir = os.path.join(base, "lsh_mb")
     out: dict = {"n": n, "dim": dim, "k": k, "noise": noise}
     try:
         for mode in ("member", "boundary"):
@@ -224,6 +278,10 @@ def recall_report(
                 )
                 write_ivf_index(emb, ivf_dir, n_centroids=n_centroids)
                 write_lsh_index(emb, lsh_dir, dim=dim, n_planes=n_planes)
+                write_lsh_multiband_index(
+                    emb, mb_dir, dim=dim, n_bands=mb_bands,
+                    band_bits=mb_band_bits,
+                )
             truth = brute_force_topk(x, q, k)
             out[f"ivf_recall_at_{k}_by_n_probe_{mode}"] = {
                 str(d): round(v, 4)
@@ -233,6 +291,12 @@ def recall_report(
                 str(d): round(v, 4)
                 for d, v in lsh_recall_curve(
                     lsh_dir, x, q, truth, max_hammings, k
+                ).items()
+            }
+            out[f"lsh_mb_recall_at_{k}_by_bands_probed_{mode}"] = {
+                str(d): round(v, 4)
+                for d, v in lsh_multiband_recall_curve(
+                    mb_dir, x, q, truth, n_probe_bands, k
                 ).items()
             }
         return out

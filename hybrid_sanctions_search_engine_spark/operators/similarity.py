@@ -439,6 +439,104 @@ def knn_lsh_probe(
     return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
 
 
+def write_lsh_multiband_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """OR-amplified banded LSH (the classic b×r construction): the
+    ``n_bands × band_bits``-plane signature splits into ``n_bands``
+    independent bands; a vector is a candidate if ANY band matches the
+    query's exactly.  For same-cluster cosine c the per-band match
+    probability is ``(1 − arccos(c)/π)^band_bits`` and the OR over bands
+    amplifies it to ``1 − (1−p)^n_bands`` — much better recall than the
+    single-signature multi-probe layout at the same probe cost (measured:
+    BENCH.md ANN recall table).
+
+    Layout: rows duplicated per band, written
+    ``partitionBy(lsh_band_idx, lsh_band_val)`` — a probe reads exactly
+    ``n_bands`` partition directories by EQUALITY (no Hamming enumeration),
+    each holding ~n/2^band_bits rows.  The ×n_bands storage is the
+    standard LSH trade (every bucket stores its members); the embedding
+    rides along so the exact rerank needs no join back."""
+    import json
+    import os
+
+    with_sig = add_lsh_signature(
+        embeddings, dim, n_bands * band_bits, seed, vec_col
+    )
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("lsh_sig"), i * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .cast("int")
+            for i in range(n_bands)
+        ]
+    )
+    exploded = (
+        with_sig.withColumn("_bands", bands)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode("_bands").alias("lsh_band_idx", "lsh_band_val"),
+        )
+    )
+    (
+        exploded.repartition("lsh_band_idx", "lsh_band_val")
+        .write.mode("overwrite")
+        .partitionBy("lsh_band_idx", "lsh_band_val")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_lsh_mb_meta.json"), "w") as fh:
+        json.dump(
+            {"dim": dim, "n_bands": n_bands, "band_bits": band_bits, "seed": seed},
+            fh,
+        )
+
+
+def knn_lsh_multiband_probe(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe_bands: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a ``write_lsh_multiband_index`` dataset: one equality
+    predicate per band prunes the scan to ``n_probe_bands`` directories
+    (recall dial: fewer bands probed = faster, lower recall), candidates
+    dedup by id, exact cosine reranks."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_lsh_mb_meta.json")) as fh:
+        meta = json.load(fh)
+    n_bands, band_bits = meta["n_bands"], meta["band_bits"]
+    if n_probe_bands is None:
+        n_probe_bands = n_bands
+    sig = lsh_signature_of(
+        query_vec, meta["dim"], n_bands * band_bits, meta["seed"]
+    )
+    df = spark.read.parquet(path)
+    cond = None
+    for i in range(min(n_probe_bands, n_bands)):
+        v = (sig >> (i * band_bits)) & ((1 << band_bits) - 1)
+        c = (F.col("lsh_band_idx") == i) & (F.col("lsh_band_val") == v)
+        cond = c if cond is None else (cond | c)
+    candidates = (
+        df.where(cond)
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
+    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
+
+
 def cosine_pair_udf():
     """Arrow UDF: row-wise cosine of two array columns, one numpy pass per
     batch (for wide vectors where the interpreted-HOF `cosine_col` would cost
