@@ -179,7 +179,7 @@ class HybridSearchPlan:
                 self.ann_df, self.ann_centroids = load_ivf_index(
                     docs.sparkSession, ann_index_dir
                 )
-            elif ann_kind != "lsh":
+            elif ann_kind not in ("lsh", "lsh_mb"):
                 raise ValueError(f"unknown ann_kind: {ann_kind!r}")
         if index_dir is not None:
             from ..sources.index_io import load_index
@@ -318,6 +318,10 @@ class HybridSearchPlan:
             res = knn_ivf_probe(
                 self.ann_df, self.ann_centroids, qv, k=k, n_probe=self.ann_n_probe
             )
+        elif self.ann_index_dir is not None and self.ann_kind == "lsh_mb":
+            from ..operators.similarity import knn_lsh_multiband_probe
+
+            res = knn_lsh_multiband_probe(spark, self.ann_index_dir, qv, k=k)
         elif self.ann_index_dir is not None:
             from ..operators.similarity import knn_lsh_probe
 
@@ -672,6 +676,45 @@ class HybridSearchPlan:
                 base = (
                     self.ann_df.where(F.col("ivf_cell").isin(union_cells))
                     .join(F.broadcast(celldf), "ivf_cell")
+                    .join(F.broadcast(qdf), "query_id")
+                )
+            elif self.ann_index_dir is not None and self.ann_kind == "lsh_mb":
+                import json as _json
+                import os as _os
+
+                from ..operators.similarity import lsh_signature_of
+
+                with open(
+                    _os.path.join(self.ann_index_dir, "_lsh_mb_meta.json")
+                ) as fh:
+                    mmeta = _json.load(fh)
+                nb, bb = mmeta["n_bands"], mmeta["band_bits"]
+                triples = []
+                for q in targets:
+                    sig = lsh_signature_of(
+                        qvecs[q], mmeta["dim"], nb * bb, mmeta["seed"]
+                    )
+                    for bi in range(nb):
+                        triples.append(
+                            (q, bi, (sig >> (bi * bb)) & ((1 << bb) - 1))
+                        )
+                banddf = spark.createDataFrame(
+                    triples,
+                    "query_id long, lsh_band_idx int, lsh_band_val int",
+                )
+                # static isin prefilters prune the scan to (a superset of)
+                # the union of all queries' band directories — literal
+                # partition predicates, no DPP dependence; the broadcast
+                # equality join then refines exactly.  A vector can match
+                # several of a query's bands → dedup per (query, vec).
+                vals = sorted({v for _, _, v in triples})
+                base = (
+                    spark.read.parquet(self.ann_index_dir)
+                    .where(F.col("lsh_band_val").isin(vals))
+                    .join(
+                        F.broadcast(banddf), ["lsh_band_idx", "lsh_band_val"]
+                    )
+                    .dropDuplicates(["query_id", "vec_id"])
                     .join(F.broadcast(qdf), "query_id")
                 )
             elif self.ann_index_dir is not None:

@@ -135,3 +135,20 @@ def test_search_many_empty_and_unknown(spark, corpus):
     plan = HybridSearchPlan(docs, embeddings=emb, embedding_dim=DIM)
     res, meta = plan.search_many([], SearchOpts(top_k=5))
     assert res.count() == 0 and meta == {}
+
+
+def test_search_many_parity_lsh_multiband(spark, corpus, tmp_path):
+    """Banded-LSH-backed (ann_kind='lsh_mb') batched vector stage ≡ the
+    per-query knn_lsh_multiband_probe path."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        write_lsh_multiband_index,
+    )
+
+    docs, emb = corpus
+    path = str(tmp_path / "lsh_mb")
+    write_lsh_multiband_index(emb, path, dim=DIM, n_bands=8, band_bits=8)
+    plan = HybridSearchPlan(
+        docs, embeddings=emb, embedding_dim=DIM,
+        ann_index_dir=path, ann_kind="lsh_mb",
+    )
+    _assert_parity(plan, SearchOpts(top_k=8))
