@@ -179,8 +179,8 @@ def main() -> None:
             "knn_cosine_384",
             "knn_lsh",
             "embedding_near_dup",
-            "lang_id",
-            "quality_score",
+            "textstats",
+            "doc_quality",
         ):
             if name in queries:
                 timed_best2(

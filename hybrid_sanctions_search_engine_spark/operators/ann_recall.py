@@ -112,7 +112,10 @@ def ivf_recall_curve(
     )
     vec_ids = np.asarray(tbl["vec_id"], dtype=np.int64)
     cells = np.asarray(tbl["ivf_cell"], dtype=np.int64)
-    cell_of = np.empty(vec_ids.max() + 1, dtype=np.int64)
+    # -1 fill: for a non-contiguous id space, uninitialized slots could
+    # hold garbage equal to a probed cell id and inject phantom candidates
+    # into the measurement (review finding, round 5)
+    cell_of = np.full(vec_ids.max() + 1, -1, dtype=np.int64)
     cell_of[vec_ids] = cells
     out: dict[int, float] = {}
     for n_probe in n_probes:

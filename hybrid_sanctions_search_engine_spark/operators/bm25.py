@@ -308,6 +308,7 @@ def phrase_match(
     text_col: str = "text",
     postings: DataFrame | None = None,
     slop: int = 0,
+    ordered: bool = True,
 ) -> DataFrame:
     """doc_ids containing the phrase (ES match_phrase; reference query at
     ``elasticsearch_adapters.py:206-216``, and the watchlist adapter's
@@ -317,9 +318,17 @@ def phrase_match(
     indexed path and the DuckDB oracle): an occurrence is a position ``p``
     of term 0 such that every later term ``i`` appears somewhere in
     ``[p+i, p+i+slop]`` — each term may lag its exact slot by at most
-    ``slop`` extra positions.  slop=0 is exact adjacency.  (ES's sloppy
-    phrase additionally allows reordering at slop ≥ 2; this contract keeps
-    order — the stricter, deterministic subset.)
+    ``slop`` extra positions.  slop=0 is exact adjacency.
+
+    ``ordered=False`` (ES-style sloppy phrase, which permits reordering at
+    slop ≥ 2): term i's window becomes symmetric, ``[p+i-slop, p+i+slop]``
+    — each term may be displaced at most ``slop`` positions from its exact
+    slot in EITHER direction, so an adjacent transposition ("b a" for
+    phrase "a b") matches at slop=2, exactly like Lucene's
+    SloppyPhraseMatcher on two terms.  A strict superset of the anchored
+    ordered matches at the same slop.  (Lucene's full semantics charge a
+    TOTAL movement budget across terms; this contract is per-term — the
+    documented, DuckDB-mirrorable approximation.)
 
     Positions-list intersection: start from term 0's positions and
     successively keep only positions p with p+i(+d) present in term i's
@@ -336,10 +345,12 @@ def phrase_match(
         postings.where(F.col("term") == phrase_terms[0])
         .select("doc_id", F.col("positions").alias("cand"))
     )
+    lo = -slop if not ordered else 0
+
     def _within_slop(pos_col: str, offset: int):
         def pred(p):
-            cond = F.array_contains(F.col(pos_col), p + F.lit(offset))
-            for d in range(1, slop + 1):
+            cond = F.array_contains(F.col(pos_col), p + F.lit(offset + lo))
+            for d in range(lo + 1, slop + 1):
                 cond = cond | F.array_contains(
                     F.col(pos_col), p + F.lit(offset + d)
                 )

@@ -17,27 +17,32 @@ def threshold_metrics(
     scored: DataFrame, score_col: str = "score", label_col: str = "label"
 ) -> DataFrame:
     """→ (threshold, tp, fp, fn, precision, recall, f1) for every distinct
-    score value, where threshold means `predict positive iff score ≥ t`."""
-    total_pos = F.sum(F.col("y")).over(Window.partitionBy())
+    score value, where threshold means `predict positive iff score ≥ t`.
+
+    Scale note: the distributed ``groupBy(threshold)`` pre-aggregate runs
+    FIRST, so the unavoidable single-partition cumulative window only ever
+    sees |distinct scores| rows — bounded by score cardinality, not corpus
+    size.  (Ties collapse in the pre-aggregate, which also removes the old
+    per-row max-over-ties pass.)
+    """
+    per_score = (
+        scored.select(
+            F.col(score_col).alias("threshold"),
+            F.col(label_col).cast("long").alias("y"),
+        )
+        .groupBy("threshold")
+        .agg(F.sum("y").alias("pos"), F.count("*").alias("n"))
+    )
     w = (
         Window.partitionBy()
         .orderBy(F.desc("threshold"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (
-        scored.select(
-            F.col(score_col).alias("threshold"),
-            F.col(label_col).cast("long").alias("y"),
-        )
-        .withColumn("tp", F.sum("y").over(w))
-        .withColumn("n_pred", F.count("*").over(w))
-        .withColumn("total_pos", total_pos)
-    )
-    # ties: keep the last row per distinct score (threshold includes all ties)
-    per_t = cum.groupBy("threshold").agg(
-        F.max("tp").alias("tp"),
-        F.max("n_pred").alias("n_pred"),
-        F.max("total_pos").alias("total_pos"),
+    per_t = (
+        per_score.withColumn("tp", F.sum("pos").over(w))
+        .withColumn("n_pred", F.sum("n").over(w))
+        .withColumn("total_pos", F.sum("pos").over(Window.partitionBy()))
+        .drop("pos", "n")
     )
     return per_t.select(
         "threshold",

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_col
+from ..sources.fs import fs_for
 
 
 def cosine_to_query_udf(query_vec: list[float]):
@@ -339,8 +340,12 @@ def write_ivf_index(
         .partitionBy("ivf_cell")
         .parquet(path)
     )
-    with open(os.path.join(path, "_ivf_meta.json"), "w") as fh:
-        json.dump({"centroids": cents.tolist(), "dim": int(cents.shape[1])}, fh)
+    # meta goes through fs_for like the index manifests, so non-local
+    # index paths (s3/hdfs) work end-to-end (review finding, round 5)
+    fs_for(path).commit_json(
+        os.path.join(path, "_ivf_meta.json"),
+        {"centroids": cents.tolist(), "dim": int(cents.shape[1])},
+    )
     return cents
 
 
@@ -348,8 +353,7 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     import json
     import os
 
-    with open(os.path.join(path, "_ivf_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = fs_for(path).read_json(os.path.join(path, "_ivf_meta.json"))
     return spark.read.parquet(path), np.asarray(meta["centroids"], dtype=np.float64)
 
 
@@ -400,8 +404,10 @@ def write_lsh_index(
     banded.repartition("lsh_band").write.mode("overwrite").partitionBy(
         "lsh_band"
     ).parquet(path)
-    with open(os.path.join(path, "_lsh_meta.json"), "w") as fh:
-        json.dump({"dim": dim, "n_planes": n_planes, "seed": seed}, fh)
+    fs_for(path).commit_json(
+        os.path.join(path, "_lsh_meta.json"),
+        {"dim": dim, "n_planes": n_planes, "seed": seed},
+    )
 
 
 def knn_lsh_probe(
@@ -420,8 +426,7 @@ def knn_lsh_probe(
     import json
     import os
 
-    with open(os.path.join(path, "_lsh_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = fs_for(path).read_json(os.path.join(path, "_lsh_meta.json"))
     n_planes = meta["n_planes"]
     qsig = lsh_signature_of(query_vec, meta["dim"], n_planes, meta["seed"])
     qband = (qsig >> (n_planes - _LSH_TOP_BITS)) & ((1 << _LSH_TOP_BITS) - 1)
@@ -492,11 +497,10 @@ def write_lsh_multiband_index(
         .partitionBy("lsh_band_idx", "lsh_band_val")
         .parquet(path)
     )
-    with open(os.path.join(path, "_lsh_mb_meta.json"), "w") as fh:
-        json.dump(
-            {"dim": dim, "n_bands": n_bands, "band_bits": band_bits, "seed": seed},
-            fh,
-        )
+    fs_for(path).commit_json(
+        os.path.join(path, "_lsh_mb_meta.json"),
+        {"dim": dim, "n_bands": n_bands, "band_bits": band_bits, "seed": seed},
+    )
 
 
 def knn_lsh_multiband_probe(
@@ -515,8 +519,7 @@ def knn_lsh_multiband_probe(
     import json
     import os
 
-    with open(os.path.join(path, "_lsh_mb_meta.json")) as fh:
-        meta = json.load(fh)
+    meta = fs_for(path).read_json(os.path.join(path, "_lsh_mb_meta.json"))
     n_bands, band_bits = meta["n_bands"], meta["band_bits"]
     if n_probe_bands is None:
         n_probe_bands = n_bands

@@ -964,7 +964,7 @@ class HybridSearchPlan:
             return fz_rows
 
         fz_fut = _Async(_timed_into(trace, "fuzzy_ms", _fuzzy_stage_batch))
-        if vec_fut is None:
+        if vec_fut is None and escalating:
             vec_fut = _Async(
                 _timed_into(
                     trace, "vector_ms",
@@ -972,10 +972,18 @@ class HybridSearchPlan:
                 )
             )
         fz_rows = fz_fut.result()
-        # speculative results cover ALL queries — keep only the escalating
-        # subset so gating sees exactly what search() would have computed
-        vec_all = vec_fut.result()
-        vec_rows = {q: vec_all.get(q, []) for q in escalating}
+        if not escalating:
+            # nothing escalated: don't block on the vector stage at all — a
+            # speculative future (launched before the AC result existed) is
+            # abandoned on its daemon thread instead of gating the whole
+            # batch's return on the full ANN probe (review finding, round 5)
+            vec_rows: dict[int, list] = {}
+        else:
+            # speculative results cover ALL queries — keep only the
+            # escalating subset so gating sees exactly what search() would
+            # have computed
+            vec_all = vec_fut.result()
+            vec_rows = {q: vec_all.get(q, []) for q in escalating}
 
         # --- driver-side gating + boosts + fusion per query -----------------
         out_rows = []

@@ -354,7 +354,8 @@ _PHRASE_POS_BITS = 40  # positions < 2^40 — far beyond any document length
 
 
 def _phrase_chunk_scorer(
-    ordered_terms: list[str], chunk_bits: int, slop: int = 0
+    ordered_terms: list[str], chunk_bits: int, slop: int = 0,
+    ordered: bool = True,
 ):
     """Per-chunk phrase matcher over decoded postings + position streams.
 
@@ -367,9 +368,11 @@ def _phrase_chunk_scorer(
 
     ``slop`` (anchored contract shared with ``operators.bm25.phrase_match``):
     term i may sit anywhere in ``[p+i, p+i+slop]`` — its keys are expanded
-    to the ≤ slop+1 shifted copies before the intersect.  A shift that
-    borrows below a document's position 0 produces a key no anchor can
-    match (anchors are real positions), so no masking is needed."""
+    to the ≤ slop+1 shifted copies before the intersect.  ``ordered=False``
+    widens the window to the symmetric ``[p+i-slop, p+i+slop]`` (ES-style
+    reordering; 2·slop+1 copies).  A shift that borrows below a document's
+    position 0 produces a key no anchor can match (anchors are real
+    positions), so no masking is needed."""
     from ..functions.codec import varint_decode
 
     def match(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -378,7 +381,7 @@ def _phrase_chunk_scorer(
         )
         chunk_base = int(key[0]) << chunk_bits
         per_term = _decode_position_keys(pdf, chunk_base)
-        keys = _phrase_intersect(per_term, ordered_terms, slop)
+        keys = _phrase_intersect(per_term, ordered_terms, slop, ordered)
         if keys is None or keys.size == 0:
             return empty
         docs, counts = np.unique(keys >> _PHRASE_POS_BITS, return_counts=True)
@@ -413,18 +416,24 @@ def _decode_position_keys(pdf: pd.DataFrame, chunk_base: int) -> dict:
 
 
 def _phrase_intersect(
-    per_term: dict, ordered_terms: list[str], slop: int
+    per_term: dict, ordered_terms: list[str], slop: int,
+    ordered: bool = True,
 ) -> "np.ndarray | None":
     """Anchor keys of phrase occurrences: a phrase occurrence at (doc, p)
-    needs term i within [p + i, p + i + slop] — shift each term's keys by
-    its offset (and the ≤ slop extra lags) and intersect."""
+    needs term i within [p + i, p + i + slop] (ordered contract) or the
+    symmetric [p + i − slop, p + i + slop] (``ordered=False``, ES-style
+    reordering) — shift each term's keys by its offset (and the slop
+    window's extra displacements) and intersect."""
     if any(t not in per_term for t in ordered_terms):
         return None
+    lo = -slop if not ordered else 0
     keys = per_term[ordered_terms[0]]
     for offset, t in enumerate(ordered_terms[1:], start=1):
         kt = per_term[t] - offset  # (doc << 40) | (pos - offset)
         if slop:
-            kt = np.unique(np.concatenate([kt - d for d in range(slop + 1)]))
+            kt = np.unique(
+                np.concatenate([kt - d for d in range(lo, slop + 1)])
+            )
         keys = np.intersect1d(keys, kt, assume_unique=True)
         if keys.size == 0:
             return keys
@@ -438,6 +447,7 @@ def phrase_search(
     index_df: DataFrame | None = None,
     meta: IndexMeta | None = None,
     slop: int = 0,
+    ordered: bool = True,
 ) -> DataFrame:
     """Phrase match over a positions-enabled compressed index
     → (doc_id, n_occurrences).  Same shard/row-group pruning as topk_search;
@@ -467,7 +477,8 @@ def phrase_search(
     return (
         matched.groupBy("chunk")
         .applyInPandas(
-            _phrase_chunk_scorer(terms, meta.chunk_bits, slop), PHRASE_SCHEMA
+            _phrase_chunk_scorer(terms, meta.chunk_bits, slop, ordered),
+            PHRASE_SCHEMA,
         )
         .orderBy("doc_id")
     )
@@ -489,6 +500,7 @@ def batch_phrase_search(
     index_df: DataFrame | None = None,
     meta: IndexMeta | None = None,
     slop: int = 0,
+    ordered: bool = True,
 ) -> DataFrame:
     """Many phrases in ONE job (the msearch shape for phrase queries — the
     reference's watchlist adapter issues match_phrase per request;
@@ -527,7 +539,7 @@ def batch_phrase_search(
         per_term = _decode_position_keys(pdf, chunk_base)
         out_q, out_d, out_n = [], [], []
         for qid, ts in qterms:
-            keys = _phrase_intersect(per_term, ts, slop)
+            keys = _phrase_intersect(per_term, ts, slop, ordered)
             if keys is None or keys.size == 0:
                 continue
             docs, counts = np.unique(keys >> _PHRASE_POS_BITS, return_counts=True)

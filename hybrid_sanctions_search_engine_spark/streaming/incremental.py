@@ -94,7 +94,17 @@ def start_delta_stream(
     )
 
 
-DELTA_STATS_FILE = "_delta_stats.json"
+DELTA_STATS_FILE = "_delta_stats.json"  # legacy combined manifest (read-compat)
+DELTA_STATS_LINEAGE_PREFIX = "_delta_stats_lineage_"
+DELTA_STATS_SUB_FILE = "_delta_stats_subtracted.json"
+_SUB_FP_KEEP = 64  # idempotency window for compaction reruns
+
+
+def _lineage_stats_path(delta_dir: str, lineage: str) -> str:
+    import hashlib
+
+    safe = hashlib.md5(lineage.encode()).hexdigest()[:16]
+    return os.path.join(delta_dir, f"{DELTA_STATS_LINEAGE_PREFIX}{safe}.json")
 
 
 def _fold_delta_stats(
@@ -106,35 +116,44 @@ def _fold_delta_stats(
 ) -> None:
     """Fold one microbatch's stats into the delta manifest.
 
-    The replay guard is PER-LINEAGE (``lineage`` = a stable key of the
-    stream's checkpoint dir): foreachBatch retries within one checkpointed
-    stream reuse a batch_id and must not double-count, but a NEW stream
-    (fresh checkpoint, or a second stream into the same delta_dir) restarts
-    batch ids at 0 and its folds must still land — a single global
-    last_batch_id silently dropped them (review finding, round 4)."""
-    import json
-
+    Each lineage (= one checkpointed stream, whose microbatches Spark
+    serializes) owns its OWN manifest file — single-writer by construction,
+    so two concurrent streams into the same delta_dir can never lose each
+    other's folds to an interleaved read-modify-write (review finding,
+    round 5; the old shared-file fold raced).  ``load_delta_stats`` merges
+    the per-lineage files (plus the legacy combined file, if present) at
+    read time.  The batch-id replay guard stays per-lineage: foreachBatch
+    retries within one stream reuse a batch_id and must not double-count,
+    while a NEW stream restarts at 0 and must still land."""
     from ..sources.fs import fs_for
 
     fs = fs_for(delta_dir)
-    path = os.path.join(delta_dir, DELTA_STATS_FILE)
+    path = _lineage_stats_path(delta_dir, lineage)
     try:
         cur = fs.read_json(path)
     except (OSError, ValueError):
-        cur = {"n_docs": 0, "total_len": 0}
-    lineages = dict(cur.get("lineages", {}))
-    if "last_batch_id" in cur and "lineages" not in cur:
-        lineages["legacy"] = cur["last_batch_id"]  # pre-lineage manifests
-    if batch_id <= lineages.get(lineage, -1):
+        cur = {"n_docs": 0, "total_len": 0, "last_batch_id": -1}
+        # migration: folds recorded pre-round-5 live in the legacy combined
+        # file; seed only the replay guard from it (its totals keep counting
+        # at read time, so n_docs/total_len start at 0 here)
+        try:
+            legacy = fs.read_json(os.path.join(delta_dir, DELTA_STATS_FILE))
+            cur["last_batch_id"] = int(
+                legacy.get("lineages", {}).get(
+                    lineage, legacy.get("last_batch_id", -1)
+                )
+            )
+        except (OSError, ValueError):
+            pass
+    if batch_id <= int(cur.get("last_batch_id", -1)):
         return  # retried batch within this stream — stats must not double
-    lineages[lineage] = batch_id
     fs.commit_json(
         path,
         {
+            "lineage": lineage,
             "n_docs": cur.get("n_docs", 0) + n_docs,
             "total_len": cur.get("total_len", 0) + total_len,
-            "lineages": lineages,
-            "last_subtracted_fp": cur.get("last_subtracted_fp", ""),
+            "last_batch_id": batch_id,
         },
     )
 
@@ -144,45 +163,77 @@ def _subtract_delta_stats(
 ) -> None:
     """Called by ``merge_compact`` after a successful fold: the folded
     documents' stats leave the delta manifest so overlay serving keeps
-    scoring the REMAINING delta under correct (n_docs, avgdl) — without
-    this, every compaction cycle left the manifest over-reporting and the
-    stats-based path diverged from the recompute path (review finding,
-    round 4).  Idempotent per delta fingerprint: a rerun after a crash in
-    the post-commit window must not subtract twice."""
+    scoring the REMAINING delta under correct (n_docs, avgdl).  Records go
+    to a separate subtraction ledger (one writer: the compactor — exactly
+    one concurrent compaction per index is already the resumable-manifest
+    contract, so this RMW has a single writer; the RACY multi-writer path
+    was the per-stream fold, now per-lineage).  Idempotent per delta
+    fingerprint over a 64-entry window: a rerun after a crash
+    in the post-commit window must not subtract twice."""
     from ..sources.fs import fs_for
 
     fs = fs_for(delta_dir)
-    path = os.path.join(delta_dir, DELTA_STATS_FILE)
+    path = os.path.join(delta_dir, DELTA_STATS_SUB_FILE)
     try:
-        cur = fs.read_json(path)
+        sub = fs.read_json(path)
     except (OSError, ValueError):
-        return  # no manifest — nothing to correct
-    if cur.get("last_subtracted_fp") == delta_fp:
+        sub = {"n_docs": 0, "total_len": 0, "fps": []}
+    # pre-migration compactions recorded their fp inside the legacy file
+    try:
+        legacy = fs.read_json(os.path.join(delta_dir, DELTA_STATS_FILE))
+        if legacy.get("last_subtracted_fp") == delta_fp:
+            return
+    except (OSError, ValueError):
+        pass
+    if delta_fp in sub.get("fps", []):
         return
     fs.commit_json(
         path,
         {
-            "n_docs": max(0, cur.get("n_docs", 0) - n_docs),
-            "total_len": max(0, cur.get("total_len", 0) - total_len),
-            "lineages": cur.get("lineages", {}),
-            "last_subtracted_fp": delta_fp,
+            "n_docs": sub.get("n_docs", 0) + n_docs,
+            "total_len": sub.get("total_len", 0) + total_len,
+            "fps": (sub.get("fps", []) + [delta_fp])[-_SUB_FP_KEEP:],
         },
     )
 
 
 def load_delta_stats(delta_dir: str) -> tuple[int, float] | None:
-    """(n_docs, avgdl) from the delta manifest ``start_delta_stream``
-    maintains — None when the manifest is absent (pre-manifest deltas fall
-    back to the distinct().agg() job)."""
-    import json
+    """(n_docs, avgdl) merged from the per-lineage manifests (+ the legacy
+    combined file) minus the compaction subtraction ledger — None when no
+    manifest exists at all (pre-manifest deltas fall back to the
+    distinct().agg() job).  All reads go through ``fs_for`` so non-local
+    delta dirs (s3/hdfs) work like the rest of the index layout."""
+    from ..sources.fs import fs_for
 
+    fs = fs_for(delta_dir)
+    n, toks, found = 0, 0, False
     try:
-        with open(os.path.join(delta_dir, DELTA_STATS_FILE)) as fh:
-            st = json.load(fh)
+        legacy = fs.read_json(os.path.join(delta_dir, DELTA_STATS_FILE))
+        n += int(legacy.get("n_docs", 0))
+        toks += int(legacy.get("total_len", 0))
+        found = True
     except (OSError, ValueError):
+        pass
+    for name in fs.list_files(delta_dir):
+        if not name.startswith(DELTA_STATS_LINEAGE_PREFIX):
+            continue
+        try:
+            st = fs.read_json(os.path.join(delta_dir, name))
+        except (OSError, ValueError):
+            continue
+        n += int(st.get("n_docs", 0))
+        toks += int(st.get("total_len", 0))
+        found = True
+    if not found:
         return None
-    n = int(st.get("n_docs", 0))
-    return n, float(st.get("total_len", 0)) / max(n, 1)
+    try:
+        sub = fs.read_json(os.path.join(delta_dir, DELTA_STATS_SUB_FILE))
+        n -= int(sub.get("n_docs", 0))
+        toks -= int(sub.get("total_len", 0))
+    except (OSError, ValueError):
+        pass
+    n, toks = max(n, 0), max(toks, 0)
+    return n, float(toks) / max(n, 1)
 
 
 def load_delta_postings(spark: SparkSession, delta_dir: str) -> DataFrame | None:

@@ -31,3 +31,35 @@ def test_calibrate_threshold(spark):
     assert best["threshold"] == 7.0
     assert best["precision"] == 1.0
     assert abs(best["recall"] - 4 / 5) < 1e-9
+
+
+def test_threshold_metrics_preaggregates_before_window(spark):
+    """Scale contract (round-5 verdict item 3): the single-partition
+    cumulative window must consume the groupBy(threshold) PRE-AGGREGATE —
+    |distinct scores| rows — not the raw labeled rows.  Asserted two ways:
+    the physical plan runs an Aggregate below the Window, and the output on
+    a heavy-ties input (20k rows, 5 distinct scores) is identical to the
+    direct per-threshold recompute."""
+    from pyspark.sql import functions as F
+
+    from hybrid_sanctions_search_engine_spark.operators.calibration import (
+        threshold_metrics,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 5).cast("double").alias("score"),
+        ((F.col("id") % 3) == 0).alias("label"),
+    )
+    out = threshold_metrics(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    w = plan.find("Window")
+    assert w >= 0 and "HashAggregate" in plan[w:], plan
+    rows = {r["threshold"]: r for r in out.collect()}
+    assert set(rows) == {0.0, 1.0, 2.0, 3.0, 4.0}
+    pdf = df.toPandas()
+    for t, r in rows.items():
+        pred = pdf[pdf["score"] >= t]
+        tp = int(pred["label"].sum())
+        assert r["tp"] == tp
+        assert r["fp"] == len(pred) - tp
+        assert r["fn"] == int(pdf["label"].sum()) - tp

@@ -284,3 +284,94 @@ def test_batch_phrase_parity(spark, pos_corpus, slop):
             ).collect()
         )
         assert sorted(got[qid]) == want, (qid, p, slop)
+
+
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [
+        (["table", "value"], 2),
+        (["table", "value", "row"], 1),
+        (["table", "value", "row"], 2),
+    ],
+)
+def test_phrase_unordered_identity_vs_dataframe(spark, pos_corpus, phrase, slop):
+    """ES-style unordered slop: indexed packed-key path ≡ DataFrame
+    positions path under the symmetric-window contract, and the unordered
+    match set is a superset of the ordered one at the same slop."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import phrase_match
+    from hybrid_sanctions_search_engine_spark.plans.wand import phrase_search
+
+    docs, index_dir, idx, meta = pos_corpus
+    expected = sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_match(docs, phrase, slop=slop, ordered=False).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search(
+            spark, index_dir, phrase, index_df=idx, meta=meta,
+            slop=slop, ordered=False,
+        ).collect()
+    )
+    assert got == expected
+    ordered_docs = {
+        r["doc_id"] for r in phrase_match(docs, phrase, slop=slop).collect()
+    }
+    assert ordered_docs <= {d for d, _ in expected}
+
+
+def test_phrase_unordered_semantics_unit(spark):
+    """Pin the symmetric-window contract on hand-built docs: 'b a' for
+    phrase [a,b] needs slop=2 unordered (adjacent transposition — matches
+    Lucene's cost for two transposed terms) and never matches ordered;
+    'a b' matches both at every slop; in 'a x x x b' the displacement of
+    'b' from its expected slot is 3, so it needs slop=3 in either mode."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b a"), (3, "a x x x b")],
+        "doc_id long, text string",
+    )
+
+    def match(slop, ordered):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_match(
+                docs, ["a", "b"], slop=slop, ordered=ordered
+            ).collect()
+        }
+
+    assert match(0, ordered=False) == {1: 1}
+    assert match(1, ordered=False) == {1: 1}
+    assert match(2, ordered=False) == {1: 1, 2: 1}
+    assert match(2, ordered=True) == {1: 1}
+    assert match(3, ordered=False) == {1: 1, 2: 1, 3: 1}
+    assert match(3, ordered=True) == {1: 1, 3: 1}
+
+
+def test_batch_phrase_unordered_parity(spark, pos_corpus):
+    """batch_phrase_search(ordered=False) ≡ per-phrase
+    phrase_search(ordered=False) over a mixed batch."""
+    from hybrid_sanctions_search_engine_spark.plans.wand import (
+        batch_phrase_search,
+        phrase_search,
+    )
+
+    docs, index_dir, idx, meta = pos_corpus
+    phrases = [(1, "key order"), (2, "order key"), (3, "table value row")]
+    batched = batch_phrase_search(
+        spark, index_dir, phrases, index_df=idx, meta=meta,
+        slop=2, ordered=False,
+    )
+    got: dict[int, list] = {qid: [] for qid, _ in phrases}
+    for r in batched.collect():
+        got[r["query_id"]].append((r["doc_id"], r["n_occurrences"]))
+    for qid, p in phrases:
+        want = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in phrase_search(
+                spark, index_dir, p, index_df=idx, meta=meta,
+                slop=2, ordered=False,
+            ).collect()
+        )
+        assert sorted(got[qid]) == want, (qid, p)
