@@ -433,22 +433,19 @@ def _knn_query_vec(dim: int = KNN_DIM) -> list[float]:
 
 
 def _doc_embeddings_384(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, embedding) at the reference's real width: deterministic
-    byte-histogram pseudo-embedding of each document's text, dim 384 —
-    one Arrow batch per partition, numpy inside."""
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType
-
-    from hybrid_sanctions_search_engine_spark.functions.vectors import (
-        pseudo_embedding_series,
+    """(vec_id, embedding) at the reference's real width (384), built
+    through the pluggable encoder seam (``functions.encoder.embed_texts``,
+    mapInPandas, partition-preserving) — the default PseudoEncoder is
+    bit-identical to the old inline pandas-UDF path, and a real model
+    swaps in via the ``encoder`` argument alone."""
+    from hybrid_sanctions_search_engine_spark.functions.encoder import (
+        PseudoEncoder,
+        embed_texts,
     )
 
-    @pandas_udf(ArrayType(DoubleType()))
-    def emb(texts: pd.Series) -> pd.Series:
-        return pseudo_embedding_series(texts, KNN_DIM_FULL)
-
-    return _docs(spark, sf).select(
-        F.col("doc_id").alias("vec_id"), emb("text").alias("embedding")
+    base = _docs(spark, sf).select(F.col("doc_id").alias("vec_id"), "text")
+    return embed_texts(base, PseudoEncoder(KNN_DIM_FULL)).select(
+        "vec_id", "embedding"
     )
 
 

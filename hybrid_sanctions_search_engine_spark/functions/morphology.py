@@ -161,6 +161,9 @@ FLEETING_VOWEL_SURNAMES = frozenset({
     "немец", "чернец", "молодец", "богомолец", "богомолець",
     "горобец", "горобець", "коломиец", "коломієць", "баранец",
     "боровец", "половец", "жнец", "удовец", "мудрец", "малец",
+    # -ець homograph family (round-5 verdict item 8: Перець → Перця was the
+    # last documented adversarial failure — same paradigm as Кравець)
+    "перец", "перець", "стрелец", "стрілець", "заєць",
     # -ок
     "турок", "мазурок", "щиголок", "приходок",
 })

@@ -148,6 +148,7 @@ class HybridSearchPlan:
         ann_kind: str = "ivf",
         ann_n_probe: int = 3,
         ann_max_hamming: int = 2,
+        encoder=None,
     ):
         """``index_dir``: serve the AC stage from a prebuilt compressed index
         (``sources.index_io.build_index`` output) instead of recomputing
@@ -160,11 +161,21 @@ class HybridSearchPlan:
         query, never a scan (``elasticsearch_adapters.py:819-843``).  Each
         probe reads only the matching partition directories (PartitionFilters
         pruning); ``ann_kind`` picks the layout, ``ann_n_probe`` /
-        ``ann_max_hamming`` are the recall dials."""
+        ``ann_max_hamming`` are the recall dials.
+
+        ``encoder``: query-text embedding encoder satisfying the
+        ``functions.encoder`` contract (dim / encode_one / encode_batch) —
+        default ``PseudoEncoder(embedding_dim)``, the reference's
+        byte-histogram fallback, bit-identical to the pre-seam path; a
+        real model (MiniLM-L12-v2 in the reference) drops in here without
+        touching call sites."""
+        from ..functions.encoder import PseudoEncoder
+
         self.docs = docs
         self.text_col = text_col
         self.embeddings = embeddings
         self.embedding_dim = embedding_dim
+        self.encoder = encoder if encoder is not None else PseudoEncoder(embedding_dim)
         self.index_dir = index_dir
         self.ann_index_dir = ann_index_dir
         self.ann_kind = ann_kind
@@ -306,12 +317,10 @@ class HybridSearchPlan:
 
         With ``ann_index_dir`` set, the scan is a partition-pruned ANN probe
         (IVF cells / LSH bands) instead of the full embeddings table."""
-        from ..functions.vectors import pseudo_embedding
-
         spark = self.docs.sparkSession
         if self.embeddings is None and self.ann_index_dir is None:
             return spark.createDataFrame([], "doc_id long, score double, cos_sim double")
-        qv = pseudo_embedding(query, self.embedding_dim)
+        qv = self.encoder.encode_one(query)
         if self.ann_index_dir is not None and self.ann_kind == "ivf":
             from ..operators.similarity import knn_ivf_probe
 
@@ -593,7 +602,6 @@ class HybridSearchPlan:
         import time
 
         from ..functions.normalize import fold_homoglyphs
-        from ..functions.vectors import pseudo_embedding
         from ..operators.bm25 import batch_topk
         from ..operators.fuzzy import extract_anchors, rapidfuzz_rerank_expr
 
@@ -650,7 +658,7 @@ class HybridSearchPlan:
 
             import numpy as np
 
-            qvecs = {q: pseudo_embedding(qtext[q], self.embedding_dim) for q in targets}
+            qvecs = {q: self.encoder.encode_one(qtext[q]) for q in targets}
             qdf = spark.createDataFrame(
                 [{"query_id": q, "qvec": qvecs[q]} for q in targets],
                 "query_id long, qvec array<double>",

@@ -90,11 +90,18 @@ SURNAME_FLEETING_CASES = [
     ("мальца", "малец", "male"), ("мальцу", "малец", "male"),
     ("коломийца", "коломиец", "male"), ("коломійця", "коломієць", "male"),
     ("богомольця", "богомолець", "male"), ("богомольца", "богомолец", "male"),
+    # -ець homograph family, promoted from SURNAME_KNOWN_HARD in round 5
+    # once the lexicon gained the paradigm (verdict item 8)
+    ("перця", "перець", "male"), ("перцем", "перець", "male"),
+    ("перца", "перец", "male"), ("зайця", "заєць", "male"),
+    ("стрільця", "стрілець", "male"),
 ]
 
-# dictionary-only residue: metathesis surnames OUTSIDE the curated lexicon
-# (each paradigm needs its own entry — pymorphy ships the full lexicon)
-SURNAME_KNOWN_HARD = [("перця", "перець", "male")]
+# dictionary-only residue: paradigms OUTSIDE the curated lexicon (each
+# needs its own entry — pymorphy ships the full lexicon).  Empty since
+# round 5; the harness keeps the slot so any future regression lands here
+# with documentation instead of silently failing.
+SURNAME_KNOWN_HARD: list[tuple[str, str, str]] = []
 
 PATRONYMIC_CASES = [
     ("ивановича", "иванович"), ("ивановичу", "иванович"),
