@@ -283,6 +283,63 @@ def main() -> None:
         finally:
             shutil.rmtree(ann_dir, ignore_errors=True)
 
+        # the batched ladder AT SCALE (round-5 verdict item 4): the same
+        # 100-query pipelined search_many, ANN-served, over the ×192 corpus
+        # (~960k docs) — the serving number comparable to the reference's
+        # 20 ms hybrid p50 at its production corpus size.  One-time setup
+        # (big index + embeddings + IVF index) is reported separately from
+        # the per-query serving time.
+        from hybrid_sanctions_search_engine_spark.functions.encoder import (
+            PseudoEncoder,
+            embed_texts,
+        )
+
+        big_ladder_idx = tempfile.mkdtemp(prefix="bench_ladder_idx_")
+        big_ann_dir = tempfile.mkdtemp(prefix="bench_ladder_ann_")
+        try:
+            exp2 = (
+                docs.crossJoin(
+                    spark.range(192).select(F.col("id").alias("rep"))
+                )
+                .withColumn("doc_id", F.col("doc_id") * 192 + F.col("rep"))
+                .drop("rep")
+                .repartition(cores * 3)
+            ).persist()
+            n_960 = exp2.count()
+            t0 = time.monotonic()
+            build_index(exp2, big_ladder_idx, n_shards=64, chunk_bits=12,
+                        resume=False)
+            emb960 = embed_texts(
+                exp2.select(F.col("doc_id").alias("vec_id"), "text"),
+                PseudoEncoder(64),
+            ).select("vec_id", "embedding")
+            write_ivf_index(emb960, big_ann_dir, n_centroids=64)
+            setup_sec = time.monotonic() - t0
+            plan_960 = HybridSearchPlan(
+                exp2, ann_index_dir=big_ann_dir, ann_kind="ivf",
+                embedding_dim=64, index_dir=big_ladder_idx,
+            )
+            try:
+                timed_best2(
+                    "q_hybrid_batch_100_960k",
+                    lambda: plan_960.search_many(
+                        hybrid_batch, SearchOpts(top_k=10)
+                    )[0].collect(),
+                )
+            finally:
+                plan_960.close()
+            extra["ladder_at_scale"] = {
+                "n_docs": n_960,
+                "setup_sec": round(setup_sec, 2),
+                "ms_per_query": round(
+                    timings["q_hybrid_batch_100_960k"] * 1000 / 100, 2
+                ),
+            }
+            exp2.unpersist()
+        finally:
+            shutil.rmtree(big_ladder_idx, ignore_errors=True)
+            shutil.rmtree(big_ann_dir, ignore_errors=True)
+
         # ANN recall curves at the reference's real 384 dims (the ef_search-
         # dial analogue of the ES HNSW config): recall@10 vs n_probe / vs
         # max_hamming, on member (ANN-friendly) and boundary (adversarial)
@@ -355,6 +412,17 @@ def main() -> None:
         extra["conditions"] = {
             "steal_pct": round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
         }
+
+    # scaling evidence accumulated by scale_bench.py across the round (the
+    # north rule's two-cluster-size criterion, steal-gated per leg) rides
+    # into the per-round BENCH json so the record carries the attempt+steal
+    # distribution, not just the headline
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SCALING_R5.json")) as fh:
+            extra["scaling"] = json.load(fh)["summary"]
+    except (OSError, ValueError, KeyError):
+        pass
 
     total = round(sum(timings.values()), 4)
     print(

@@ -1,0 +1,192 @@
+"""Live parity: the JVM config-driven language detector vs the reference's
+``detect_language_config_driven`` (round-4 verdict "What's missing" item 4 —
+previously only the marker-heuristic ``lang_id_col`` existed, with no parity
+test against the reference's config-driven rules).
+
+The reference service is imported LIVE from /root/reference (same pattern as
+tests/test_normalize_parity.py); when importable, every curated case + a
+deterministic fuzz corpus must agree on (language, reason) exactly and on
+confidence to 1e-9.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_sanctions_search_engine_spark.functions.langdetect import (
+    detect_language_struct,
+    with_language,
+)
+
+REF_SRC = "/root/reference/src"
+
+
+def _ref_service():
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    try:
+        from ai_service.layers.language.language_detection_service import (
+            LanguageDetectionService,
+        )
+
+        return LanguageDetectionService()
+    except Exception:
+        return None
+
+
+REF = _ref_service()
+needs_ref = pytest.mark.skipif(REF is None, reason="reference not importable")
+
+CURATED = [
+    "",
+    "   ",
+    "Петро Порошенко платіж",
+    "Иван Петров перевод денег",
+    "John Smith payment",
+    "ABC 123 !!!",
+    "НАТО",
+    "USA",
+    "Іван Petrov mixed text here",
+    "оплата за товар 12345",
+    "переказ коштів одержувачу Шевченко",
+    "шевченко",
+    "Шевченко",
+    "Ко",
+    "ПЕТРЕНКО ІВАН",
+    "был дома",
+    "був вдома",
+    "це той",
+    "это тот",
+    "дом",  # ambiguous cyrillic, no markers, no patterns
+    "xyz",
+    "12",
+    "!!!@@@###",
+    "Mixed Іва London Київ text",
+    "ёлка",
+    "їжак",
+    "D'Artagnan",
+    "O-о",  # latin/cyr lookalikes
+    "па" * 40,
+    "A" * 11,  # all-caps but > 10 letters: not an acronym
+    "АБВГДЕЖЗИК",  # exactly 10 caps: acronym penalty
+]
+
+
+def _fuzz_corpus(n=400, seed=77):
+    rnd = random.Random(seed)
+    alphabets = [
+        "абвгдежзиклмнопрстуфхцчшщьюя",
+        "іїєґабвгдеклмнопрст",
+        "ёъыэабвгдеклмн",
+        "abcdefghijklmnopqrstuvwxyz",
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "АБВГДЕЖЗИКЛМНОП",
+        "0123456789",
+        " .,-!?'",
+    ]
+    words = [
+        "і", "в", "на", "з", "від", "и", "с", "из", "но", "або",
+        "деньги", "кошти", "платеж", "платіж", "the", "and", "was",
+        "Петренко", "Ковальчук", "Иванов", "Smith", "ЕНКО", "Ка",
+    ]
+    out = []
+    for _ in range(n):
+        parts = []
+        for _ in range(rnd.randint(1, 10)):
+            if rnd.random() < 0.4:
+                parts.append(rnd.choice(words))
+            else:
+                ab = rnd.choice(alphabets)
+                parts.append(
+                    "".join(rnd.choice(ab) for _ in range(rnd.randint(1, 9)))
+                )
+        out.append(" ".join(parts))
+    return out
+
+
+def _spark_detect(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = (
+        df.select("id", detect_language_struct(F.col("text")).alias("r"))
+        .orderBy("id")
+        .collect()
+    )
+    return [(r["r"]["language"], r["r"]["confidence"], r["r"]["reason"]) for r in rows]
+
+
+def _ref_detect(texts):
+    out = []
+    for t in texts:
+        r = REF.detect_language_config_driven(t)
+        out.append((r.language, r.confidence, r.details.get("reason")))
+    return out
+
+
+@needs_ref
+def test_curated_cases_match_reference(spark):
+    got = _spark_detect(spark, CURATED)
+    want = _ref_detect(CURATED)
+    for t, g, w in zip(CURATED, got, want):
+        assert g[0] == w[0], (t, g, w)
+        assert g[2] == w[2], (t, g, w)
+        assert g[1] == pytest.approx(w[1], abs=1e-9), (t, g, w)
+
+
+@needs_ref
+def test_fuzz_corpus_matches_reference(spark):
+    texts = _fuzz_corpus()
+    got = _spark_detect(spark, texts)
+    want = _ref_detect(texts)
+    mismatches = [
+        (t, g, w)
+        for t, g, w in zip(texts, got, want)
+        if g[0] != w[0] or g[2] != w[2] or abs(g[1] - w[1]) > 1e-9
+    ]
+    assert not mismatches, mismatches[:5]
+
+
+def test_plan_is_pure_jvm(spark):
+    """The detector must stay a whole-stage-codegen map — no Python eval."""
+    df = spark.createDataFrame([("abc",)], "text string")
+    plan = (
+        df.select(detect_language_struct(F.col("text")).alias("r"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_with_language_identical_and_codegen_sized(spark):
+    """The corpus-scale form must (a) return exactly what the one-expression
+    form returns, and (b) keep each count regexp to ONE occurrence in the
+    plan — the naive inline tree repeats each regexp dozens of times and
+    overflows the JVM's 64 KB generated-method limit, silently dropping the
+    stage to interpreted eval."""
+    texts = CURATED + _fuzz_corpus(100, seed=3)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    a = (
+        df.select("id", detect_language_struct(F.col("text")).alias("r"))
+        .orderBy("id")
+        .collect()
+    )
+    b = with_language(df).select("id", F.col("lang_detect").alias("r")).orderBy(
+        "id"
+    ).collect()
+    assert [r["r"] for r in a] == [r["r"] for r in b]
+    plan = (
+        with_language(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the surname alternation is the most expensive regex — exactly once
+    assert plan.count("(?U)\\b(?:[А-ЯІЇЄҐ]") == 1, plan.count(
+        "(?U)\\b(?:[А-ЯІЇЄҐ]"
+    )
+    assert "*(" in plan  # the asterisk marks whole-stage-codegen stages
