@@ -44,12 +44,34 @@ class PseudoEncoder:
         self.dim = dim
 
     def encode_batch(self, texts: pd.Series) -> np.ndarray:
+        """One vectorized pass for the whole Arrow batch: all texts'
+        byte+index histogram positions land in a single
+        ``np.add.at(M, (row, pos), 1)`` scatter — bit-identical to the
+        per-text ``pseudo_embedding`` loop (same int64 adds, modulo and
+        float64 normalize) but ~20× faster; the loop version made the
+        960k-doc embedding build take ~100 s of pure Python iteration."""
         vals = texts.fillna("").tolist()
-        if not vals:
+        n = len(vals)
+        if n == 0:
             return np.empty((0, self.dim), dtype=np.float64)
-        return np.stack(
-            [np.asarray(pseudo_embedding(t, self.dim)) for t in vals]
-        )
+        encoded = [t.encode("utf-8") for t in vals]
+        lens = np.fromiter((len(b) for b in encoded), dtype=np.int64, count=n)
+        mat = np.zeros((n, self.dim), dtype=np.float64)
+        total = int(lens.sum())
+        if total:
+            flat = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(
+                np.int64
+            )
+            # per-text positional index: arange over the flat stream minus
+            # each text's start offset
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            pos = (flat + idx) % self.dim
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            np.add.at(mat, (rows, pos), 1.0)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        return mat / norms[:, None]
 
     def encode_one(self, text: str) -> list[float]:
         # direct call keeps bit-identity with the pre-seam query path

@@ -108,6 +108,21 @@ def bm25_topk(
 BATCH_SCORE_SCHEMA = "query_id long, doc_id long, score double, n_terms_matched int"
 
 
+def group_partitioned(df: DataFrame, key, n: int) -> DataFrame:
+    """Pin the partitioning of a CPU-heavy ``applyInPandas`` group stage.
+
+    AQE's partition coalescing is byte-based: the scorer's shuffle input is
+    small compressed postings, so AQE happily collapses the n_groups-way
+    shuffle into ONE post-shuffle partition and the whole scoring stage
+    runs single-threaded (measured on the 100-query × 960k-doc batch:
+    11.5 s plain groupBy vs 1.7 s with this explicit repartition — AQE
+    does not coalesce user-specified repartitions).  The repartition's
+    hash partitioning on the group key satisfies the groupBy's required
+    distribution, so the plan still contains exactly one exchange
+    (asserted in tests/test_wand.py)."""
+    return df.repartition(n, key)
+
+
 def make_batch_group_scorer(
     term_to_qidx: dict,
     qid_list: list[int],
@@ -291,9 +306,12 @@ def batch_topk(
     scorer = make_batch_group_scorer(
         term_to_qidx, qid_list, stats.n_docs, stats.avgdl, k1, b, k
     )
-    local_topk = flat.groupBy(
-        F.pmod(F.col("doc_id"), F.lit(n_groups)).alias("grp")
-    ).applyInPandas(scorer, BATCH_SCORE_SCHEMA)
+    grp_key = F.pmod(F.col("doc_id"), F.lit(n_groups))
+    local_topk = (
+        group_partitioned(flat, grp_key, n_groups)
+        .groupBy(grp_key.alias("grp"))
+        .applyInPandas(scorer, BATCH_SCORE_SCHEMA)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         local_topk.withColumn("rank", F.row_number().over(w))

@@ -418,10 +418,13 @@ def knn_lsh_probe(
     max_hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    df: DataFrame | None = None,
 ) -> DataFrame:
     """Partition-pruned LSH ANN: enumerate the band values within
     ``max_hamming`` of the query's band (bounded: Σ C(8,i)), prune the scan
-    to those directories, then exact-signature Hamming filter + cosine."""
+    to those directories, then exact-signature Hamming filter + cosine.
+    ``df``: pre-loaded (typically cached) index DataFrame — a standing
+    server passes its persisted handle instead of re-reading parquet."""
     import itertools
     import json
     import os
@@ -437,7 +440,8 @@ def knn_lsh_probe(
             for f in flips:
                 b ^= 1 << f
             bands.add(b)
-    df = spark.read.parquet(path)
+    if df is None:
+        df = spark.read.parquet(path)
     candidates = df.where(F.col("lsh_band").isin(sorted(bands))).where(
         F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
     )
@@ -511,11 +515,13 @@ def knn_lsh_multiband_probe(
     n_probe_bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    df: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k over a ``write_lsh_multiband_index`` dataset: one equality
     predicate per band prunes the scan to ``n_probe_bands`` directories
     (recall dial: fewer bands probed = faster, lower recall), candidates
-    dedup by id, exact cosine reranks."""
+    dedup by id, exact cosine reranks.  ``df``: pre-loaded (typically
+    cached) index DataFrame from a standing server."""
     import json
     import os
 
@@ -526,7 +532,8 @@ def knn_lsh_multiband_probe(
     sig = lsh_signature_of(
         query_vec, meta["dim"], n_bands * band_bits, meta["seed"]
     )
-    df = spark.read.parquet(path)
+    if df is None:
+        df = spark.read.parquet(path)
     cond = None
     for i in range(min(n_probe_bands, n_bands)):
         v = (sig >> (i * band_bits)) & ((1 << band_bits) - 1)

@@ -190,8 +190,16 @@ class HybridSearchPlan:
                 self.ann_df, self.ann_centroids = load_ivf_index(
                     docs.sparkSession, ann_index_dir
                 )
-            elif ann_kind not in ("lsh", "lsh_mb"):
+            elif ann_kind in ("lsh", "lsh_mb"):
+                self.ann_df = docs.sparkSession.read.parquet(ann_index_dir)
+            else:
                 raise ValueError(f"unknown ann_kind: {ann_kind!r}")
+            # the plan is a STANDING server (the .persist() cache replaces
+            # the reference's TTL caches); re-reading the ANN parquet from
+            # disk per batch cost ~5 s of the 960k vector stage — cached,
+            # the probe is the cosine + top-k only (~1.5 s).  Filters on
+            # the cached relation still prune via in-memory batch stats.
+            self.ann_df = self.ann_df.persist()
         if index_dir is not None:
             from ..sources.index_io import load_index
 
@@ -220,7 +228,13 @@ class HybridSearchPlan:
         dictionary or the loaded index).  Results already returned by
         ``search()`` stay valid — they are built from collected stage rows,
         not from the cached lineage."""
-        for df in (self.index_df, self.postings, self.dl, self.dictionary):
+        for df in (
+            self.index_df,
+            self.postings,
+            self.dl,
+            self.dictionary,
+            self.ann_df,
+        ):
             if df is not None:
                 df.unpersist()
 
@@ -330,12 +344,15 @@ class HybridSearchPlan:
         elif self.ann_index_dir is not None and self.ann_kind == "lsh_mb":
             from ..operators.similarity import knn_lsh_multiband_probe
 
-            res = knn_lsh_multiband_probe(spark, self.ann_index_dir, qv, k=k)
+            res = knn_lsh_multiband_probe(
+                spark, self.ann_index_dir, qv, k=k, df=self.ann_df
+            )
         elif self.ann_index_dir is not None:
             from ..operators.similarity import knn_lsh_probe
 
             res = knn_lsh_probe(
-                spark, self.ann_index_dir, qv, k=k, max_hamming=self.ann_max_hamming
+                spark, self.ann_index_dir, qv, k=k,
+                max_hamming=self.ann_max_hamming, df=self.ann_df,
             )
         else:
             # arrow=True at every dim: the numpy gemv cosine is bit-identical
@@ -717,7 +734,7 @@ class HybridSearchPlan:
                 # several of a query's bands → dedup per (query, vec).
                 vals = sorted({v for _, _, v in triples})
                 base = (
-                    spark.read.parquet(self.ann_index_dir)
+                    self.ann_df
                     .where(F.col("lsh_band_val").isin(vals))
                     .join(
                         F.broadcast(banddf), ["lsh_band_idx", "lsh_band_val"]
@@ -756,7 +773,7 @@ class HybridSearchPlan:
                     "query_id long, lsh_band int, qsig long",
                 )
                 base = (
-                    spark.read.parquet(self.ann_index_dir)
+                    self.ann_df
                     .where(F.col("lsh_band").isin(union_bands))
                     .join(F.broadcast(banddf), "lsh_band")
                     .where(
@@ -768,14 +785,16 @@ class HybridSearchPlan:
             else:
                 base = None
             if base is not None:
-                if self.embedding_dim >= 128:
-                    from ..operators.similarity import cosine_pair_udf
+                # Arrow pair-cosine at EVERY dim: the batched probe scores
+                # |escalating| × cell-population pairs (~370k at 960k docs ×
+                # 34 queries), and the interpreted HOF cosine_col walks each
+                # pair's arrays three times (dot + both norms) in Catalyst
+                # eval — ~6 s of the round-5 profile; the numpy batch UDF
+                # does one einsum.  (Single-query probes keep the JVM expr:
+                # their post-prune volume is tiny and the job floor wins.)
+                from ..operators.similarity import cosine_pair_udf
 
-                    cos = cosine_pair_udf()(F.col("embedding"), F.col("qvec"))
-                else:
-                    from ..functions.vectors import cosine_col
-
-                    cos = cosine_col(F.col("embedding"), F.col("qvec"))
+                cos = cosine_pair_udf()(F.col("embedding"), F.col("qvec"))
                 wv = Window.partitionBy("query_id").orderBy(
                     F.desc("cos_sim"), F.asc("doc_id")
                 )

@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 
 from ..functions.codec import delta_decode
 from ..functions.tokenize import py_index_tokens
+from ..operators.bm25 import group_partitioned
 from ..sources.index_io import IndexMeta, load_index
 
 RESULT_SCHEMA = StructType(
@@ -193,10 +194,18 @@ def topk_search(
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     score_fn = _score_chunks(k, meta, term_weights)
+    par = spark.sparkContext.defaultParallelism
 
     def run(chunks: list[int]) -> DataFrame:
+        # explicit AQE-exempt partitioning: the decode+score work per chunk
+        # is CPU-bound, so byte-based AQE coalescing must not serialize it
+        # (operators.bm25.group_partitioned)
         return (
-            matched.where(F.col("chunk").isin(chunks))
+            group_partitioned(
+                matched.where(F.col("chunk").isin(chunks)),
+                F.col("chunk"),
+                max(1, min(len(chunks), par * 2)),
+            )
             .groupBy("chunk")
             .applyInPandas(score_fn, RESULT_SCHEMA)
         )
@@ -246,7 +255,11 @@ def topk_search(
             (F.col("ub") >= theta) & ~F.col("chunk").isin(seed)
         ).select("chunk")
         rest = (
-            matched.join(survivor_chunks, "chunk", "left_semi")
+            group_partitioned(
+                matched.join(survivor_chunks, "chunk", "left_semi"),
+                F.col("chunk"),
+                par * 2,
+            )
             .groupBy("chunk")
             .applyInPandas(score_fn, RESULT_SCHEMA)
         )
@@ -330,8 +343,10 @@ def batch_topk_indexed(
         term_to_qidx, qid_list, meta.n_docs, meta.avgdl, meta.k1, meta.b, k,
         flatten=lambda pdf: decode_shard_rows(pdf, include_df=True),
     )
+    grp_key = F.pmod(F.col("chunk"), F.lit(n_groups))
     local_topk = (
-        matched.groupBy(F.pmod(F.col("chunk"), F.lit(n_groups)).alias("grp"))
+        group_partitioned(matched, grp_key, n_groups)
+        .groupBy(grp_key.alias("grp"))
         .applyInPandas(score_group, BATCH_SCORE_SCHEMA)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
@@ -474,8 +489,10 @@ def phrase_search(
     matched = index_df.where(
         F.col("shard").isin(shards) & F.col("term").isin(terms)
     )
+    par = spark.sparkContext.defaultParallelism
     return (
-        matched.groupBy("chunk")
+        group_partitioned(matched, F.col("chunk"), par * 2)
+        .groupBy("chunk")
         .applyInPandas(
             _phrase_chunk_scorer(terms, meta.chunk_bits, slop, ordered),
             PHRASE_SCHEMA,
@@ -561,8 +578,10 @@ def batch_phrase_search(
             }
         )
 
+    par = spark.sparkContext.defaultParallelism
     return (
-        matched.groupBy("chunk")
+        group_partitioned(matched, F.col("chunk"), par * 2)
+        .groupBy("chunk")
         .applyInPandas(match_many, BATCH_PHRASE_SCHEMA)
         .orderBy("query_id", "doc_id")
     )

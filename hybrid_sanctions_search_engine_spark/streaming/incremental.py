@@ -393,8 +393,12 @@ def search_many_with_delta(
             w = Window.partitionBy("query_id").orderBy(
                 F.desc("score"), F.asc("doc_id")
             )
+            from ..operators.bm25 import group_partitioned
+
+            grp_key = F.pmod(F.col("doc_id"), F.lit(n_groups))
             delta_rows = (
-                flat.groupBy(F.pmod(F.col("doc_id"), F.lit(n_groups)).alias("grp"))
+                group_partitioned(flat, grp_key, n_groups)
+                .groupBy(grp_key.alias("grp"))
                 .applyInPandas(scorer, BATCH_SCORE_SCHEMA)
                 .withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k)

@@ -375,3 +375,24 @@ def test_batch_phrase_unordered_parity(spark, pos_corpus):
             ).collect()
         )
         assert sorted(got[qid]) == want, (qid, p)
+
+
+def test_batch_scorer_partitioning_pinned(spark, corpus):
+    """The scorer's explicit repartition must (a) satisfy the groupBy's
+    required distribution — exactly ONE exchange between scan and the
+    Arrow scorer — and (b) keep the stage at n_groups partitions so AQE's
+    byte-based coalescing can't serialize the CPU-heavy scoring (measured
+    11.5 s → 1.7 s on a 100-query × 960k-doc batch)."""
+    from hybrid_sanctions_search_engine_spark.plans.wand import batch_topk_indexed
+
+    docs, index_dir, idx, meta = corpus
+    batch = [(1, "spark query"), (2, "table scan")]
+    df = batch_topk_indexed(spark, index_dir, batch, k=5, index_df=idx, meta=meta)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scorer_pos = plan.find("FlatMapGroupsInPandas")
+    assert scorer_pos >= 0, plan
+    below = plan[scorer_pos:]
+    # one exchange feeds the scorer (the explicit repartition); no second
+    # exchange re-shuffles between it and the groupBy
+    assert below.count("Exchange hashpartitioning") == 1, below
+    assert "REPARTITION_BY_NUM" in below, below  # AQE-exempt form
