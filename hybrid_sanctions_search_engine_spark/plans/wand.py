@@ -336,6 +336,11 @@ def batch_topk_indexed(
     ).select("term", "chunk", "df", "n_docs", "doc_gaps", "tfs", "doc_lens")
     if n_groups is None:
         n_groups = max(32, spark.sparkContext.defaultParallelism * 2)
+        # cap by the index's chunk count (dense-id estimate): pmod groups
+        # beyond it are EMPTY partitions, and the explicit repartition
+        # launches a task for each — pure overhead at small scale
+        est_chunks = max(1, int(meta.n_docs) >> meta.chunk_bits)
+        n_groups = max(8, min(n_groups, est_chunks))
 
     from ..operators.bm25 import BATCH_SCORE_SCHEMA, make_batch_group_scorer
 
@@ -489,9 +494,12 @@ def phrase_search(
     matched = index_df.where(
         F.col("shard").isin(shards) & F.col("term").isin(terms)
     )
-    par = spark.sparkContext.defaultParallelism
+    est_chunks = max(1, int(meta.n_docs) >> meta.chunk_bits)
+    n_parts = max(
+        8, min(spark.sparkContext.defaultParallelism * 2, est_chunks)
+    )
     return (
-        group_partitioned(matched, F.col("chunk"), par * 2)
+        group_partitioned(matched, F.col("chunk"), n_parts)
         .groupBy("chunk")
         .applyInPandas(
             _phrase_chunk_scorer(terms, meta.chunk_bits, slop, ordered),
@@ -578,9 +586,12 @@ def batch_phrase_search(
             }
         )
 
-    par = spark.sparkContext.defaultParallelism
+    est_chunks = max(1, int(meta.n_docs) >> meta.chunk_bits)
+    n_parts = max(
+        8, min(spark.sparkContext.defaultParallelism * 2, est_chunks)
+    )
     return (
-        group_partitioned(matched, F.col("chunk"), par * 2)
+        group_partitioned(matched, F.col("chunk"), n_parts)
         .groupBy("chunk")
         .applyInPandas(match_many, BATCH_PHRASE_SCHEMA)
         .orderBy("query_id", "doc_id")

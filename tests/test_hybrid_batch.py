@@ -152,3 +152,30 @@ def test_search_many_parity_lsh_multiband(spark, corpus, tmp_path):
         ann_index_dir=path, ann_kind="lsh_mb",
     )
     _assert_parity(plan, SearchOpts(top_k=8))
+
+
+def test_search_many_no_escalation_skips_vector(spark, corpus):
+    """A batch where every query clears the AC threshold must not run (or
+    block on) the vector stage at all — the non-speculative future is never
+    created and no vector_ms lands in the trace (round-5 review fix: the
+    old code joined the speculative future even with an empty escalating
+    set, gating the batch's return on a full ANN probe)."""
+    docs, emb = corpus
+    plan = HybridSearchPlan(docs, embeddings=emb, embedding_dim=DIM)
+    strong = [(1, "spark query join window"), (2, "merge sort"),
+              (3, "customer order data")]
+    batched, meta = plan.search_many(strong, SearchOpts(top_k=5))
+    rows = batched.collect()
+    assert rows
+    assert not any(m["escalated"] for m in meta.values())
+    assert "vector_ms" not in plan.last_batch_trace, plan.last_batch_trace
+    # parity with the sequential ladder still holds on the fast path
+    for qid, text in strong:
+        res, _ = plan.search(text, SearchOpts(top_k=5))
+        want = [(i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(res.collect())]
+        got = sorted(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in rows if r["query_id"] == qid
+        )
+        assert got == want, (qid, text)
