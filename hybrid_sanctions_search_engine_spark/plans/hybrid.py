@@ -841,6 +841,24 @@ class HybridSearchPlan:
                 "query_id long, qtext string, qdates array<string>, "
                 "qid_anchors array<string>",
             )
+            # rerank-free fast path: when no query carries anchors and the
+            # fuzz rerank is off, the doc-text join would only ever compute
+            # anchor_mult = 1.0 and an unchanged score — skip the full doc
+            # scan (the text probe over a cached 960k corpus costs ~1-2 s
+            # per batch) and collect the k-bounded hits directly.  search()
+            # produces identical results under the same opts (its rerank is
+            # gated on opts.rapidfuzz_rerank and empty anchors multiply by
+            # 1.0), so batch↔single parity is preserved.
+            if not opts.rapidfuzz_rerank and all(
+                not a[0] and not a[1] for a in anchors.values()
+            ):
+                for r in hits.withColumn(
+                    "anchor_mult", F.lit(1.0)
+                ).select(
+                    "query_id", "doc_id", "score", "cos_sim", "anchor_mult"
+                ).collect():
+                    vec_rows[r["query_id"]].append(r)
+                return vec_rows
             # the ≤ nq×k hit set broadcasts INTO the doc store (the big side
             # streams through a broadcast hash join — never shuffled), same
             # shape as search()'s single-query text probe

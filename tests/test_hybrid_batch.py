@@ -179,3 +179,25 @@ def test_search_many_no_escalation_skips_vector(spark, corpus):
             for r in rows if r["query_id"] == qid
         )
         assert got == want, (qid, text)
+
+
+def test_search_many_parity_rerank_off_no_anchors(spark, corpus, tmp_path):
+    """The rerank-free fast path (no fuzz rerank, no anchors in any query
+    → the batched vector stage skips the doc-text join) must stay
+    result-identical to the sequential ladder."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        write_ivf_index,
+    )
+
+    docs, emb = corpus
+    path = str(tmp_path / "ivf_fastpath")
+    write_ivf_index(emb, path, n_centroids=4, iters=6)
+    plan = HybridSearchPlan(
+        docs, embeddings=emb, embedding_dim=DIM,
+        ann_index_dir=path, ann_kind="ivf", ann_n_probe=4,
+    )
+    opts = SearchOpts(top_k=6, rapidfuzz_rerank=False)
+    try:
+        _assert_parity(plan, opts)
+    finally:
+        plan.close()
