@@ -74,3 +74,20 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["doc_id", "score", "n_terms_matched"]
+
+
+def test_contract_stays_within_driver_cap():
+    """The driver's correctness snapshot records at most 50 queries (the
+    round-4 file held exactly 50 of 51 — the last entry was silently
+    dropped).  Pin the contract: ≤ 50 queries, every oracle key is a query,
+    and the LAST entry is a rows-only one (the sacrificial slot if a cap
+    applies), so no oracled query can ever fall off the end."""
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) <= 50, len(qs)
+    assert set(oracles) <= set(qs), set(oracles) - set(qs)
+    last = list(qs)[-1]
+    assert last not in oracles, (
+        f"last queries() entry {last!r} is oracled — move a rows-only "
+        "query to the end (driver cap sacrificial slot)"
+    )
