@@ -40,7 +40,11 @@ _UK_MARKERS = "іїєґІЇЄҐ"
 _RU_MARKERS = "ёъыэЁЪЫЭ"
 _UPPER = "A-ZА-ЯЁІЇЄҐ"
 
-# the reference's _detect_cyrillic_language_patterns word lists, verbatim
+# Behavioral data, not logic (same provenance policy as names_data.py /
+# stopwords_data.py): the reference's _detect_cyrillic_language_patterns
+# marker-word lists and surname suffixes, reproduced verbatim because the
+# parity contract is defined over them (language_detection_service.py:
+# 476-494).  The implementation around them is Spark-native.
 _UK_WORDS = (
     "і|в|на|з|по|за|від|до|у|о|а|але|або|якщо|коли|де|як|що|хто|кошти|"
     "гроші|платіж|переказ|одержувач|отримувач"
