@@ -313,7 +313,11 @@ def main() -> None:
                 exp2.select(F.col("doc_id").alias("vec_id"), "text"),
                 PseudoEncoder(64),
             ).select("vec_id", "embedding")
-            write_ivf_index(emb960, big_ann_dir, n_centroids=64)
+            # 256 cells ≈ 3.75k vecs/cell: a 34-query escalating set's
+            # 3-probe union covers ~10% of the corpus instead of the ~50%
+            # that 64 cells gave — cell-pruning on the cached index then
+            # actually bites (the at-scale sizing rule: cells ≈ √n)
+            write_ivf_index(emb960, big_ann_dir, n_centroids=256)
             setup_sec = time.monotonic() - t0
             plan_960 = HybridSearchPlan(
                 exp2, ann_index_dir=big_ann_dir, ann_kind="ivf",
