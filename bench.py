@@ -324,6 +324,10 @@ def main() -> None:
                 embedding_dim=64, index_dir=big_ladder_idx,
             )
             try:
+                # steady-state warm-up (same methodology as the indexed
+                # batch serving number): the first batch pays ann/index
+                # cache materialization + python-worker spin-up
+                plan_960.search_many(hybrid_batch, SearchOpts(top_k=10))[0].collect()
                 timed_best2(
                     "q_hybrid_batch_100_960k",
                     lambda: plan_960.search_many(
