@@ -566,6 +566,34 @@ def cosine_pair_udf():
     return cos
 
 
+def cosine_vs_queries_udf(qvecs: dict[int, list[float]]):
+    """Arrow UDF: cosine of an embedding column against the query vector
+    selected by a ``query_id`` column — the k-bounded query matrix ships
+    ONCE in the closure instead of riding every candidate row as a
+    duplicated array column (at 960k docs × 34 escalating queries the
+    per-row qvec doubled the Arrow traffic through the python worker).
+    Bit-identical to ``cosine_pair_udf`` on the gathered pairs: the same
+    einsum/norm expressions run on the same row-major matrices."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    qids = sorted(qvecs)
+    qmat = np.array([qvecs[q] for q in qids], dtype=np.float64)
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-300)
+    pos = {q: i for i, q in enumerate(qids)}
+
+    @pandas_udf(DoubleType())
+    def cos(emb: pd.Series, qid: pd.Series) -> pd.Series:
+        x = np.array(emb.tolist(), dtype=np.float64)
+        idx = qid.map(pos).to_numpy(dtype=np.int64)
+        y = qmat[idx]
+        dots = np.einsum("ij,ij->i", x, y)
+        nx = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+        return pd.Series(dots / (nx * qnorm[idx]))
+
+    return cos
+
+
 def cosine_pairs(
     left: DataFrame,
     right: DataFrame,

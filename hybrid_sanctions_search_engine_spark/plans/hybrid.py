@@ -676,10 +676,6 @@ class HybridSearchPlan:
             import numpy as np
 
             qvecs = {q: self.encoder.encode_one(qtext[q]) for q in targets}
-            qdf = spark.createDataFrame(
-                [{"query_id": q, "qvec": qvecs[q]} for q in targets],
-                "query_id long, qvec array<double>",
-            )
             if self.ann_index_dir is not None and self.ann_kind == "ivf":
                 cells = {
                     q: [
@@ -698,11 +694,9 @@ class HybridSearchPlan:
                     [(q, c) for q, cs in cells.items() for c in cs],
                     "query_id long, ivf_cell int",
                 )
-                base = (
-                    self.ann_df.where(F.col("ivf_cell").isin(union_cells))
-                    .join(F.broadcast(celldf), "ivf_cell")
-                    .join(F.broadcast(qdf), "query_id")
-                )
+                base = self.ann_df.where(
+                    F.col("ivf_cell").isin(union_cells)
+                ).join(F.broadcast(celldf), "ivf_cell")
             elif self.ann_index_dir is not None and self.ann_kind == "lsh_mb":
                 import json as _json
                 import os as _os
@@ -740,7 +734,6 @@ class HybridSearchPlan:
                         F.broadcast(banddf), ["lsh_band_idx", "lsh_band_val"]
                     )
                     .dropDuplicates(["query_id", "vec_id"])
-                    .join(F.broadcast(qdf), "query_id")
                 )
             elif self.ann_index_dir is not None:
                 from ..operators.similarity import (
@@ -780,21 +773,25 @@ class HybridSearchPlan:
                         F.bit_count(F.col("lsh_sig").bitwiseXOR(F.col("qsig")))
                         <= self.ann_max_hamming
                     )
-                    .join(F.broadcast(qdf), "query_id")
                 )
             else:
                 base = None
             if base is not None:
-                # Arrow pair-cosine at EVERY dim: the batched probe scores
+                # Arrow cosine at EVERY dim: the batched probe scores
                 # |escalating| × cell-population pairs (~370k at 960k docs ×
                 # 34 queries), and the interpreted HOF cosine_col walks each
                 # pair's arrays three times (dot + both norms) in Catalyst
                 # eval — ~6 s of the round-5 profile; the numpy batch UDF
-                # does one einsum.  (Single-query probes keep the JVM expr:
-                # their post-prune volume is tiny and the job floor wins.)
-                from ..operators.similarity import cosine_pair_udf
+                # does one einsum.  The query matrix rides in the UDF
+                # closure keyed by query_id (cosine_vs_queries_udf) instead
+                # of a per-row qvec join column — half the Arrow traffic.
+                # (Single-query probes keep the JVM expr: their post-prune
+                # volume is tiny and the job floor wins.)
+                from ..operators.similarity import cosine_vs_queries_udf
 
-                cos = cosine_pair_udf()(F.col("embedding"), F.col("qvec"))
+                cos = cosine_vs_queries_udf(qvecs)(
+                    F.col("embedding"), F.col("query_id")
+                )
                 wv = Window.partitionBy("query_id").orderBy(
                     F.desc("cos_sim"), F.asc("doc_id")
                 )
