@@ -78,6 +78,12 @@ def make_clustered_fixture(
     return x, q
 
 
+def _read_meta(index_dir: str, name: str) -> dict:
+    from ..sources.fs import fs_for
+
+    return fs_for(index_dir).read_json(os.path.join(index_dir, name))
+
+
 def brute_force_topk(x: np.ndarray, q: np.ndarray, k: int) -> np.ndarray:
     """Exact cosine top-k ids per query (rows of ``q``) — the ground truth,
     under the probes' exact tie-break (sim desc, id asc).  Full lexsort on
@@ -105,7 +111,7 @@ def ivf_recall_curve(
     index's cell assignments."""
     import pyarrow.dataset as ds
 
-    meta = json.load(open(os.path.join(index_dir, "_ivf_meta.json")))
+    meta = _read_meta(index_dir, "_ivf_meta.json")
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     tbl = ds.dataset(index_dir, format="parquet", partitioning="hive").to_table(
         columns=["vec_id", "ivf_cell"]
@@ -146,7 +152,7 @@ def lsh_recall_curve(
     written index's signatures."""
     import pyarrow.dataset as ds
 
-    meta = json.load(open(os.path.join(index_dir, "_lsh_meta.json")))
+    meta = _read_meta(index_dir, "_lsh_meta.json")
     dim, n_planes, seed = meta["dim"], meta["n_planes"], meta["seed"]
     tbl = ds.dataset(index_dir, format="parquet", partitioning="hive").to_table(
         columns=["vec_id", "lsh_sig"]
@@ -197,7 +203,7 @@ def lsh_multiband_recall_curve(
     the written index's band assignments."""
     import pyarrow.dataset as ds
 
-    meta = json.load(open(os.path.join(index_dir, "_lsh_mb_meta.json")))
+    meta = _read_meta(index_dir, "_lsh_mb_meta.json")
     dim, n_bands, band_bits, seed = (
         meta["dim"], meta["n_bands"], meta["band_bits"], meta["seed"],
     )

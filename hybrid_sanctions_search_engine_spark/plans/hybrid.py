@@ -698,15 +698,14 @@ class HybridSearchPlan:
                     F.col("ivf_cell").isin(union_cells)
                 ).join(F.broadcast(celldf), "ivf_cell")
             elif self.ann_index_dir is not None and self.ann_kind == "lsh_mb":
-                import json as _json
                 import os as _os
 
                 from ..operators.similarity import lsh_signature_of
+                from ..sources.fs import fs_for
 
-                with open(
+                mmeta = fs_for(self.ann_index_dir).read_json(
                     _os.path.join(self.ann_index_dir, "_lsh_mb_meta.json")
-                ) as fh:
-                    mmeta = _json.load(fh)
+                )
                 nb, bb = mmeta["n_bands"], mmeta["band_bits"]
                 triples = []
                 for q in targets:
@@ -741,11 +740,13 @@ class HybridSearchPlan:
                     lsh_signature_of,
                 )
                 import itertools
-                import json as _json
                 import os as _os
 
-                with open(_os.path.join(self.ann_index_dir, "_lsh_meta.json")) as fh:
-                    lmeta = _json.load(fh)
+                from ..sources.fs import fs_for
+
+                lmeta = fs_for(self.ann_index_dir).read_json(
+                    _os.path.join(self.ann_index_dir, "_lsh_meta.json")
+                )
                 n_planes = lmeta["n_planes"]
                 sigs, bands = {}, {}
                 for q in targets:
