@@ -253,7 +253,12 @@ def _decision(
 
     # acronym penalty: >90% uppercase, ≤10 letters, trimmed text is one
     # all-caps token
-    trimmed = F.regexp_replace(text, F.lit(r"^\s+|\s+$"), F.lit(""))
+    # (?U): Python str.strip() removes UNICODE whitespace (NBSP, ideographic
+    # space...) — Java \s is ASCII-only without the flag (review finding,
+    # round 5: ' НАТО ' skipped the acronym penalty)
+    trimmed = F.regexp_replace(
+        text, F.lit(r"(?U)^[\s\x1c-\x1f]+|[\s\x1c-\x1f]+$"), F.lit("")
+    )
     is_acronym = (
         (F.when(alpha_len > 0, upper_chars / alpha_len).otherwise(0.0) > 0.9)
         & (alpha_len <= 10)
@@ -277,7 +282,14 @@ def _decision(
     conf = F.greatest(F.lit(0.0), F.least(F.lit(1.0), conf))
 
     # early exits (checked in the reference's order: empty → noisy → short)
-    empty = text.isNull() | (F.trim(text) == "")
+    # unicode-aware emptiness: the reference's `not text.strip()` strips
+    # unicode whitespace; F.trim strips only ASCII spaces, so tab/newline/
+    # NBSP-only text diverged (review finding, round 5 — verified live)
+    # \x1c-\x1f: Python str.isspace() counts the FS/GS/RS/US control chars
+    # as whitespace; unicode \s does not
+    empty = text.isNull() | (
+        F.regexp_replace(text, F.lit(r"(?U)[\s\x1c-\x1f]+"), F.lit("")) == ""
+    )
     noisy = (total_chars > 0) & (non_alpha / total_chars >= 0.7)
     short = alpha_len < 3
     final_lang = (

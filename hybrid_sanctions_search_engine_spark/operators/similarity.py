@@ -211,7 +211,11 @@ def knn_lsh(
     qsig = lsh_signature_of(query_vec, dim, n_planes, seed)
     hamming = F.bit_count(F.col(sig_col).bitwiseXOR(F.lit(qsig)))
     candidates = embeddings_with_sig.where(hamming <= max_hamming)
-    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
+    # arrow=True at every dim: the numpy gemv refine is bit-identical
+    # to the batched cosine_vs_queries_udf on the same candidates, so
+    # search() and search_many() score ANN hits identically
+    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col,
+                          arrow=True)
 
 
 # ---------------------------------------------------------------------------
@@ -307,7 +311,11 @@ def knn_ivf(
     q = q / max(np.linalg.norm(q), 1e-12)
     probe = np.argsort(-(centroids @ q))[:n_probe].tolist()
     candidates = embeddings_with_cell.where(F.col(cell_col).isin(probe))
-    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
+    # arrow=True at every dim: the numpy gemv refine is bit-identical
+    # to the batched cosine_vs_queries_udf on the same candidates, so
+    # search() and search_many() score ANN hits identically
+    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col,
+                          arrow=True)
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +335,6 @@ def write_ivf_index(
     + centroid metadata.  A probe then reads only ``n_probe`` partition
     directories (PartitionFilters) instead of filtering a full scan — the
     IVF scale path the round-1 version only promised in a docstring."""
-    import json
     import os
 
     cents = train_ivf_centroids(
@@ -350,7 +357,6 @@ def write_ivf_index(
 
 
 def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
-    import json
     import os
 
     meta = fs_for(path).read_json(os.path.join(path, "_ivf_meta.json"))
@@ -373,7 +379,11 @@ def knn_ivf_probe(
     q = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(c) for c in np.argsort(-(centroids @ q))[:n_probe]]
     candidates = indexed.where(F.col("ivf_cell").isin(probe))
-    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
+    # arrow=True at every dim: the numpy gemv refine is bit-identical
+    # to the batched cosine_vs_queries_udf on the same candidates, so
+    # search() and search_many() score ANN hits identically
+    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col,
+                          arrow=True)
 
 
 _LSH_TOP_BITS = 8
@@ -391,7 +401,6 @@ def write_lsh_index(
     bits.  Any candidate within total Hamming ≤ h of the query is within
     Hamming ≤ h in the band too, so a probe reads only the Σ C(8,i), i≤h
     matching band directories (37/256 at h=2) — partition-pruned multi-probe."""
-    import json
     import os
 
     with_sig = add_lsh_signature(embeddings, dim, n_planes, seed, vec_col)
@@ -426,7 +435,6 @@ def knn_lsh_probe(
     ``df``: pre-loaded (typically cached) index DataFrame — a standing
     server passes its persisted handle instead of re-reading parquet."""
     import itertools
-    import json
     import os
 
     meta = fs_for(path).read_json(os.path.join(path, "_lsh_meta.json"))
@@ -445,7 +453,11 @@ def knn_lsh_probe(
     candidates = df.where(F.col("lsh_band").isin(sorted(bands))).where(
         F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
     )
-    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
+    # arrow=True at every dim: the numpy gemv refine is bit-identical
+    # to the batched cosine_vs_queries_udf on the same candidates, so
+    # search() and search_many() score ANN hits identically
+    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col,
+                          arrow=True)
 
 
 def write_lsh_multiband_index(
@@ -473,7 +485,6 @@ def write_lsh_multiband_index(
     each holding ~n/2^band_bits rows.  The ×n_bands storage is the
     standard LSH trade (every bucket stores its members); the embedding
     rides along so the exact rerank needs no join back."""
-    import json
     import os
 
     with_sig = add_lsh_signature(
@@ -522,7 +533,6 @@ def knn_lsh_multiband_probe(
     (recall dial: fewer bands probed = faster, lower recall), candidates
     dedup by id, exact cosine reranks.  ``df``: pre-loaded (typically
     cached) index DataFrame from a standing server."""
-    import json
     import os
 
     meta = fs_for(path).read_json(os.path.join(path, "_lsh_mb_meta.json"))
@@ -544,7 +554,11 @@ def knn_lsh_multiband_probe(
         .select(id_col, vec_col)
         .dropDuplicates([id_col])
     )
-    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col)
+    # arrow=True at every dim: the numpy gemv refine is bit-identical
+    # to the batched cosine_vs_queries_udf on the same candidates, so
+    # search() and search_many() score ANN hits identically
+    return knn_bruteforce(candidates, query_vec, k, id_col, vec_col,
+                          arrow=True)
 
 
 def cosine_pair_udf():
@@ -572,24 +586,40 @@ def cosine_vs_queries_udf(qvecs: dict[int, list[float]]):
     ONCE in the closure instead of riding every candidate row as a
     duplicated array column (at 960k docs × 34 escalating queries the
     per-row qvec doubled the Arrow traffic through the python worker).
-    Bit-identical to ``cosine_pair_udf`` on the gathered pairs: the same
-    einsum/norm expressions run on the same row-major matrices."""
+
+    Scoring loops one ``x_sub @ q`` gemv per distinct query in the batch —
+    the SAME formula (dtype conversion, norm clamp, gemv shape) as
+    ``cosine_to_query_udf``, so the batched ANN refine is bit-identical to
+    the single-query probes' refine on the same candidate rows (the
+    search()≡search_many() parity discipline; einsum row-dots differ from
+    gemv in the last ulp)."""
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
     qids = sorted(qvecs)
     qmat = np.array([qvecs[q] for q in qids], dtype=np.float64)
-    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-300)
+    # per-query 1-D norm, NOT an axis=1 matrix norm: numpy's 1-D norm goes
+    # through BLAS dot while the axis reduction is a pairwise add.reduce —
+    # they can differ in the last ulp, and cosine_to_query_udf uses the 1-D
+    # form
+    qnorm = np.array(
+        [
+            max(float(np.linalg.norm(np.asarray(qvecs[q], dtype=np.float64))), 1e-300)
+            for q in qids
+        ]
+    )
     pos = {q: i for i, q in enumerate(qids)}
 
     @pandas_udf(DoubleType())
     def cos(emb: pd.Series, qid: pd.Series) -> pd.Series:
         x = np.array(emb.tolist(), dtype=np.float64)
         idx = qid.map(pos).to_numpy(dtype=np.int64)
-        y = qmat[idx]
-        dots = np.einsum("ij,ij->i", x, y)
         nx = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
-        return pd.Series(dots / (nx * qnorm[idx]))
+        out = np.empty(x.shape[0], dtype=np.float64)
+        for qi in np.unique(idx):
+            m = idx == qi
+            out[m] = (x[m] @ qmat[qi]) / (nx[m] * qnorm[qi])
+        return pd.Series(out)
 
     return cos
 

@@ -21,10 +21,13 @@ declarative Catalyst plan).
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_SPEC_GROUP_SEQ = itertools.count()
 
 from ..operators.bm25 import bm25_topk, score_terms
 from ..operators.fuzzy import fuzzy_term_candidates
@@ -887,13 +890,22 @@ class HybridSearchPlan:
                 vec_rows[r["query_id"]].append(r)
             return vec_rows
 
-        vec_fut = (
-            _Async(
-                _timed_into(
-                    trace, "vector_ms",
-                    lambda: _vector_stage_batch([qid for qid, _ in queries]),
-                )
+        # the speculative probe runs under its OWN job group (job groups are
+        # thread-local on the driver, and the probe has its own daemon
+        # thread) so an abandoned speculation can be CANCELLED instead of
+        # silently burning executor cores to completion with no consumer
+        # (review finding, round 5)
+        spec_group = f"specvec-{next(_SPEC_GROUP_SEQ)}"
+
+        def _speculative_probe():
+            spark.sparkContext.setJobGroup(
+                spec_group, "speculative batched vector probe",
+                interruptOnCancel=True,
             )
+            return _vector_stage_batch([qid for qid, _ in queries])
+
+        vec_fut = (
+            _Async(_timed_into(trace, "vector_ms", _speculative_probe))
             # ANN-served probes only: the brute-force fallback is an
             # O(corpus) scan and must not run for queries that may never
             # escalate (review finding, round 4)
@@ -1015,11 +1027,21 @@ class HybridSearchPlan:
                 )
             )
         fz_rows = fz_fut.result()
+        suppress_vec_trace = False
         if not escalating:
             # nothing escalated: don't block on the vector stage at all — a
             # speculative future (launched before the AC result existed) is
-            # abandoned on its daemon thread instead of gating the whole
-            # batch's return on the full ANN probe (review finding, round 5)
+            # abandoned AND its in-flight Spark jobs cancelled via the job
+            # group, so the dead probe stops consuming executor cores; its
+            # cancellation exception stays inside the never-joined daemon
+            # thread and vector_ms never lands in the trace (review
+            # findings, round 5)
+            if vec_fut is not None:
+                spark.sparkContext.cancelJobGroup(spec_group)
+                # a probe that FINISHED before the cancel raced its
+                # vector_ms into the local trace — suppress it at
+                # publication so "no vector stage served" is deterministic
+                suppress_vec_trace = True
             vec_rows: dict[int, list] = {}
         else:
             # speculative results cover ALL queries — keep only the
@@ -1088,5 +1110,9 @@ class HybridSearchPlan:
             out_rows, "query_id long, doc_id long, score double, rank int"
         )
         trace["total_ms"] = (time.monotonic() - t_start) * 1000
-        self.last_batch_trace = dict(trace)
+        self.last_batch_trace = {
+            k: v
+            for k, v in trace.items()
+            if not (suppress_vec_trace and k == "vector_ms")
+        }
         return result, meta

@@ -215,7 +215,13 @@ def load_delta_stats(delta_dir: str) -> tuple[int, float] | None:
     except (OSError, ValueError):
         pass
     for name in fs.list_files(delta_dir):
-        if not name.startswith(DELTA_STATS_LINEAGE_PREFIX):
+        # the .json suffix check excludes a '<name>.json.tmp' left by a
+        # crash inside commit_json's write-then-rename — counting it would
+        # double a lineage's totals (review finding, round 5)
+        if not (
+            name.startswith(DELTA_STATS_LINEAGE_PREFIX)
+            and name.endswith(".json")
+        ):
             continue
         try:
             st = fs.read_json(os.path.join(delta_dir, name))

@@ -201,10 +201,15 @@ def main() -> None:
         attempts.append(attempt)
 
     summary = summarize(attempts)
-    with open(ATTEMPTS_FILE, "w") as fh:
+    # atomic write (tmp + rename): a crash mid-dump must not leave truncated
+    # JSON, or the next run's load_attempts would silently discard the whole
+    # round's accumulated evidence (review finding, round 5)
+    tmp = ATTEMPTS_FILE + ".tmp"
+    with open(tmp, "w") as fh:
         json.dump({"attempts": attempts, "summary": {
             k: v for k, v in summary.items() if k != "attempts"
         }}, fh, indent=1)
+    os.replace(tmp, ATTEMPTS_FILE)
     print(json.dumps(summary))
 
 

@@ -154,31 +154,48 @@ def test_search_many_parity_lsh_multiband(spark, corpus, tmp_path):
     _assert_parity(plan, SearchOpts(top_k=8))
 
 
-def test_search_many_no_escalation_skips_vector(spark, corpus):
+def test_search_many_no_escalation_skips_vector(spark, corpus, tmp_path):
     """A batch where every query clears the AC threshold must not run (or
     block on) the vector stage at all — the non-speculative future is never
-    created and no vector_ms lands in the trace (round-5 review fix: the
-    old code joined the speculative future even with an empty escalating
-    set, gating the batch's return on a full ANN probe)."""
+    created and no vector_ms lands in the trace; with an ANN index the
+    SPECULATIVE future is abandoned and its job group cancelled instead of
+    gating the batch's return on a full ANN probe (round-5 review fixes)."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        write_ivf_index,
+    )
+
     docs, emb = corpus
-    plan = HybridSearchPlan(docs, embeddings=emb, embedding_dim=DIM)
     strong = [(1, "spark query join window"), (2, "merge sort"),
               (3, "customer order data")]
-    batched, meta = plan.search_many(strong, SearchOpts(top_k=5))
-    rows = batched.collect()
-    assert rows
-    assert not any(m["escalated"] for m in meta.values())
-    assert "vector_ms" not in plan.last_batch_trace, plan.last_batch_trace
-    # parity with the sequential ladder still holds on the fast path
-    for qid, text in strong:
-        res, _ = plan.search(text, SearchOpts(top_k=5))
-        want = [(i + 1, r["doc_id"], round(r["score"], 9))
-                for i, r in enumerate(res.collect())]
-        got = sorted(
-            (r["rank"], r["doc_id"], round(r["score"], 9))
-            for r in rows if r["query_id"] == qid
-        )
-        assert got == want, (qid, text)
+    ann_path = str(tmp_path / "ivf_noesc")
+    write_ivf_index(emb, ann_path, n_centroids=4, iters=6)
+    plans = [
+        HybridSearchPlan(docs, embeddings=emb, embedding_dim=DIM),
+        HybridSearchPlan(docs, embeddings=emb, embedding_dim=DIM,
+                         ann_index_dir=ann_path, ann_kind="ivf"),
+    ]
+    try:
+        for plan in plans:
+            batched, meta = plan.search_many(strong, SearchOpts(top_k=5))
+            rows = batched.collect()
+            assert rows
+            assert not any(m["escalated"] for m in meta.values())
+            assert "vector_ms" not in plan.last_batch_trace, (
+                plan.ann_index_dir, plan.last_batch_trace,
+            )
+            # parity with the sequential ladder still holds on the fast path
+            for qid, text in strong:
+                res, _ = plan.search(text, SearchOpts(top_k=5))
+                want = [(i + 1, r["doc_id"], round(r["score"], 9))
+                        for i, r in enumerate(res.collect())]
+                got = sorted(
+                    (r["rank"], r["doc_id"], round(r["score"], 9))
+                    for r in rows if r["query_id"] == qid
+                )
+                assert got == want, (qid, text)
+    finally:
+        for plan in plans:
+            plan.close()
 
 
 def test_search_many_parity_rerank_off_no_anchors(spark, corpus, tmp_path):

@@ -44,6 +44,13 @@ needs_ref = pytest.mark.skipif(REF is None, reason="reference not importable")
 CURATED = [
     "",
     "   ",
+    "\t",
+    "\n\n",
+    "  ",          # NBSP-only: reference strip() → empty_text
+    "   ",         # em space + thin space
+    "\x1c\x1d",              # FS/GS controls: Python isspace() counts them
+    " НАТО ",           # acronym check must strip unicode whitespace
+    "\tИван Петров перевод денег\n",
     "Петро Порошенко платіж",
     "Иван Петров перевод денег",
     "John Smith payment",
@@ -87,6 +94,7 @@ def _fuzz_corpus(n=400, seed=77):
         "АБВГДЕЖЗИКЛМНОП",
         "0123456789",
         " .,-!?'",
+        " \t\n  ",  # unicode-whitespace mixes
     ]
     words = [
         "і", "в", "на", "з", "від", "и", "с", "из", "но", "або",
