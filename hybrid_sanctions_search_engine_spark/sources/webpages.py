@@ -136,19 +136,48 @@ def synth_webpages(
     )
 
 
-def webpages_to_documents(pages: DataFrame) -> DataFrame:
+def webpages_to_documents(
+    pages: DataFrame, detect_lang: bool = False
+) -> DataFrame:
     """Ingest the web-page table into the engine's documents shape:
     ``doc_id`` = xxhash64(url) (stable, collision-checked at build by the
     indexer's per-shard manifests), ``text`` = the extraction spec over the
     stored bytes, ``n_chars`` recomputed from the extracted text.  This is
     the scan the index build runs over at 10^12 rows — one narrow
-    projection, no shuffle, extraction inside codegen."""
-    return pages.select(
+    projection, no shuffle, extraction inside codegen.
+
+    ``detect_lang=True`` fills null/empty ``lang`` values from the
+    reference-parity config-driven detector
+    (``functions.langdetect.with_language``, pure JVM, codegen-sized) over
+    the EXTRACTED text — crawl metadata frequently lacks or mislabels the
+    language; non-empty stored values are trusted and kept.  Write (or
+    persist) the ingested table before running further analytics over the
+    filled ``lang`` column: stacking more expressions on top collapses the
+    extract chain + the detector's count regexes into one generated method
+    and trips the JVM's 64 KB limit (graceful interpreted fallback, but
+    slow) — the production pipeline writes the documents table here
+    anyway."""
+    docs = pages.select(
         F.xxhash64(F.col("url")).alias("doc_id"),
         extract_text_col(F.col("html")).alias("text"),
         F.col("lang"),
         F.lit("web").alias("source"),
     ).withColumn("n_chars", F.length("text"))
+    if detect_lang:
+        from ..functions.langdetect import with_language
+
+        docs = (
+            with_language(docs, text_col="text", out_col="_ld")
+            .withColumn(
+                "lang",
+                F.when(
+                    F.col("lang").isNull() | (F.col("lang") == ""),
+                    F.col("_ld.language"),
+                ).otherwise(F.col("lang")),
+            )
+            .drop("_ld")
+        )
+    return docs
 
 
 def read_webpages(

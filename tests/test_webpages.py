@@ -109,3 +109,32 @@ def test_extraction_stays_jvm_side(spark, sf_smoke_dir):
     out = webpages_to_documents(synth_webpages(docs))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_ingest_detect_lang_fills_missing(spark):
+    """webpages_to_documents(detect_lang=True): null/empty lang values are
+    filled from the config-driven detector over the EXTRACTED text; stored
+    non-empty values are trusted and kept; the column stays a plain string
+    (no struct leaks into the documents shape)."""
+    from hybrid_sanctions_search_engine_spark.sources.webpages import (
+        webpages_to_documents,
+    )
+
+    body = "the quick brown fox and the lazy dog went to the market"
+    pages = spark.createDataFrame(
+        [
+            ("https://a/1", b"<html><body><p>" + body.encode() + b"</p></body></html>", None),
+            ("https://a/2", b"<html><body><p>" + body.encode() + b"</p></body></html>", ""),
+            ("https://a/3", b"<html><body><p>" + body.encode() + b"</p></body></html>", "uk"),
+            ("https://a/4", "<html><body><p>Иван Петров перевод денег был дома</p></body></html>".encode(), None),
+        ],
+        "url string, html binary, lang string",
+    )
+    docs = webpages_to_documents(pages, detect_lang=True)
+    assert docs.schema["lang"].dataType.simpleString() == "string"
+    langs = [r["lang"] for r in docs.collect()]
+    # two english pages filled as en, the russian page as ru, stored uk kept
+    assert sorted(langs) == ["en", "en", "ru", "uk"], langs
+    # without the flag, behavior is unchanged (nulls stay null)
+    plain = webpages_to_documents(pages).select("lang").collect()
+    assert sorted(r["lang"] or "" for r in plain) == ["", "", "", "uk"]
