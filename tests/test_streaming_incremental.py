@@ -666,3 +666,47 @@ def test_delta_stats_survive_compaction_and_new_lineage(spark, tmp_path):
     # remaining-file recompute either way
     assert stats2[0] == int(row["n"])
     assert stats2[1] == pytest.approx(float(row["a"]))
+
+
+def test_interleaved_lineage_folds_never_lose_updates(tmp_path):
+    """The round-5 race fix's contract, tested directly: two stream
+    lineages folding into ONE delta_dir with arbitrarily interleaved
+    writes lose nothing (each lineage owns its manifest file — the old
+    shared-file read-modify-write dropped one side's fold when commits
+    interleaved), per-lineage replay guards stay independent, and the
+    compaction subtraction ledger applies once per fingerprint."""
+    import os as _os
+
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        _fold_delta_stats,
+        _subtract_delta_stats,
+        load_delta_stats,
+    )
+
+    d = str(tmp_path / "delta")
+    _os.makedirs(d, exist_ok=True)
+    # interleave: A0, B0, A1, B1, A1-retry (must no-op), B2
+    _fold_delta_stats(d, 0, 10, 100, lineage="streamA")
+    _fold_delta_stats(d, 0, 5, 50, lineage="streamB")
+    _fold_delta_stats(d, 1, 20, 200, lineage="streamA")
+    _fold_delta_stats(d, 1, 7, 70, lineage="streamB")
+    _fold_delta_stats(d, 1, 999, 9999, lineage="streamA")  # replay: no-op
+    _fold_delta_stats(d, 2, 8, 80, lineage="streamB")
+    n, avgdl = load_delta_stats(d)
+    assert n == 10 + 20 + 5 + 7 + 8
+    assert avgdl == (100 + 200 + 50 + 70 + 80) / n
+    # compaction subtracts once per fingerprint, even on rerun
+    _subtract_delta_stats(d, "fp-1", 30, 300)
+    _subtract_delta_stats(d, "fp-1", 30, 300)  # rerun after crash: no-op
+    n2, avgdl2 = load_delta_stats(d)
+    assert n2 == 50 - 30
+    assert avgdl2 == (500 - 300) / 20
+    # a tmp leftover from a crashed commit must not be counted
+    lineage_files = [
+        f for f in _os.listdir(d) if f.startswith("_delta_stats_lineage_")
+    ]
+    assert lineage_files
+    src = _os.path.join(d, lineage_files[0])
+    with open(src + ".tmp", "w") as fh, open(src) as rf:
+        fh.write(rf.read())
+    assert load_delta_stats(d) == (n2, avgdl2)
