@@ -533,7 +533,11 @@ def q_hybrid_ladder_ann(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = _docs(spark, sf)
     emb = _tbl(spark, sf, "embeddings")
+    import atexit
+    import shutil
+
     ann_dir = tempfile.mkdtemp(prefix="entry_hybrid_ann_")
+    atexit.register(shutil.rmtree, ann_dir, ignore_errors=True)
     write_ivf_index(emb, ann_dir, n_centroids=8)
     plan = HybridSearchPlan(docs, embeddings=emb, ann_index_dir=ann_dir, ann_kind="ivf")
     res, _trace = plan.search("sparc quary", SearchOpts(top_k=10))
@@ -874,7 +878,11 @@ def q_batch_bm25_indexed(spark: SparkSession, sf: str) -> DataFrame:
         load_index,
     )
 
+    import atexit
+    import shutil
+
     index_dir = tempfile.mkdtemp(prefix="entry_batch_idx_")
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
     build_index(_docs(spark, sf), index_dir, n_shards=4, chunk_bits=9, resume=False)
     idx, meta = load_index(spark, index_dir)
     res = batch_topk_indexed(spark, index_dir, BATCH_QUERIES, k=5,
@@ -1081,13 +1089,18 @@ def entry(spark: SparkSession) -> DataFrame:
     over the sf0.001 corpus, then serve BM25 top-10 through block-max WAND
     over it — rank- and value-identical to the declarative DataFrame plan
     (tests/test_wand.py), same output schema as q_bm25_topk."""
+    import atexit
+    import shutil
     import tempfile
 
     from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
     from hybrid_sanctions_search_engine_spark.sources.index_io import build_index
 
     sf = "/root/testdata/sf0.001"
+    # the returned DataFrame is lazy, so the dir can only go at process
+    # exit (same lifecycle as the phrase msearch index above)
     index_dir = tempfile.mkdtemp(prefix="entry_flagship_idx_")
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
     build_index(_docs(spark, sf), index_dir, n_shards=4, chunk_bits=9, resume=False)
     res = topk_search(spark, index_dir, list(BM25_QUERY_TERMS), k=10)
     return res.select("doc_id", _r4("score").alias("score"), "n_terms_matched")
