@@ -67,7 +67,18 @@ def _surname_suffix_regex() -> str:
     surname suffix ONCE (the reference counts words, not suffix hits): a
     word longer than the suffix (uppercase head + body + suffix) or a word
     that IS the suffix (uppercase first letter).  Both alternatives anchor
-    at the same word start, so the engine counts at most one per word."""
+    at the same word start, so the engine counts at most one per word.
+
+    Trailing boundary (round-6 ADVICE fix): the reference's word regex
+    ``\\b[А-ЯІЇЄҐ][а-яіїєґА-ЯІЇЄҐ'-]+\\b`` ends at the greedy-backtracked
+    position where Python's ``\\b`` holds, so a word counts iff the suffix
+    sits at the end of its final LETTER block and any trailing ``'``/``-``
+    run is followed by a non-word char or end of string ("Марченко- был" →
+    1; "Марченко-Smith" → 0 because the captured word is "Марченко-";
+    "Петренкоё" → 0 because ``\\b`` never holds before ``ё``).  A plain
+    trailing ``\\b`` got the first two wrong; a bare ``(?![body])``
+    lookahead gets the last two wrong (``['-]*`` backtracking sneaks past
+    a following Latin letter).  ``(?!['-]*\\w)`` encodes the exact rule."""
     body = f"[а-яіїєґА-ЯІЇЄҐ'-]"
     longer = [
         f"[А-ЯІЇЄҐ]{body}*(?i:{suf})" for suf in _UK_SURNAME_SUFFIXES
@@ -75,7 +86,7 @@ def _surname_suffix_regex() -> str:
     exact = [
         f"{suf[0].upper()}(?i:{suf[1:]})" for suf in _UK_SURNAME_SUFFIXES
     ]
-    return "(?U)\\b(?:" + "|".join(longer + exact) + ")\\b"
+    return "(?U)\\b(?:" + "|".join(longer + exact) + ")(?!['-]*\\w)"
 
 
 _SURNAME_RE = _surname_suffix_regex()
@@ -107,7 +118,10 @@ def _count_columns(text: Column) -> dict[str, Column]:
     return {
         "total_chars": F.length(text).cast("double"),
         "alpha_len": count(f"[{_ALPHA}]"),
-        "non_alpha": count(f"(?U)[^{_ALPHA}\\s]"),
+        # \x1c-\x1f: Python's \s counts the FS/GS/RS/US controls as
+        # whitespace; Java's (?U)\s does not (round-6 ADVICE fix — the
+        # empty/trim regexes below already handle them)
+        "non_alpha": count(f"(?U)[^{_ALPHA}\\s\\x1c-\\x1f]"),
         "cyr": count(f"[{_CYR}]"),
         "lat": count("[a-zA-Z]"),
         "uk_chars": count(f"[{_UK_MARKERS}]"),

@@ -97,7 +97,6 @@ def start_delta_stream(
 DELTA_STATS_FILE = "_delta_stats.json"  # legacy combined manifest (read-compat)
 DELTA_STATS_LINEAGE_PREFIX = "_delta_stats_lineage_"
 DELTA_STATS_SUB_FILE = "_delta_stats_subtracted.json"
-_SUB_FP_KEEP = 64  # idempotency window for compaction reruns
 
 
 def _lineage_stats_path(delta_dir: str, lineage: str) -> str:
@@ -168,8 +167,12 @@ def _subtract_delta_stats(
     one concurrent compaction per index is already the resumable-manifest
     contract, so this RMW has a single writer; the RACY multi-writer path
     was the per-stream fold, now per-lineage).  Idempotent per delta
-    fingerprint over a 64-entry window: a rerun after a crash
-    in the post-commit window must not subtract twice."""
+    fingerprint: a rerun after a crash in the post-commit window must not
+    subtract twice.  ALL fingerprints are kept (round-6 ADVICE fix — the
+    old 64-entry window made a crash-rerun of a compaction whose fp had
+    rotated out double-subtract; fps are ~20-byte strings and compactions
+    are rare, so an unbounded list costs nothing even on a long-lived
+    index: 10k compactions ≈ 200 KB of JSON)."""
     from ..sources.fs import fs_for
 
     fs = fs_for(delta_dir)
@@ -192,7 +195,7 @@ def _subtract_delta_stats(
         {
             "n_docs": sub.get("n_docs", 0) + n_docs,
             "total_len": sub.get("total_len", 0) + total_len,
-            "fps": (sub.get("fps", []) + [delta_fp])[-_SUB_FP_KEEP:],
+            "fps": sub.get("fps", []) + [delta_fp],
         },
     )
 

@@ -81,14 +81,20 @@ def test_vector_stage_reads_only_probed_partitions(spark, ivf_plan):
     }
     copy_dir = tempfile.mkdtemp(prefix="ivf_pruning_copy_")
     shutil.rmtree(copy_dir)
-    shutil.copytree(ivf_plan.ann_index_dir, copy_dir)
-    fresh = spark.read.parquet(copy_dir)
-    cands = fresh.where(F.col("ivf_cell").isin(sorted(probe)))
-    files = [r[0] for r in cands.select(F.input_file_name()).distinct().collect()]
-    assert files
-    cells_read = {int(re.search(r"ivf_cell=(\d+)", f).group(1)) for f in files}
-    assert cells_read <= probe
-    shutil.rmtree(copy_dir, ignore_errors=True)
+    try:
+        shutil.copytree(ivf_plan.ann_index_dir, copy_dir)
+        fresh = spark.read.parquet(copy_dir)
+        cands = fresh.where(F.col("ivf_cell").isin(sorted(probe)))
+        files = [
+            r[0] for r in cands.select(F.input_file_name()).distinct().collect()
+        ]
+        assert files
+        cells_read = {
+            int(re.search(r"ivf_cell=(\d+)", f).group(1)) for f in files
+        }
+        assert cells_read <= probe
+    finally:
+        shutil.rmtree(copy_dir, ignore_errors=True)
 
 
 def test_vector_stage_rank_parity_vs_bruteforce(spark, corpus, tmp_path):

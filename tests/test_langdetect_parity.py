@@ -80,6 +80,25 @@ CURATED = [
     "па" * 40,
     "A" * 11,  # all-caps but > 10 letters: not an acronym
     "АБВГДЕЖЗИК",  # exactly 10 caps: acronym penalty
+    # hyphenated Cyrillic-Latin + trailing-separator surname edges (round-6
+    # ADVICE: the reference's greedy word regex captures "Марченко-" before
+    # a Latin token, so endswith fails; but a trailing hyphen before a
+    # space/end backtracks off and the word DOES count)
+    "Марченко-Smith был дома",
+    "Петренко-Smith",
+    "Марченко- был дома",
+    "Марченко-",
+    "Петренкоё дома",
+    "Марченко-Петренко был",
+    "Марченко-ё был",
+    "Иванов-Петренко был",
+    "Петренко-Иванов был",
+    "Ко-Ко",
+    "Д'Аренко був",
+    # letters + FS/GS/RS/US controls: Python \s counts them as whitespace
+    # in the noisy-text ratio, Java (?U)\s does not (round-6 ADVICE)
+    "abc" + "\x1c" * 7,
+    "ив" + "\x1d" * 5 + "!!",
 ]
 
 
@@ -100,6 +119,9 @@ def _fuzz_corpus(n=400, seed=77):
         "і", "в", "на", "з", "від", "и", "с", "из", "но", "або",
         "деньги", "кошти", "платеж", "платіж", "the", "and", "was",
         "Петренко", "Ковальчук", "Иванов", "Smith", "ЕНКО", "Ка",
+        # hyphenated Cyrillic-Latin / trailing-separator surname words
+        "Марченко-Smith", "Петренко-", "Шевченко-Jones", "Ко-Ко",
+        "Д'Аренко", "Іванко-ё", "Юк-", "-Чук", "ив\x1c\x1c",
     ]
     out = []
     for _ in range(n):
