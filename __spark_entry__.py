@@ -548,10 +548,23 @@ def q_hybrid_ladder_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_hybrid_msearch(spark: SparkSession, sf: str) -> DataFrame:
-    """S7 × L13: the batched msearch ladder — a five-query set (strong, typo,
-    gibberish, homoglyph-mixed, ordinary) through the adaptive ladder in a
-    bounded number of jobs.  Rows-only (driver-side adaptive staging);
-    per-query parity with search() is pinned by tests/test_hybrid_batch.py."""
+    """S7 × L13 × SO4: the batched msearch ladder — a six-query set (strong,
+    typo, gibberish, homoglyph-mixed, ordinary, delta-marker) through the
+    adaptive ladder in a bounded number of jobs, with a streaming DELTA
+    OVERLAY attached (round 6): two fresh docs served base ∪ delta at every
+    stage — lexical overlay BM25 AND the vector stage (exact gemv over the
+    delta embeddings, encoder-seam-embedded), the reference's
+    overlay-covers-the-vector-index semantics
+    (``watchlist_index_service.py:85-222``).  Rows-only (driver-side
+    adaptive staging); parity with search() and with a full rebuild is
+    pinned by tests/test_hybrid_batch.py + tests/test_hybrid_delta.py."""
+    from hybrid_sanctions_search_engine_spark.functions.encoder import (
+        PseudoEncoder,
+        embed_texts,
+    )
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        build_postings,
+    )
     from hybrid_sanctions_search_engine_spark.plans.hybrid import (
         HybridSearchPlan,
         SearchOpts,
@@ -560,12 +573,27 @@ def q_hybrid_msearch(spark: SparkSession, sf: str) -> DataFrame:
     docs = _docs(spark, sf)
     emb = _tbl(spark, sf, "embeddings")
     plan = HybridSearchPlan(docs, embeddings=emb)
+    delta_docs = spark.createDataFrame(
+        [
+            (990001, "zorblatt ledger entry streamed after the index build"),
+            (990002, "freshly streamed zorblatt doc about spark query plans"),
+        ],
+        "doc_id long, text string",
+    )
+    plan.attach_delta(
+        delta_docs=delta_docs,
+        delta_postings=build_postings(delta_docs, positions=False),
+        delta_embeddings=embed_texts(
+            delta_docs, PseudoEncoder(plan.embedding_dim)
+        ).select(F.col("doc_id").alias("vec_id"), "embedding"),
+    )
     batch = [
         (1, "spark query join window"),
         (2, "sparc"),
         (3, "zzzqqq"),
         (4, "sраrk query"),  # Cyrillic а/р homoglyphs
         (5, "merge sort"),
+        (6, "zorblatt ledger"),  # delta-only marker term
     ]
     res, _meta = plan.search_many(batch, SearchOpts(top_k=5))
     plan.close()

@@ -225,6 +225,100 @@ class HybridSearchPlan:
             self.dl = doc_lengths(docs, text_col).persist()
             self.stats: CorpusStats = corpus_stats(docs, text_col)
             self.dictionary = term_doc_freq(self.postings).persist()
+        self.delta_docs: DataFrame | None = None
+        self.delta_postings: DataFrame | None = None
+        self.delta_stats: tuple[int, float] | None = None
+        self.delta_embeddings: DataFrame | None = None
+        self._fuzzy_dict: DataFrame | None = None
+
+    # -- streaming delta overlay ------------------------------------------
+
+    def attach_delta(
+        self,
+        delta_docs: DataFrame | None = None,
+        delta_postings: DataFrame | None = None,
+        delta_stats: tuple[int, float] | None = None,
+        delta_embeddings: DataFrame | None = None,
+    ) -> None:
+        """Overlay a streamed delta on EVERY ladder stage (round 6 — the
+        reference's overlay search covers its vector index too,
+        ``watchlist_index_service.py:85-222``; pre-round-6 only the lexical
+        ``search_with_delta`` path existed, so fresh docs were invisible to
+        escalation until compaction):
+
+          * AC / fuzzy — base result ∪ delta BM25 (each side under its own
+            corpus stats, the reference's overlay-then-active keep-best);
+            fuzzy expansion additionally sees the delta's term dictionary;
+          * vector     — ANN-probe(base) ∪ exact-gemv(delta embeddings),
+            re-top-k'd under the same (cos desc, doc asc) order — cosine is
+            stats-free, so this equals a full index rebuild exactly (parity
+            test: tests/test_hybrid_delta.py);
+          * rerank / anchors — the doc-text probes read base ∪ delta docs.
+
+        ``delta_stats`` from ``streaming.incremental.load_delta_stats`` (one
+        manifest read, no stats job); ``delta_embeddings`` from
+        ``load_delta_embeddings``.  The delta sides rely on the compaction
+        contract: delta doc_ids are DISJOINT from the base (new docs only),
+        so union + re-top-k needs no cross-side dedup.  Call again after the
+        stream appends (the postings/embeddings frames are lazy reads — a
+        re-attach only refreshes stats and the fuzzy dictionary), and
+        ``detach_delta()`` after compaction."""
+        if self._fuzzy_dict is not None:
+            self._fuzzy_dict.unpersist()
+            self._fuzzy_dict = None
+        self.delta_docs = delta_docs
+        self.delta_postings = delta_postings
+        self.delta_embeddings = delta_embeddings
+        if delta_stats is None and delta_postings is not None:
+            row = (
+                delta_postings.select("doc_id", "doc_len")
+                .distinct()
+                .agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"))
+                .collect()[0]
+            )
+            delta_stats = (int(row["n"]), float(row["avgdl"] or 1.0))
+        self.delta_stats = delta_stats
+        if delta_postings is not None and (delta_stats or (1,))[0] > 0:
+            # fuzzy expansion must see delta-only terms; df ride-along keeps
+            # the dictionary schema (expansion ranks by edit distance only)
+            self._fuzzy_dict = (
+                self.dictionary.select("term", "df")
+                .unionByName(
+                    delta_postings.groupBy("term").agg(
+                        F.count("*").cast(
+                            self.dictionary.schema["df"].dataType.simpleString()
+                        ).alias("df")
+                    )
+                )
+                .groupBy("term")
+                .agg(F.max("df").alias("df"))
+                .persist()
+            )
+
+    def detach_delta(self) -> None:
+        """Drop the overlay (after compaction folds the delta into the base
+        index + ANN layout)."""
+        self.attach_delta(None, None, None, None)
+
+    @property
+    def _delta_lex(self) -> bool:
+        return (
+            self.delta_postings is not None
+            and self.delta_stats is not None
+            and self.delta_stats[0] > 0
+        )
+
+    def _expansion_dictionary(self) -> DataFrame:
+        return self._fuzzy_dict if self._fuzzy_dict is not None else self.dictionary
+
+    def _docs_for_text(self) -> DataFrame:
+        """Doc-text store for rerank/anchor probes: base ∪ delta docs."""
+        base = self.docs.select("doc_id", self.text_col)
+        if self.delta_docs is not None:
+            return base.unionByName(
+                self.delta_docs.select("doc_id", self.text_col)
+            )
+        return base
 
     def close(self) -> None:
         """Release the plan's persisted frames (postings/doc-lengths/
@@ -237,6 +331,7 @@ class HybridSearchPlan:
             self.dl,
             self.dictionary,
             self.ann_df,
+            self._fuzzy_dict,
         ):
             if df is not None:
                 df.unpersist()
@@ -247,7 +342,7 @@ class HybridSearchPlan:
         if self.index_df is not None:
             from .wand import topk_search
 
-            return topk_search(
+            base = topk_search(
                 self.docs.sparkSession,
                 self.index_dir,
                 query,
@@ -255,15 +350,43 @@ class HybridSearchPlan:
                 index_df=self.index_df,
                 meta=self.index_meta,
             ).select("doc_id", "score")
-        return bm25_topk(
-            self.docs,
-            query,
-            k=k,
-            text_col=self.text_col,
-            postings=self.postings,
-            dl=self.dl,
-            stats=self.stats,
+        else:
+            base = bm25_topk(
+                self.docs,
+                query,
+                k=k,
+                text_col=self.text_col,
+                postings=self.postings,
+                dl=self.dl,
+                stats=self.stats,
+            ).select("doc_id", "score")
+        return self._overlay_lexical(base, query, k)
+
+    def _overlay_lexical(
+        self,
+        base: DataFrame,
+        query: str | list[str],
+        k: int,
+        term_weights: dict[str, float] | None = None,
+    ) -> DataFrame:
+        """base ∪ delta BM25, keep-best per doc, re-top-k — the same overlay
+        shape as ``streaming.incremental.search_with_delta`` (each side
+        scored under its own corpus stats, reference overlay semantics).
+        One plan → the caller's single collect stays a single job."""
+        if not self._delta_lex:
+            return base
+        from ..operators.fusion import dedup_keep_best
+        from ..streaming.incremental import delta_bm25_topk
+
+        delta = delta_bm25_topk(
+            self.delta_postings, query, k=k,
+            delta_stats=self.delta_stats, term_weights=term_weights,
         ).select("doc_id", "score")
+        return (
+            dedup_keep_best(base.unionByName(delta))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def fuzzy_stage(self, query: str, k: int, opts: SearchOpts) -> DataFrame:
         """Expand each query term through the fuzzy dictionary (edit ≤ 1,
@@ -273,7 +396,7 @@ class HybridSearchPlan:
         expansions = []
         for t in terms:
             cand = fuzzy_term_candidates(
-                self.dictionary,
+                self._expansion_dictionary(),
                 t,
                 max_edits=opts.fuzzy_max_edits,
                 max_expansions=opts.fuzzy_max_expansions,
@@ -306,7 +429,7 @@ class HybridSearchPlan:
         if self.index_df is not None:
             from .wand import topk_search
 
-            return topk_search(
+            base = topk_search(
                 self.docs.sparkSession,
                 self.index_dir,
                 list(weights),
@@ -315,16 +438,20 @@ class HybridSearchPlan:
                 meta=self.index_meta,
                 term_weights=weights,
             ).select("doc_id", "score")
-        scored = score_terms(self.postings, self.dl, list(weights), self.stats)
-        weighted = scored.join(F.broadcast(expanded), "term").withColumn(
-            "term_score", F.col("term_score") * F.col("term_weight")
-        )
-        return (
-            weighted.groupBy("doc_id")
-            .agg(F.sum("term_score").alias("score"))
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        else:
+            scored = score_terms(
+                self.postings, self.dl, list(weights), self.stats
+            )
+            weighted = scored.join(F.broadcast(expanded), "term").withColumn(
+                "term_score", F.col("term_score") * F.col("term_weight")
+            )
+            base = (
+                weighted.groupBy("doc_id")
+                .agg(F.sum("term_score").alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        return self._overlay_lexical(base, list(weights), k, term_weights=weights)
 
     def vector_stage(self, query: str, k: int, rerank: bool = True) -> DataFrame:
         """kNN hits as (doc_id, score, cos_sim) — score starts as the cosine
@@ -333,9 +460,15 @@ class HybridSearchPlan:
         hybrid_search_service.py:1248-1254).
 
         With ``ann_index_dir`` set, the scan is a partition-pruned ANN probe
-        (IVF cells / LSH bands) instead of the full embeddings table."""
+        (IVF cells / LSH bands) instead of the full embeddings table.
+
+        With a delta attached (``attach_delta``), the stage serves
+        ANN-probe(base) ∪ exact-gemv(delta embeddings) re-top-k'd under the
+        same (cos desc, doc asc) order — delta ids are disjoint from the
+        base (compaction contract), so the union needs no keep-best."""
         spark = self.docs.sparkSession
-        if self.embeddings is None and self.ann_index_dir is None:
+        have_base = self.embeddings is not None or self.ann_index_dir is not None
+        if not have_base and self.delta_embeddings is None:
             return spark.createDataFrame([], "doc_id long, score double, cos_sim double")
         qv = self.encoder.encode_one(query)
         if self.ann_index_dir is not None and self.ann_kind == "ivf":
@@ -357,11 +490,24 @@ class HybridSearchPlan:
                 spark, self.ann_index_dir, qv, k=k,
                 max_hamming=self.ann_max_hamming, df=self.ann_df,
             )
-        else:
+        elif self.embeddings is not None:
             # arrow=True at every dim: the numpy gemv cosine is bit-identical
             # to knn_bruteforce_many's per-query gemv, so search() and
             # search_many() score identically (9-decimal parity tests)
             res = knn_bruteforce(self.embeddings, qv, k=k, arrow=True)
+        else:
+            res = None
+        if self.delta_embeddings is not None:
+            # exact gemv over the (small, fresh) delta — same operator and
+            # arrow shape as the base refine, so cosines merge bit-exactly
+            delta_res = knn_bruteforce(self.delta_embeddings, qv, k=k, arrow=True)
+            res = (
+                delta_res
+                if res is None
+                else res.unionByName(delta_res)
+                .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+                .limit(k)
+            )
         hits = res.select(
             F.col("vec_id").alias("doc_id"),
             F.col("cos_sim").alias("score"),
@@ -371,12 +517,10 @@ class HybridSearchPlan:
             return hits
         # L9: the reference reranks vector-fallback hits by string fuzz vs
         # the candidate text (×1.2 when fuzz>80, ×1.1 when fuzz>60) — the
-        # join is broadcast (k rows) against the doc store
+        # join is broadcast (k rows) against the doc store (base ∪ delta)
         from ..operators.fuzzy import rapidfuzz_rerank
 
-        with_text = self.docs.select("doc_id", self.text_col).join(
-            F.broadcast(hits), "doc_id"
-        )
+        with_text = self._docs_for_text().join(F.broadcast(hits), "doc_id")
         return rapidfuzz_rerank(
             with_text, query, text_col=self.text_col, score_col="score"
         ).select("doc_id", "score", "cos_sim")
@@ -455,7 +599,11 @@ class HybridSearchPlan:
             )
 
         vec_rows: list = []
-        have_vectors = self.embeddings is not None or self.ann_index_dir is not None
+        have_vectors = (
+            self.embeddings is not None
+            or self.ann_index_dir is not None
+            or self.delta_embeddings is not None
+        )
         if escalate and have_vectors:
             t2 = time.monotonic()
             vec_rows = self.vector_stage(
@@ -509,7 +657,7 @@ class HybridSearchPlan:
                         [{"doc_id": d, "score": s} for d, s in vector_best.items()],
                         schema,
                     )
-                    with_text = self.docs.select("doc_id", self.text_col).join(
+                    with_text = self._docs_for_text().join(
                         F.broadcast(vector), "doc_id"
                     )
                     vector_best = {
@@ -579,7 +727,7 @@ class HybridSearchPlan:
                 pairs, "query_id long, qterm string"
             ).withColumn("pfx", F.substring("qterm", 1, plen))
             cands.append(
-                self.dictionary.withColumn(
+                self._expansion_dictionary().withColumn(
                     "pfx", F.substring("term", 1, plen)
                 ).join(F.broadcast(qdf), "pfx")
             )
@@ -668,7 +816,11 @@ class HybridSearchPlan:
         # the collect ships only (query_id, doc_id, score, cos_sim,
         # anchor_mult) — no document text reaches the driver (at web scale a
         # 100-query × k × ~100 KB-doc collect would be ~100 MB).
-        have_vectors = self.embeddings is not None or self.ann_index_dir is not None
+        have_vectors = (
+            self.embeddings is not None
+            or self.ann_index_dir is not None
+            or self.delta_embeddings is not None
+        )
 
         def _vector_stage_batch(targets: list[int]) -> dict[int, list]:
             vec_rows: dict[int, list] = {q: [] for q in targets}
@@ -808,7 +960,7 @@ class HybridSearchPlan:
                     .where(F.col("rn") <= k)
                     .drop("rn")
                 )
-            else:
+            elif self.embeddings is not None:
                 # no ANN index: exact multi-query cosine in ONE shuffle-free
                 # scan (mapInPandas gemv per query, batch-local top-k) — the
                 # scale-correct replacement for crossJoin + window
@@ -817,6 +969,30 @@ class HybridSearchPlan:
                 hits = knn_bruteforce_many(
                     self.embeddings, [(q, qvecs[q]) for q in targets], k=k
                 ).select("query_id", F.col("vec_id").alias("doc_id"), "cos_sim")
+            else:
+                hits = None
+            if self.delta_embeddings is not None:
+                # overlay (round 6): exact batched gemv over the delta
+                # embeddings — same per-query gemv shape as the single-path
+                # knn_bruteforce, so base∪delta re-top-k merges bit-exactly
+                # with vector_stage()'s union (delta ids disjoint from base)
+                from ..operators.similarity import knn_bruteforce_many
+
+                dhits = knn_bruteforce_many(
+                    self.delta_embeddings, [(q, qvecs[q]) for q in targets], k=k
+                ).select("query_id", F.col("vec_id").alias("doc_id"), "cos_sim")
+                if hits is None:
+                    hits = dhits
+                else:
+                    wv2 = Window.partitionBy("query_id").orderBy(
+                        F.desc("cos_sim"), F.asc("doc_id")
+                    )
+                    hits = (
+                        hits.unionByName(dhits)
+                        .withColumn("rn", F.row_number().over(wv2))
+                        .where(F.col("rn") <= k)
+                        .drop("rn")
+                    )
             hits = hits.withColumn("score", F.col("cos_sim"))
             # qtext (for the L9 rerank) + pre-extracted anchors join in as a
             # broadcast side table; doc text joins only transiently for the
@@ -860,10 +1036,10 @@ class HybridSearchPlan:
                 ).collect():
                     vec_rows[r["query_id"]].append(r)
                 return vec_rows
-            # the ≤ nq×k hit set broadcasts INTO the doc store (the big side
-            # streams through a broadcast hash join — never shuffled), same
-            # shape as search()'s single-query text probe
-            with_text = self.docs.select("doc_id", self.text_col).join(
+            # the ≤ nq×k hit set broadcasts INTO the doc store (base ∪ delta;
+            # the big side streams through a broadcast hash join — never
+            # shuffled), same shape as search()'s single-query text probe
+            with_text = self._docs_for_text().join(
                 F.broadcast(hits.join(F.broadcast(qmeta), "query_id")),
                 "doc_id",
             )
@@ -936,12 +1112,39 @@ class HybridSearchPlan:
                 self.docs, entries, k=k, text_col=self.text_col,
                 postings=self.postings, stats=self.stats,
             ).select("query_id", "doc_id", "score").collect()
-        ac_best_rows: dict[int, dict[int, float]] = {q: {} for q, _ in queries}
+        # per-ENTRY overlay first (base ∪ delta keep-best, truncated to k —
+        # exactly ac_stage()'s limit), THEN the homoglyph-variant merge:
+        # matching search()'s truncation order keeps single↔batch parity
+        # even for docs at rank k+1 that the vector stage would later fuse
+        entry_best: dict[int, dict[int, float]] = {q: {} for q, _ in entries}
         for r in ac_all:
-            qid = variant_of.get(r["query_id"], r["query_id"])
-            cur = ac_best_rows[qid]
+            cur = entry_best[r["query_id"]]
             if r["doc_id"] not in cur or r["score"] > cur[r["doc_id"]]:
                 cur[r["doc_id"]] = r["score"]
+        if self._delta_lex:
+            from ..functions.tokenize import py_index_tokens
+            from ..streaming.incremental import batch_delta_topk
+
+            weighted = [
+                (qid, t, 1.0)
+                for qid, q in entries
+                for t in dict.fromkeys(py_index_tokens(q))
+            ]
+            for r in batch_delta_topk(
+                spark, self.delta_postings, weighted,
+                [qid for qid, _ in entries], k=k,
+                delta_stats=self.delta_stats,
+            ).collect():
+                cur = entry_best[r["query_id"]]
+                if r["doc_id"] not in cur or r["score"] > cur[r["doc_id"]]:
+                    cur[r["doc_id"]] = r["score"]
+        ac_best_rows: dict[int, dict[int, float]] = {q: {} for q, _ in queries}
+        for eqid, best in entry_best.items():
+            qid = variant_of.get(eqid, eqid)
+            cur = ac_best_rows[qid]
+            for doc, sc in sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]:
+                if doc not in cur or sc > cur[doc]:
+                    cur[doc] = sc
         ac_rows = {
             qid: sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
             for qid, best in ac_best_rows.items()
@@ -1016,6 +1219,34 @@ class HybridSearchPlan:
                 )
                 for r in fz_all:
                     fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
+            if expanded_rows and self._delta_lex:
+                # overlay (round 6): the expanded terms also score against
+                # the delta postings (delta's own stats + the same edit-ratio
+                # weights), then each query's base ∪ delta keep-bests and
+                # truncates to k — exactly fuzzy_stage()'s overlay + limit
+                from ..streaming.incremental import batch_delta_topk
+
+                delta_fz = batch_delta_topk(
+                    spark, self.delta_postings,
+                    [
+                        (r["query_id"], r["term"], float(r["term_weight"]))
+                        for r in expanded_rows
+                    ],
+                    sorted(esc), k=k, delta_stats=self.delta_stats,
+                ).collect()
+                if delta_fz:
+                    for qid in fz_rows:
+                        best: dict[int, float] = {}
+                        for doc, sc in fz_rows[qid]:
+                            if doc not in best or sc > best[doc]:
+                                best[doc] = sc
+                        for r in (x for x in delta_fz if x["query_id"] == qid):
+                            d, sc = r["doc_id"], r["score"]
+                            if d not in best or sc > best[d]:
+                                best[d] = sc
+                        fz_rows[qid] = sorted(
+                            best.items(), key=lambda kv: (-kv[1], kv[0])
+                        )[:k]
             return fz_rows
 
         fz_fut = _Async(_timed_into(trace, "fuzzy_ms", _fuzzy_stage_batch))

@@ -39,11 +39,24 @@ def start_delta_stream(
     checkpoint_dir: str,
     schema: str = "doc_id long, text string, lang string, source string, n_chars long",
     text_col: str = "text",
+    encoder=None,
 ):
     """File-source streaming job: new parquet files of documents → delta
     postings (term, doc_id, tf, doc_len). Stateless (no watermark needed —
     postings are append-only facts); exactly-once via the checkpointed file
-    sink."""
+    sink.
+
+    ``encoder`` (round 6 — the reference's overlay covers its VECTOR index,
+    ``watchlist_index_service.py:85-222``, so delta docs must reach the
+    vector stage too): any ``functions.encoder``-contract encoder.  When
+    given, each microbatch is also embedded (``embed_texts`` — mapInPandas,
+    no shuffle, model state lazily initialized per worker) and appended to
+    ``<delta_dir>/_embeddings`` as (vec_id, embedding); the underscore
+    prefix keeps the postings read (``spark.read.parquet(delta_dir)``) from
+    listing it.  ``HybridSearchPlan.attach_delta`` then serves the ladder's
+    vector stage as ANN-probe(base) ∪ exact-gemv(delta), and
+    ``fold_delta_embeddings`` folds the vectors into the base ANN layout
+    at compaction."""
     import hashlib
 
     # stable per-checkpoint lineage key for the stats replay guard: a new
@@ -55,16 +68,28 @@ def start_delta_stream(
     stream = spark.readStream.schema(schema).parquet(input_dir)
     from ..operators.postings import tokenized_documents
 
-    toks = tokenized_documents(stream, text_col)
-    exploded = toks.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
     # per-microbatch tf aggregation happens in foreachBatch (stateless global
     # agg is not allowed in append mode; per-batch is exact because a doc's
-    # tokens always arrive within one file/batch)
+    # tokens always arrive within one file/batch).  The batch arrives at the
+    # DOCUMENT level so one pass feeds both sinks (postings + embeddings).
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        postings = batch_df.groupBy("term", "doc_id", "doc_len").agg(
-            F.count("*").cast("int").alias("tf")
-        ).persist()
+        batch_df = batch_df.persist()
+        toks = tokenized_documents(batch_df, text_col)
+        postings = (
+            toks.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id", "doc_len")
+            .agg(F.count("*").cast("int").alias("tf"))
+            .persist()
+        )
         postings.write.mode("append").parquet(delta_dir)
+        if encoder is not None:
+            from ..functions.encoder import embed_texts
+
+            embed_texts(
+                batch_df.select("doc_id", text_col), encoder, text_col
+            ).select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            ).write.mode("append").parquet(delta_embeddings_dir(delta_dir))
         # fold this batch's corpus stats into the delta manifest so overlay
         # queries read (n_docs, avgdl) from one tiny JSON instead of a
         # distinct().agg() job per call (round-3 verdict item 8).  Docs are
@@ -81,17 +106,201 @@ def start_delta_stream(
             .collect()[0]
         )
         postings.unpersist()
+        batch_df.unpersist()
         _fold_delta_stats(
             delta_dir, batch_id, int(row["n"]), int(row["toks"]),
             lineage=lineage_key,
         )
 
     return (
-        exploded.writeStream.foreachBatch(write_batch)
+        stream.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+
+
+DELTA_EMBEDDINGS_SUBDIR = "_embeddings"
+
+
+def delta_embeddings_dir(delta_dir: str) -> str:
+    return os.path.join(delta_dir, DELTA_EMBEDDINGS_SUBDIR)
+
+
+def load_delta_embeddings(
+    spark: SparkSession, delta_dir: str
+) -> DataFrame | None:
+    """(vec_id, embedding) rows streamed by ``start_delta_stream(encoder=…)``
+    — None when the stream never embedded (lexical-only delta)."""
+    try:
+        return spark.read.parquet(delta_embeddings_dir(delta_dir))
+    except Exception:
+        return None
+
+
+def fold_delta_embeddings(
+    spark: SparkSession,
+    ann_index_dir: str,
+    delta_embeddings: DataFrame,
+    kind: str = "ivf",
+) -> dict:
+    """Fold streamed delta vectors into the base ANN layout — the vector-side
+    twin of ``merge_compact`` (the reference rebuilds+swaps its whole FAISS/ES
+    vector index, ``watchlist_index_service.py:387-456``; on a partitioned
+    Spark layout an append into the right partition directories does the same
+    without touching existing rows):
+
+      * ivf    — assign each vector to its nearest EXISTING centroid (no
+                 retrain: probes stay consistent with queries planned against
+                 the stored centroids) and append into the matching
+                 ``ivf_cell=…`` directories;
+      * lsh    — hyperplane signature with the stored (dim, n_planes, seed),
+                 append into ``lsh_band=…``;
+      * lsh_mb — per-band rows appended into ``lsh_band_idx=…/lsh_band_val=…``.
+
+    Crash-safe + idempotent per delta fingerprint: the assigned rows land in
+    a dot-prefixed STAGE directory first (invisible to readers), a pending
+    manifest records the exact file moves, the files move one by one
+    (``fs.move``), and only then does the meta JSON commit the fingerprint.
+    A rerun after a crash replays only the unfinished moves (src present →
+    move; src gone → already moved) and finalizes; a rerun after the meta
+    commit is a no-op.  Duplicated vectors are therefore impossible — the
+    same guarantee class as ``merge_compact``'s shard swap."""
+    import time
+
+    from ..sources.fs import fs_for
+
+    meta_name = {
+        "ivf": "_ivf_meta.json",
+        "lsh": "_lsh_meta.json",
+        "lsh_mb": "_lsh_mb_meta.json",
+    }[kind]
+    fs = fs_for(ann_index_dir)
+    meta_path = os.path.join(ann_index_dir, meta_name)
+    meta = fs.read_json(meta_path)
+    t0 = time.monotonic()
+
+    row = delta_embeddings.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            F.sum(F.col("vec_id") % F.lit(2**61 - 1)), F.lit(0)
+        ).alias("id_sum"),
+    ).collect()[0]
+    n_vecs = int(row["n"])
+    fp = f"{n_vecs}-{int(row['id_sum'])}"
+    folded = list(meta.get("folded_delta_fps", []))
+    pending_path = os.path.join(ann_index_dir, f"._fold_pending_{fp}.json")
+    stage_dir = os.path.join(ann_index_dir, f".fold-{fp}")
+
+    def _finalize(moves: list[list[str]]) -> None:
+        for src, dst in moves:
+            if fs.exists(src):
+                fs.move(src, dst)
+        meta["folded_delta_fps"] = folded + [fp]
+        fs.commit_json(meta_path, meta)
+        fs.delete(pending_path)
+        fs.rmtree(stage_dir)
+
+    if fp in folded:
+        fs.rmtree(stage_dir)  # leftover stage from a crash after commit
+        fs.delete(pending_path)
+        return {"folded_vecs": 0, "noop": "delta already folded", "fp": fp}
+    if fs.exists(pending_path):
+        # crash mid-move: replay the recorded move list (idempotent)
+        moves = fs.read_json(pending_path)["moves"]
+        _finalize(moves)
+        return {
+            "folded_vecs": n_vecs,
+            "fp": fp,
+            "resumed": True,
+            "elapsed_sec": round(time.monotonic() - t0, 3),
+        }
+    if n_vecs == 0:
+        return {"folded_vecs": 0, "noop": "empty delta", "fp": fp}
+
+    if kind == "ivf":
+        from ..operators.similarity import assign_ivf_cells
+
+        import numpy as np
+
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+        staged = assign_ivf_cells(delta_embeddings, cents)
+        part_cols = ["ivf_cell"]
+        staged.repartition(*part_cols).write.mode("overwrite").partitionBy(
+            *part_cols
+        ).parquet(stage_dir)
+    elif kind == "lsh":
+        from ..operators.similarity import _LSH_TOP_BITS, add_lsh_signature
+
+        n_planes = meta["n_planes"]
+        with_sig = add_lsh_signature(
+            delta_embeddings, meta["dim"], n_planes, meta["seed"]
+        )
+        staged = with_sig.withColumn(
+            "lsh_band",
+            F.shiftrightunsigned(F.col("lsh_sig"), n_planes - _LSH_TOP_BITS)
+            .bitwiseAND(F.lit((1 << _LSH_TOP_BITS) - 1))
+            .cast("int"),
+        )
+        part_cols = ["lsh_band"]
+        staged.repartition(*part_cols).write.mode("overwrite").partitionBy(
+            *part_cols
+        ).parquet(stage_dir)
+    elif kind == "lsh_mb":
+        from ..operators.similarity import add_lsh_signature
+
+        n_bands, band_bits = meta["n_bands"], meta["band_bits"]
+        with_sig = add_lsh_signature(
+            delta_embeddings, meta["dim"], n_bands * band_bits, meta["seed"]
+        )
+        bands = F.array(
+            *[
+                F.shiftrightunsigned(F.col("lsh_sig"), i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
+                .cast("int")
+                for i in range(n_bands)
+            ]
+        )
+        staged = with_sig.withColumn("_bands", bands).select(
+            "vec_id",
+            "embedding",
+            F.posexplode("_bands").alias("lsh_band_idx", "lsh_band_val"),
+        )
+        part_cols = ["lsh_band_idx", "lsh_band_val"]
+        staged.repartition(*part_cols).write.mode("overwrite").partitionBy(
+            *part_cols
+        ).parquet(stage_dir)
+    else:
+        raise ValueError(f"unknown ann kind: {kind!r}")
+
+    # enumerate staged partition files → deterministic move plan
+    moves: list[list[str]] = []
+
+    def _walk(rel: str, depth: int) -> None:
+        cur = os.path.join(stage_dir, rel) if rel else stage_dir
+        for name in fs.list_files(cur):
+            if depth < len(part_cols):
+                if name.startswith(f"{part_cols[depth]}="):
+                    _walk(os.path.join(rel, name) if rel else name, depth + 1)
+            elif name.endswith(".parquet"):
+                dst_dir = os.path.join(ann_index_dir, rel)
+                fs.makedirs(dst_dir)
+                moves.append(
+                    [
+                        os.path.join(cur, name),
+                        os.path.join(dst_dir, f"delta-{fp}-{len(moves)}.parquet"),
+                    ]
+                )
+
+    _walk("", 0)
+    fs.commit_json(pending_path, {"fp": fp, "moves": moves})
+    _finalize(moves)
+    return {
+        "folded_vecs": n_vecs,
+        "files_moved": len(moves),
+        "fp": fp,
+        "elapsed_sec": round(time.monotonic() - t0, 3),
+    }
 
 
 DELTA_STATS_FILE = "_delta_stats.json"  # legacy combined manifest (read-compat)
@@ -254,19 +463,24 @@ def load_delta_postings(spark: SparkSession, delta_dir: str) -> DataFrame | None
 
 def delta_bm25_topk(
     delta_postings: DataFrame,
-    query: str,
+    query: str | list[str],
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     delta_stats: tuple[int, float] | None = None,
+    term_weights: dict[str, float] | None = None,
 ) -> DataFrame:
     """BM25 top-k directly over streamed delta postings
     (term, doc_id, doc_len, tf) — stats from the delta manifest when the
     caller passes them (``load_delta_stats``), else derived with one
-    distinct().agg() job."""
+    distinct().agg() job.
+
+    ``query`` may be a raw string or a pre-expanded term list;
+    ``term_weights`` multiplies each term's contribution (the fuzzy stage's
+    edit-ratio discount — same contract as ``wand.topk_search``)."""
     from ..plans.wand import query_terms
 
-    terms = query_terms(query)
+    terms = query_terms(query) if isinstance(query, str) else list(query)
     if delta_stats is not None:
         n_docs, avgdl = int(delta_stats[0]), float(delta_stats[1] or 1.0)
     else:
@@ -286,11 +500,86 @@ def delta_bm25_topk(
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(avgdl))),
         )
     )
+    if term_weights is not None:
+        spark = delta_postings.sparkSession
+        wdf = spark.createDataFrame(
+            [(t, float(w)) for t, w in term_weights.items()],
+            "term string, term_weight double",
+        )
+        scored = scored.join(F.broadcast(wdf), "term").withColumn(
+            "term_score", F.col("term_score") * F.col("term_weight")
+        )
     return (
         scored.groupBy("doc_id")
         .agg(F.sum("term_score").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def batch_delta_topk(
+    spark: SparkSession,
+    delta_postings: DataFrame,
+    weighted_terms: list[tuple[int, str, float]],
+    qid_list: list[int],
+    k: int = 10,
+    delta_stats: tuple[int, float] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Whole-query-set BM25 over the delta postings in ONE Arrow-scored job
+    → (query_id, doc_id, score), k-bounded per query.
+
+    ``weighted_terms``: (query_id, term, weight) rows — weight 1.0 for plain
+    msearch, edit-ratio discounts for the batched fuzzy stage.  The scorer
+    is the same dense local-docs × queries numpy block as the base index's
+    (``make_batch_group_scorer``), with ``group_partitioned`` keeping AQE
+    from collapsing the scoring shuffle to one task."""
+    from ..operators.bm25 import (
+        BATCH_SCORE_SCHEMA,
+        group_partitioned,
+        make_batch_group_scorer,
+    )
+
+    if not weighted_terms:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double"
+        )
+    if delta_stats is not None:
+        n_docs, avgdl = int(delta_stats[0]), float(delta_stats[1] or 1.0)
+    else:
+        row = (
+            delta_postings.select("doc_id", "doc_len")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"))
+            .collect()[0]
+        )
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
+    all_terms = sorted({t for _, t, _ in weighted_terms})
+    qidx = {qid: i for i, qid in enumerate(qid_list)}
+    term_to_qidx: dict[str, list[tuple[int, float]]] = {}
+    for qid, t, w in weighted_terms:
+        term_to_qidx.setdefault(t, []).append((qidx[qid], float(w)))
+    matched = delta_postings.where(F.col("term").isin(all_terms))
+    tdf = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    flat = matched.join(F.broadcast(tdf), "term").select(
+        "term", "doc_id", "tf", "doc_len", "df"
+    )
+    n_groups = max(8, spark.sparkContext.defaultParallelism)
+    scorer = make_batch_group_scorer(
+        term_to_qidx, qid_list, n_docs, avgdl, k1, b, k
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    grp_key = F.pmod(F.col("doc_id"), F.lit(n_groups))
+    return (
+        group_partitioned(flat, grp_key, n_groups)
+        .groupBy(grp_key.alias("grp"))
+        .applyInPandas(scorer, BATCH_SCORE_SCHEMA)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score")
     )
 
 
@@ -345,10 +634,6 @@ def search_many_with_delta(
     stream's manifest) removes the per-call isEmpty probe + distinct().agg()
     stats job — round-3 verdict item 8."""
     from ..functions.tokenize import py_index_tokens
-    from ..operators.bm25 import (
-        BATCH_SCORE_SCHEMA,
-        make_batch_group_scorer,
-    )
     from ..plans.wand import batch_topk_indexed
 
     base_rows = batch_topk_indexed(
@@ -364,60 +649,19 @@ def search_many_with_delta(
         delta_stats[0] > 0 if delta_stats is not None else not delta_postings.isEmpty()
     )
     if has_delta:
-        if delta_stats is not None:
-            n_docs, avgdl = int(delta_stats[0]), float(delta_stats[1] or 1.0)
-        else:
-            row = (
-                delta_postings.select("doc_id", "doc_len")
-                .distinct()
-                .agg(F.count("*").alias("n"), F.avg("doc_len").alias("avgdl"))
-                .collect()[0]
-            )
-            n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
-        pairs = [
-            (qid, t)
+        weighted = [
+            (qid, t, 1.0)
             for qid, q in queries
             for t in dict.fromkeys(py_index_tokens(q))
         ]
-        if pairs:
-            all_terms = sorted({t for _, t in pairs})
-            qid_list = [qid for qid, _ in queries]
-            qidx = {qid: i for i, qid in enumerate(qid_list)}
-            term_to_qidx: dict[str, list[tuple[int, float]]] = {}
-            for qid, t in pairs:
-                term_to_qidx.setdefault(t, []).append((qidx[qid], 1.0))
-            matched = delta_postings.where(F.col("term").isin(all_terms))
-            tdf = matched.groupBy("term").agg(
-                F.count("*").cast("double").alias("df")
-            )
-            flat = matched.join(F.broadcast(tdf), "term").select(
-                "term", "doc_id", "tf", "doc_len", "df"
-            )
-            n_groups = max(8, spark.sparkContext.defaultParallelism)
-            scorer = make_batch_group_scorer(
-                term_to_qidx, qid_list, n_docs, avgdl, 1.2, 0.75, k
-            )
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("query_id").orderBy(
-                F.desc("score"), F.asc("doc_id")
-            )
-            from ..operators.bm25 import group_partitioned
-
-            grp_key = F.pmod(F.col("doc_id"), F.lit(n_groups))
-            delta_rows = (
-                group_partitioned(flat, grp_key, n_groups)
-                .groupBy(grp_key.alias("grp"))
-                .applyInPandas(scorer, BATCH_SCORE_SCHEMA)
-                .withColumn("rank", F.row_number().over(w))
-                .where(F.col("rank") <= k)
-                .select("query_id", "doc_id", "score")
-                .collect()
-            )
-            for r in delta_rows:
-                key = (r["query_id"], r["doc_id"])
-                if key not in best or r["score"] > best[key]:
-                    best[key] = r["score"]
+        delta_rows = batch_delta_topk(
+            spark, delta_postings, weighted, [qid for qid, _ in queries],
+            k=k, delta_stats=delta_stats,
+        ).collect()
+        for r in delta_rows:
+            key = (r["query_id"], r["doc_id"])
+            if key not in best or r["score"] > best[key]:
+                best[key] = r["score"]
 
     per_q: dict[int, list[tuple[int, float]]] = {qid: [] for qid, _ in queries}
     for (qid, doc), s in best.items():

@@ -2,13 +2,20 @@
 
     spark-submit --py-files hse.zip jobs/compact_job.py \
         --index-dir /path/to/index --delta-dir /path/to/delta_postings \
-        [--keep-delta]
+        [--ann-index-dir /path/to/ivf --ann-kind ivf] [--keep-delta]
 
 Merge-based: touched shards decode→merge→re-encode (no corpus
 re-tokenization; see streaming/incremental.py::merge_compact).  The delta
 FILES read by this run (snapshotted up front) are deleted after a successful
 compaction unless --keep-delta; files the stream appends during the run
 survive for the next compaction.
+
+With --ann-index-dir, the delta's streamed EMBEDDINGS (written by
+start_delta_stream(encoder=...) under <delta-dir>/_embeddings) fold into the
+base ANN layout too (streaming/incremental.py::fold_delta_embeddings —
+crash-safe staged moves, fingerprint-idempotent), under the same
+snapshot-then-delete discipline, so compacted docs stay visible to the
+vector stage after the overlay is dropped.
 """
 
 from __future__ import annotations
@@ -25,6 +32,10 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--index-dir", required=True)
     parser.add_argument("--delta-dir", required=True)
+    parser.add_argument("--ann-index-dir", default=None)
+    parser.add_argument(
+        "--ann-kind", default="ivf", choices=["ivf", "lsh", "lsh_mb"]
+    )
     parser.add_argument("--keep-delta", action="store_true")
     parser.add_argument("--cores", type=int, default=0, help="local[N] for testing")
     args = parser.parse_args()
@@ -53,6 +64,28 @@ def main() -> None:
     # and excludes files a crashed prior run already folded (they are still
     # safe to delete below — their postings are in the shards)
     report = merge_compact(spark, args.index_dir, delta_files=files)
+    if args.ann_index_dir:
+        from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+            delta_embeddings_dir,
+            fold_delta_embeddings,
+        )
+
+        emb_dir = delta_embeddings_dir(args.delta_dir)
+        emb_files = [
+            os.path.join(emb_dir, f)
+            for f in fs.list_files(emb_dir)
+            if f.endswith(".parquet")
+        ]
+        if emb_files:
+            report["ann_fold"] = fold_delta_embeddings(
+                spark,
+                args.ann_index_dir,
+                spark.read.parquet(*emb_files),
+                kind=args.ann_kind,
+            )
+            if not args.keep_delta:
+                for f in emb_files:
+                    fs.delete(f)
     if not args.keep_delta:
         for f in files:
             fs.delete(f)

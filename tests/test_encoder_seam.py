@@ -118,3 +118,95 @@ def test_hybrid_plan_uses_encoder(spark):
     finally:
         plan.close()
         rigged.close()
+
+
+# ---------------------------------------------------------------------------
+# round-6 verdict item 5: a genuinely stateful, weights-file-backed encoder
+# through the same seam — proves the model-state-per-worker path end to end
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def proj_encoder(tmp_path_factory):
+    from hybrid_sanctions_search_engine_spark.functions.encoder import (
+        ProjectionEncoder,
+        save_projection_weights,
+    )
+
+    path = str(tmp_path_factory.mktemp("weights") / "proj.npy")
+    save_projection_weights(path, feat_dim=128, out_dim=64, seed=7)
+    return ProjectionEncoder(path, feat_dim=128, dim=64)
+
+
+def test_projection_encoder_contract(proj_encoder):
+    assert_encoder_contract(proj_encoder)
+
+
+def test_projection_encoder_pickle_drops_weights(proj_encoder):
+    """The closure shipped to executors must carry only the PATH — a real
+    checkpoint is GBs; each worker loads it from storage, once."""
+    import pickle
+
+    proj_encoder.encode_one("warm the cache")  # force a driver-side load
+    assert proj_encoder._w is not None
+    clone = pickle.loads(pickle.dumps(proj_encoder))
+    assert clone._w is None  # no matrix in the pickle
+    assert clone.weights_path == proj_encoder.weights_path
+    # …and the revived copy still encodes identically (lazy reload)
+    assert clone.encode_one("abc") == proj_encoder.encode_one("abc")
+
+
+def test_projection_encoder_worker_loading_e2e(spark, proj_encoder):
+    """embed_texts with the stateful encoder: workers receive a weightless
+    pickle (previous test), so matching vectors prove each worker loaded
+    the checkpoint from disk — the per-worker lazy-init path, live."""
+    df = spark.createDataFrame(
+        [(i, f"stateful encoder doc {i} with spark text") for i in range(40)],
+        "doc_id long, text string",
+    ).repartition(8)  # several partitions → several worker-side loads
+    rows = {r["doc_id"]: r["embedding"] for r in embed_texts(df, proj_encoder).collect()}
+    assert len(rows) == 40
+    for i in (0, 17, 39):
+        assert rows[i] == proj_encoder.encode_one(
+            f"stateful encoder doc {i} with spark text"
+        )
+
+
+def test_projection_encoder_ladder_and_index_e2e(spark, proj_encoder, tmp_path):
+    """Non-pseudo end-to-end serving: docs embedded through the stateful
+    encoder into an IVF index; the ladder (same encoder on the query side)
+    escalates a gibberish-lexical query and finds the semantically identical
+    doc at cosine 1.0."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        write_ivf_index,
+    )
+    from hybrid_sanctions_search_engine_spark.plans.hybrid import (
+        HybridSearchPlan,
+        SearchOpts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i} about topic number {i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    emb = embed_texts(
+        docs.select(F.col("doc_id").alias("vec_id"), "text"), proj_encoder
+    ).select("vec_id", "embedding")
+    ann = str(tmp_path / "proj_ivf")
+    write_ivf_index(emb, ann, n_centroids=4, iters=6)
+    plan = HybridSearchPlan(
+        docs, embedding_dim=64, ann_index_dir=ann, ann_kind="ivf",
+        ann_n_probe=4, encoder=proj_encoder,
+    )
+    try:
+        hits = plan.vector_stage(
+            "document 13 about topic number 6", k=3, rerank=False
+        ).collect()
+        assert hits[0]["doc_id"] == 13
+        assert hits[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+        res, trace = plan.search("qqxxzzvv wwrrkk", SearchOpts(top_k=5))
+        hybrid = next(t for t in trace if t.stage == "HYBRID")
+        assert hybrid.meta["escalated"]
+        assert res.count() > 0
+    finally:
+        plan.close()
