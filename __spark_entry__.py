@@ -190,8 +190,22 @@ def q_phrase_msearch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_prefix_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """L4 edge-ngram prefix matching + the COMPLETION SUGGESTER (round-6
+    verdict item 7; reference: the watchlist mapping's ES ``completion``
+    subfield, ``elasticsearch_index_manager.py:115-116``): for each probe
+    prefix, the top-20 dictionary completions ranked by document frequency
+    (weight desc, term asc — ES suggester tie-break).  The candidate set per
+    prefix IS the L4 edge-ngram match set, so this merged query keeps both
+    operators oracled within the driver's 50-query snapshot cap."""
     postings = post_ops.build_postings(_docs(spark, sf), positions=False)
-    return bm25_ops.prefix_match_terms(postings, "sc")
+    dictionary = post_ops.term_doc_freq(postings)
+    parts = [
+        bm25_ops.complete_prefix(dictionary, p, k=20) for p in ("sc", "wi")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("prefix", "rank")
 
 
 def q_wildcard_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1328,8 +1342,21 @@ WHERE a.tok = 'table'
 GROUP BY a.doc_id
 """,
         "prefix_terms": f"""
-WITH {_ORACLE_TOKS}
-SELECT DISTINCT term FROM tfs WHERE term LIKE 'sc%' AND length(term) >= 2
+WITH {_ORACLE_TOKS},
+d AS (SELECT term, count(*)::BIGINT AS df FROM tfs GROUP BY term)
+SELECT * FROM (
+  SELECT 'sc' AS prefix, term, df,
+         row_number() OVER (ORDER BY df DESC, term)::INT AS rank
+  FROM d WHERE term LIKE 'sc%' AND length(term) >= 2
+  ORDER BY df DESC, term LIMIT 20
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'wi' AS prefix, term, df,
+         row_number() OVER (ORDER BY df DESC, term)::INT AS rank
+  FROM d WHERE term LIKE 'wi%' AND length(term) >= 2
+  ORDER BY df DESC, term LIMIT 20
+)
 """,
         "wildcard_docs": f"""
 WITH {_ORACLE_TOKS}

@@ -12,11 +12,18 @@ steal waves swing single runs ±50% and can cap the box at ~4 effective
 cores for hours (BENCH.md; round 4 measured local[8] == local[4] all
 round).  Every leg therefore measures /proc/stat STEAL around its own
 timed window; a leg is CLEAN only if its steal fraction stays below
-``SCALE_BENCH_STEAL_MAX`` (default 5%).  Attempts append to
-``SCALING_R5.json`` so invocations spread across the round accumulate into
-one distribution — the final summary reports the best clean-pair
-efficiency, or (if the box never offers a clean window) the full
-attempt+steal evidence.
+``SCALE_BENCH_STEAL_MAX``.  Attempts append to ``SCALING_R6.json`` so
+invocations spread across the round accumulate into one distribution —
+the final summary reports the best clean-pair efficiency, or (if the box
+never offers a clean window) the full attempt+steal evidence.
+
+Round-6 hardening (verdict "what's wrong" #1: a 4.11%-steal leg passed the
+5% gate while measuring HALF the clean-window rate): the clean threshold
+drops to ≤1%, and every leg additionally times a fixed single-core numpy
+CANARY immediately before its window — the summary reports a
+canary-normalized efficiency alongside the raw one, so quota-style
+throttling with low instantaneous steal (the round-4 box mode) is visible
+even when the steal gate passes.
 
 Input: the sf documents table expanded deterministically ×REPLICATION
 (same expanded input for both runs; doc_ids remapped to stay unique).
@@ -40,9 +47,9 @@ N_SHARDS = 64
 CORES_PAIR = tuple(
     int(x) for x in os.environ.get("SCALE_BENCH_CORES", "1,4").split(",")
 )
-STEAL_MAX = float(os.environ.get("SCALE_BENCH_STEAL_MAX", "5.0"))
+STEAL_MAX = float(os.environ.get("SCALE_BENCH_STEAL_MAX", "1.0"))
 ATTEMPTS_FILE = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "SCALING_R5.json"
+    os.path.dirname(os.path.abspath(__file__)), "SCALING_R6.json"
 )
 
 
@@ -55,6 +62,23 @@ def cpu_jiffies() -> tuple[int, int]:
         return (vals[7] if len(vals) > 7 else 0, sum(vals))
     except OSError:
         return (0, 0)
+
+
+def canary_sec() -> float:
+    """Fixed single-core numpy workload (elementwise ops stay off the BLAS
+    thread pool): wall seconds for a constant op count.  A slowed box —
+    steal waves OR low-steal cgroup-style throttling — stretches this
+    number; the summary uses it to normalize leg throughputs."""
+    import numpy as np
+
+    x = np.arange(2_000_000, dtype=np.float64) * 1e-6
+    t0 = time.monotonic()
+    acc = 0.0
+    for _ in range(25):
+        acc += float(np.sin(x).sum())
+        x = x * 1.0000001 + 1e-9
+    _ = acc
+    return round(time.monotonic() - t0, 4)
 
 
 def child(cores: int) -> None:
@@ -78,6 +102,7 @@ def child(cores: int) -> None:
     n_docs = expanded.count()  # materialize input before timing
 
     index_dir = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
+    canary = canary_sec()  # box-state probe immediately before the window
     steal0, total0 = cpu_jiffies()
     t0 = time.monotonic()
     report = build_index(expanded, index_dir, n_shards=N_SHARDS, chunk_bits=12)
@@ -101,6 +126,7 @@ def child(cores: int) -> None:
                 "elapsed_sec": round(elapsed, 3),
                 "docs_per_sec": round(n_docs / elapsed, 1),
                 "steal_pct": steal_pct,
+                "canary_sec": canary,
             }
         )
     )
@@ -164,6 +190,16 @@ def summarize(attempts: list[dict]) -> dict:
             (best[n4]["docs_per_sec"] / best[n]["docs_per_sec"]) / (n4 / n), 4
         )
         out["best_clean_pair"] = {str(c): best[c] for c in CORES_PAIR}
+        # canary-normalized cross-check: scale each leg's throughput by how
+        # slow its canary ran vs the pair's faster canary — quota-throttled
+        # legs (low steal, stretched canary) stop under-reporting
+        c1, c4 = best[n].get("canary_sec"), best[n4].get("canary_sec")
+        if c1 and c4:
+            out["value_canary_normalized"] = round(
+                ((best[n4]["docs_per_sec"] * c4) / (best[n]["docs_per_sec"] * c1))
+                / (n4 / n),
+                4,
+            )
     else:
         out["value"] = None
         out["note"] = (
