@@ -446,18 +446,30 @@ def _knn_query_vec(dim: int = KNN_DIM) -> list[float]:
     return pseudo_embedding(text, dim)
 
 
-def _doc_embeddings_384(spark: SparkSession, sf: str) -> DataFrame:
+def _doc_embeddings_384(
+    spark: SparkSession, sf: str, max_vec_id: int | None = None
+) -> DataFrame:
     """(vec_id, embedding) at the reference's real width (384), built
     through the pluggable encoder seam (``functions.encoder.embed_texts``,
     mapInPandas, partition-preserving) — the default PseudoEncoder is
     bit-identical to the old inline pandas-UDF path, and a real model
-    swaps in via the ``encoder`` argument alone."""
+    swaps in via the ``encoder`` argument alone.
+
+    ``max_vec_id``: id prefilter applied to the DOC SCAN, before the Arrow
+    map.  A ``.where`` on the OUTPUT cannot be pushed through mapInPandas
+    (Catalyst can't know the UDF passes vec_id through), so the round-5
+    seam refactor silently embedded the whole corpus to serve
+    ``embedding_near_dup``'s 100-row block — the r4 1.4 s → r5 2.9 s
+    regression (round-6 verdict item 3)."""
     from hybrid_sanctions_search_engine_spark.functions.encoder import (
         PseudoEncoder,
         embed_texts,
     )
 
-    base = _docs(spark, sf).select(F.col("doc_id").alias("vec_id"), "text")
+    base = _docs(spark, sf)
+    if max_vec_id is not None:
+        base = base.where(F.col("doc_id") < max_vec_id)
+    base = base.select(F.col("doc_id").alias("vec_id"), "text")
     return embed_texts(base, PseudoEncoder(KNN_DIM_FULL)).select(
         "vec_id", "embedding"
     )
@@ -496,7 +508,7 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         cosine_pairs,
     )
 
-    emb = _doc_embeddings_384(spark, sf).where(F.col("vec_id") < 100)
+    emb = _doc_embeddings_384(spark, sf, max_vec_id=100)
     pairs = cosine_pairs(emb, emb, threshold=0.6, arrow=True)
     return pairs.select(
         "id_a", "id_b", _r4("cos_sim").alias("cos_sim")
