@@ -80,6 +80,17 @@ class SearchOpts:
     # for queries that never escalate — that path stays lazy regardless of
     # this flag.  Disable to serve strictly-lazy like search().
     speculative_vector: bool = True
+    # search_many only (round 6): also run the fuzzy SCORING job
+    # speculatively for all queries — it depends only on the expansion
+    # (itself speculative), not on the AC result, so chaining it off the
+    # expansion future takes the last post-AC stage off the critical path
+    # (the 960k profile showed wall = AC + fuzzy with vector already
+    # overlapped; after this, wall = max(AC, expansion+fuzzy, vector)).
+    # Per-query scoring is independent, so filtering to the escalating
+    # subset afterwards is identical to scoring only that subset.  Bounded
+    # extra work (the non-escalating queries' scoring), cancelled via job
+    # group when nothing escalates.
+    speculative_fuzzy: bool = True
 
 
 def _timed_into(trace: dict, name: str, fn):
@@ -266,6 +277,7 @@ class HybridSearchPlan:
         if self._fuzzy_dict is not None:
             self._fuzzy_dict.unpersist()
             self._fuzzy_dict = None
+        self._driver_dict = ...  # invalidate the driver-side FST-style cache
         self.delta_docs = delta_docs
         self.delta_postings = delta_postings
         self.delta_embeddings = delta_embeddings
@@ -310,6 +322,80 @@ class HybridSearchPlan:
 
     def _expansion_dictionary(self) -> DataFrame:
         return self._fuzzy_dict if self._fuzzy_dict is not None else self.dictionary
+
+    # fuzzy expansion fast path: Lucene/ES serve fuzzy candidates from an
+    # in-RAM terms dictionary (the FST); when this plan's dictionary is
+    # small enough to hold on the driver, the batched expansion runs there
+    # — a 31-term synthetic dictionary was costing 1.7-1.9 s of Spark job
+    # floors per batch under stage contention at 960k (round-6 profile).
+    # Bounded: above the cap the Spark prefix-join path serves (a web-scale
+    # term dictionary does not fit one process).
+    driver_expansion_max_terms = 50_000
+
+    def _driver_dictionary(self) -> list[str] | None:
+        """Collected term list (sorted) when ≤ the cap, else None; cached
+        per attach state (attach_delta/detach_delta invalidate)."""
+        cached = getattr(self, "_driver_dict", ...)
+        if cached is not ...:
+            return cached
+        d = self._expansion_dictionary()
+        n = d.count()
+        self._driver_dict = (
+            [r["term"] for r in d.select("term").collect()]
+            if n <= self.driver_expansion_max_terms
+            else None
+        )
+        if self._driver_dict is not None:
+            self._driver_dict.sort()
+        return self._driver_dict
+
+    def _expand_terms_driver(
+        self, qids: list[int], qtext: dict[int, str], opts: SearchOpts,
+        dict_terms: list[str],
+    ) -> list[dict]:
+        """Driver-side twin of the Spark expansion — IDENTICAL rows (same
+        prefix-bucket candidates, same (edit asc, term asc) cap, same weight
+        arithmetic on the same ints, so the IEEE results match bit-for-bit);
+        parity pinned by tests/test_hybrid_batch.py."""
+        buckets: dict[str, list[str]] = {}
+        buckets1: dict[str, list[str]] = {}
+        for t in dict_terms:
+            buckets.setdefault(t[:2], []).append(t)
+            buckets1.setdefault(t[:1], []).append(t)
+
+        def lev(a: str, b: str) -> int:
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1,
+                            prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        out: dict[tuple[int, str], float] = {}
+        for qid in qids:
+            for qt in dict.fromkeys(query_terms(qtext[qid])):
+                plen = min(len(qt), 2)
+                cand = (buckets if plen == 2 else buckets1).get(qt[:plen], [])
+                scored = sorted(
+                    (d, term)
+                    for term in cand
+                    if (d := lev(term, qt)) <= opts.fuzzy_max_edits
+                )
+                for d, term in scored[: opts.fuzzy_max_expansions]:
+                    w = 1.0 - d / max(len(term), len(qt))
+                    key = (qid, term)
+                    if key not in out or w > out[key]:
+                        out[key] = w
+        return [
+            {"query_id": q, "term": t, "term_weight": w}
+            for (q, t), w in out.items()
+        ]
 
     def _docs_for_text(self) -> DataFrame:
         """Doc-text store for rerank/anchor probes: base ∪ delta docs."""
@@ -393,35 +479,44 @@ class HybridSearchPlan:
         same-prefix buckets), then score docs via BM25 with each expanded
         term's contribution discounted by its edit ratio."""
         terms = query_terms(query)
-        expansions = []
-        for t in terms:
-            cand = fuzzy_term_candidates(
-                self._expansion_dictionary(),
-                t,
-                max_edits=opts.fuzzy_max_edits,
-                max_expansions=opts.fuzzy_max_expansions,
-            ).select(
-                F.col("term"),
-                (
-                    1.0
-                    - F.col("edit_dist")
-                    / F.greatest(F.length("term"), F.lit(len(t)))
-                ).alias("term_weight"),
+        dict_terms = self._driver_dictionary()
+        if dict_terms is not None:
+            # in-RAM dictionary fast path (Lucene-FST-style) — identical
+            # rows to the Spark expansion below, zero jobs
+            weights = {
+                r["term"]: float(r["term_weight"])
+                for r in self._expand_terms_driver(
+                    [0], {0: query}, opts, dict_terms
+                )
+            }
+        elif terms:
+            expansions = []
+            for t in terms:
+                cand = fuzzy_term_candidates(
+                    self._expansion_dictionary(),
+                    t,
+                    max_edits=opts.fuzzy_max_edits,
+                    max_expansions=opts.fuzzy_max_expansions,
+                ).select(
+                    F.col("term"),
+                    (
+                        1.0
+                        - F.col("edit_dist")
+                        / F.greatest(F.length("term"), F.lit(len(t)))
+                    ).alias("term_weight"),
+                )
+                expansions.append(cand)
+            expanded = expansions[0]
+            for e in expansions[1:]:
+                expanded = expanded.unionByName(e)
+            expanded = expanded.groupBy("term").agg(
+                F.max("term_weight").alias("term_weight")
             )
-            expansions.append(cand)
-        if not expansions:
-            return self.docs.sparkSession.createDataFrame(
-                [], "doc_id long, score double"
-            )
-        expanded = expansions[0]
-        for e in expansions[1:]:
-            expanded = expanded.unionByName(e)
-        expanded = expanded.groupBy("term").agg(
-            F.max("term_weight").alias("term_weight")
-        )
-        weights = {
-            r["term"]: float(r["term_weight"]) for r in expanded.collect()
-        }
+            weights = {
+                r["term"]: float(r["term_weight"]) for r in expanded.collect()
+            }
+        else:
+            weights = {}
         if not weights:
             return self.docs.sparkSession.createDataFrame(
                 [], "doc_id long, score double"
@@ -442,7 +537,11 @@ class HybridSearchPlan:
             scored = score_terms(
                 self.postings, self.dl, list(weights), self.stats
             )
-            weighted = scored.join(F.broadcast(expanded), "term").withColumn(
+            wdf = self.docs.sparkSession.createDataFrame(
+                [(t, w) for t, w in weights.items()],
+                "term string, term_weight double",
+            )
+            weighted = scored.join(F.broadcast(wdf), "term").withColumn(
                 "term_score", F.col("term_score") * F.col("term_weight")
             )
             base = (
@@ -710,6 +809,12 @@ class HybridSearchPlan:
         prefix to keep ``fuzzy_term_candidates``'s ``q[:2]`` semantics
         exactly."""
         spark = self.docs.sparkSession
+        dict_terms = self._driver_dictionary()
+        if dict_terms is not None:
+            # in-RAM dictionary fast path (see _driver_dictionary): the 960k
+            # profile showed ~1.8 s of job floors per batch for a dictionary
+            # that fits in one list
+            return self._expand_terms_driver(qids, qtext, opts, dict_terms)
         qterm_pairs = []
         for qid in qids:
             for t in dict.fromkeys(query_terms(qtext[qid])):
@@ -1090,6 +1195,114 @@ class HybridSearchPlan:
             else None
         )
 
+        # --- stage 2 scoring, speculative (round 6): the fuzzy SCORING job
+        # depends only on the expansion result, never on AC — chaining it
+        # off exp_fut at t0 takes the last post-AC stage off the critical
+        # path (960k profile: wall was AC + fuzzy with vector already
+        # overlapped).  Per-query scoring is independent, so the post-AC
+        # filter to the escalating subset returns exactly what scoring only
+        # that subset would have.
+        def _fuzzy_stage_batch(
+            targets: list[int],
+        ) -> dict[int, list[tuple[int, float]]]:
+            from pyspark.sql import Window
+
+            fz_rows: dict[int, list[tuple[int, float]]] = {q: [] for q in targets}
+            if not targets or exp_fut is None:
+                return fz_rows
+            tset = set(targets)
+            expanded_rows = [
+                r for r in exp_fut.result() if r["query_id"] in tset
+            ]
+            if expanded_rows and self.index_df is not None:
+                # weighted batch scoring straight off the compressed
+                # index: the chunk-group Arrow scorer multiplies each
+                # expanded term's contribution by its edit-ratio weight
+                from .wand import batch_topk_indexed
+
+                fz_all = batch_topk_indexed(
+                    spark, self.index_dir, [], k=k,
+                    index_df=self.index_df, meta=self.index_meta,
+                    query_terms_override=[
+                        (r["query_id"], r["term"], float(r["term_weight"]))
+                        for r in expanded_rows
+                    ],
+                ).collect()
+                for r in fz_all:
+                    fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
+            elif expanded_rows:
+                all_terms = sorted({r["term"] for r in expanded_rows})
+                scored = score_terms(
+                    self.postings, self.dl, all_terms, self.stats
+                )
+                wdf = spark.createDataFrame(
+                    [
+                        (r["query_id"], r["term"], float(r["term_weight"]))
+                        for r in expanded_rows
+                    ],
+                    "query_id long, term string, term_weight double",
+                )
+                w2 = Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+                fz_all = (
+                    scored.join(F.broadcast(wdf), "term")
+                    .withColumn(
+                        "term_score", F.col("term_score") * F.col("term_weight")
+                    )
+                    .groupBy("query_id", "doc_id")
+                    .agg(F.sum("term_score").alias("score"))
+                    .withColumn("rn", F.row_number().over(w2))
+                    .where(F.col("rn") <= k)
+                    .collect()
+                )
+                for r in fz_all:
+                    fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
+            if expanded_rows and self._delta_lex:
+                # overlay (round 6): the expanded terms also score against
+                # the delta postings (delta's own stats + the same edit-ratio
+                # weights), then each query's base ∪ delta keep-bests and
+                # truncates to k — exactly fuzzy_stage()'s overlay + limit
+                from ..streaming.incremental import batch_delta_topk
+
+                delta_fz = batch_delta_topk(
+                    spark, self.delta_postings,
+                    [
+                        (r["query_id"], r["term"], float(r["term_weight"]))
+                        for r in expanded_rows
+                    ],
+                    sorted(tset), k=k, delta_stats=self.delta_stats,
+                ).collect()
+                if delta_fz:
+                    for qid in fz_rows:
+                        best: dict[int, float] = {}
+                        for doc, sc in fz_rows[qid]:
+                            if doc not in best or sc > best[doc]:
+                                best[doc] = sc
+                        for r in (x for x in delta_fz if x["query_id"] == qid):
+                            d, sc = r["doc_id"], r["score"]
+                            if d not in best or sc > best[d]:
+                                best[d] = sc
+                        fz_rows[qid] = sorted(
+                            best.items(), key=lambda kv: (-kv[1], kv[0])
+                        )[:k]
+            return fz_rows
+
+        spec_fz_group = f"specfz-{next(_SPEC_GROUP_SEQ)}"
+
+        def _speculative_fuzzy():
+            spark.sparkContext.setJobGroup(
+                spec_fz_group, "speculative batched fuzzy scoring",
+                interruptOnCancel=True,
+            )
+            return _fuzzy_stage_batch([qid for qid, _ in queries])
+
+        fz_fut = (
+            _Async(_timed_into(trace, "fuzzy_ms", _speculative_fuzzy))
+            if opts.speculative_fuzzy and opts.enable_escalation
+            else None
+        )
+
         # --- stage 1: batched AC (+ homoglyph variants as extra entries) ---
         entries = list(queries)
         variant_of: dict[int, int] = {}
@@ -1160,96 +1373,16 @@ class HybridSearchPlan:
             )
         ]
 
-        # --- stages 2+3 run CONCURRENTLY: the fuzzy scoring job (over the
-        # already-expanded terms) and the vector job both depend only on the
-        # AC result (escalating set) — wall time is AC + max(fuzzy, vector),
-        # not the sum.  Spark job submission is thread-safe; the driver-side
-        # work in each closure is k-bounded.
-        def _fuzzy_stage_batch() -> dict[int, list[tuple[int, float]]]:
-            from pyspark.sql import Window
-
-            fz_rows: dict[int, list[tuple[int, float]]] = {q: [] for q in escalating}
-            if not escalating or exp_fut is None:
-                return fz_rows
-            esc = set(escalating)
-            expanded_rows = [
-                r for r in exp_fut.result() if r["query_id"] in esc
-            ]
-            if expanded_rows and self.index_df is not None:
-                # weighted batch scoring straight off the compressed
-                # index: the chunk-group Arrow scorer multiplies each
-                # expanded term's contribution by its edit-ratio weight
-                from .wand import batch_topk_indexed
-
-                fz_all = batch_topk_indexed(
-                    spark, self.index_dir, [], k=k,
-                    index_df=self.index_df, meta=self.index_meta,
-                    query_terms_override=[
-                        (r["query_id"], r["term"], float(r["term_weight"]))
-                        for r in expanded_rows
-                    ],
-                ).collect()
-                for r in fz_all:
-                    fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
-            elif expanded_rows:
-                all_terms = sorted({r["term"] for r in expanded_rows})
-                scored = score_terms(
-                    self.postings, self.dl, all_terms, self.stats
+        # --- stages 2+3: both futures may already be in flight (speculative,
+        # launched at t0); lazy fallbacks cover the non-speculative opts.
+        # Wall time is max(AC, expansion+fuzzy, vector), not the sum.
+        if fz_fut is None and escalating:
+            fz_fut = _Async(
+                _timed_into(
+                    trace, "fuzzy_ms",
+                    lambda: _fuzzy_stage_batch(escalating),
                 )
-                wdf = spark.createDataFrame(
-                    [
-                        (r["query_id"], r["term"], float(r["term_weight"]))
-                        for r in expanded_rows
-                    ],
-                    "query_id long, term string, term_weight double",
-                )
-                w2 = Window.partitionBy("query_id").orderBy(
-                    F.desc("score"), F.asc("doc_id")
-                )
-                fz_all = (
-                    scored.join(F.broadcast(wdf), "term")
-                    .withColumn(
-                        "term_score", F.col("term_score") * F.col("term_weight")
-                    )
-                    .groupBy("query_id", "doc_id")
-                    .agg(F.sum("term_score").alias("score"))
-                    .withColumn("rn", F.row_number().over(w2))
-                    .where(F.col("rn") <= k)
-                    .collect()
-                )
-                for r in fz_all:
-                    fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
-            if expanded_rows and self._delta_lex:
-                # overlay (round 6): the expanded terms also score against
-                # the delta postings (delta's own stats + the same edit-ratio
-                # weights), then each query's base ∪ delta keep-bests and
-                # truncates to k — exactly fuzzy_stage()'s overlay + limit
-                from ..streaming.incremental import batch_delta_topk
-
-                delta_fz = batch_delta_topk(
-                    spark, self.delta_postings,
-                    [
-                        (r["query_id"], r["term"], float(r["term_weight"]))
-                        for r in expanded_rows
-                    ],
-                    sorted(esc), k=k, delta_stats=self.delta_stats,
-                ).collect()
-                if delta_fz:
-                    for qid in fz_rows:
-                        best: dict[int, float] = {}
-                        for doc, sc in fz_rows[qid]:
-                            if doc not in best or sc > best[doc]:
-                                best[doc] = sc
-                        for r in (x for x in delta_fz if x["query_id"] == qid):
-                            d, sc = r["doc_id"], r["score"]
-                            if d not in best or sc > best[d]:
-                                best[d] = sc
-                        fz_rows[qid] = sorted(
-                            best.items(), key=lambda kv: (-kv[1], kv[0])
-                        )[:k]
-            return fz_rows
-
-        fz_fut = _Async(_timed_into(trace, "fuzzy_ms", _fuzzy_stage_batch))
+            )
         if vec_fut is None and escalating:
             vec_fut = _Async(
                 _timed_into(
@@ -1257,27 +1390,29 @@ class HybridSearchPlan:
                     lambda: _vector_stage_batch(escalating),
                 )
             )
-        fz_rows = fz_fut.result()
-        suppress_vec_trace = False
+        suppress_vec_trace = suppress_fz_trace = False
         if not escalating:
-            # nothing escalated: don't block on the vector stage at all — a
-            # speculative future (launched before the AC result existed) is
-            # abandoned AND its in-flight Spark jobs cancelled via the job
-            # group, so the dead probe stops consuming executor cores; its
+            # nothing escalated: don't block on the speculative stages at
+            # all — a future launched before the AC result existed is
+            # abandoned AND its in-flight Spark jobs cancelled via its job
+            # group, so the dead work stops consuming executor cores; the
             # cancellation exception stays inside the never-joined daemon
-            # thread and vector_ms never lands in the trace (review
+            # thread and the stage's ms never lands in the trace (review
             # findings, round 5)
             if vec_fut is not None:
                 spark.sparkContext.cancelJobGroup(spec_group)
-                # a probe that FINISHED before the cancel raced its
-                # vector_ms into the local trace — suppress it at
-                # publication so "no vector stage served" is deterministic
                 suppress_vec_trace = True
+            if fz_fut is not None:
+                spark.sparkContext.cancelJobGroup(spec_fz_group)
+                suppress_fz_trace = True
             vec_rows: dict[int, list] = {}
+            fz_rows: dict[int, list[tuple[int, float]]] = {}
         else:
             # speculative results cover ALL queries — keep only the
             # escalating subset so gating sees exactly what search() would
             # have computed
+            fz_all_res = fz_fut.result() if fz_fut is not None else {}
+            fz_rows = {q: fz_all_res.get(q, []) for q in escalating}
             vec_all = vec_fut.result()
             vec_rows = {q: vec_all.get(q, []) for q in escalating}
 
@@ -1344,6 +1479,9 @@ class HybridSearchPlan:
         self.last_batch_trace = {
             k: v
             for k, v in trace.items()
-            if not (suppress_vec_trace and k == "vector_ms")
+            if not (
+                (suppress_vec_trace and k == "vector_ms")
+                or (suppress_fz_trace and k == "fuzzy_ms")
+            )
         }
         return result, meta

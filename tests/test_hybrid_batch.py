@@ -218,3 +218,28 @@ def test_search_many_parity_rerank_off_no_anchors(spark, corpus, tmp_path):
         _assert_parity(plan, opts)
     finally:
         plan.close()
+
+
+def test_driver_expansion_twin_of_spark_path(spark, corpus):
+    """The in-RAM dictionary fast path (round 6) must produce EXACTLY the
+    Spark prefix-join expansion's rows — same candidates, same caps, same
+    weights to the last bit — or single/batch parity would silently drift
+    whenever a plan crosses the driver_expansion_max_terms threshold."""
+    docs, emb = corpus
+    plan = HybridSearchPlan(docs)
+    try:
+        opts = SearchOpts()
+        qids = [q for q, _ in QUERIES]
+        qtext = dict(QUERIES)
+        fast = plan._expand_terms_batch(qids, qtext, opts)
+        assert plan._driver_dictionary() is not None  # fast path exercised
+        plan.driver_expansion_max_terms = 0  # force the Spark path
+        plan._driver_dict = ...
+        slow = plan._expand_terms_batch(qids, qtext, opts)
+        as_set = lambda rows: {
+            (r["query_id"], r["term"], r["term_weight"]) for r in rows
+        }
+        assert as_set(fast) == as_set(slow)
+        assert fast  # non-trivial comparison
+    finally:
+        plan.close()

@@ -710,3 +710,24 @@ def test_interleaved_lineage_folds_never_lose_updates(tmp_path):
     with open(src + ".tmp", "w") as fh, open(src) as rf:
         fh.write(rf.read())
     assert load_delta_stats(d) == (n2, avgdl2)
+
+
+def test_subtraction_ledger_keeps_all_fingerprints(tmp_path):
+    """Round-6 ADVICE fix: a crash-rerun of a compaction whose fingerprint
+    had rotated out of the old 64-entry window double-subtracted its stats.
+    The ledger now keeps every fp — replaying an OLD compaction after 100
+    newer ones must be a no-op."""
+    from hybrid_sanctions_search_engine_spark.sources.fs import fs_for
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        DELTA_STATS_SUB_FILE,
+        _subtract_delta_stats,
+    )
+
+    d = str(tmp_path)
+    _subtract_delta_stats(d, "fp-old", 10, 100)
+    for i in range(100):
+        _subtract_delta_stats(d, f"fp-{i}", 1, 10)
+    _subtract_delta_stats(d, "fp-old", 10, 100)  # crash rerun
+    sub = fs_for(d).read_json(os.path.join(d, DELTA_STATS_SUB_FILE))
+    assert sub["n_docs"] == 110 and sub["total_len"] == 1100
+    assert len(sub["fps"]) == 101
