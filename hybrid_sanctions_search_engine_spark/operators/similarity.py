@@ -386,6 +386,99 @@ def knn_ivf_probe(
                           arrow=True)
 
 
+def knn_ivf_probe_many(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Batched IVF ANN probe in ONE map-only pass (round 6): each Arrow
+    batch of the pruned union-of-cells scan scores every query against only
+    the rows in THAT query's probed cells (an in-task cell mask), emits the
+    batch-local top-k per query, and a k-bounded window merges exactly.
+
+    This replaces the broadcast-join + global-window shape, which
+    DUPLICATED each candidate row per probing query (at 960k docs × 100
+    speculative queries: ~1.1M fan-out rows through the cosine UDF and the
+    window exchange).  Here the fan-out never leaves the Arrow task —
+    the same argument ``knn_bruteforce_many`` makes for the exact scan —
+    and the task output is ≤ |queries| × k rows per batch.
+
+    Bit-parity: same op shapes as the single-query refine
+    (``cosine_to_query_udf`` / ``knn_bruteforce_many`` — float64 from
+    tolist, axis=1 doc norms, 1-D query norms, one gemv per query, local
+    top-k by (-cos, id) making the window merge exact), so
+    search() ≡ search_many() holds on ANN-served plans."""
+    from pyspark.sql import Window
+
+    spark = indexed.sparkSession
+    out_schema = f"query_id long, {id_col} long, cos_sim double"
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    qids = np.asarray([q for q, _ in queries], dtype=np.int64)
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    qnorms = np.array(
+        [
+            max(float(np.linalg.norm(np.asarray(v, dtype=np.float64))), 1e-300)
+            for _, v in queries
+        ]
+    )
+    qn = qmat / qnorms[:, None]
+    cells = [
+        np.argsort(-(centroids @ qn[i]))[:n_probe].astype(np.int64)
+        for i in range(len(qids))
+    ]
+    union = sorted({int(c) for cs in cells for c in cs})
+    nq, kk = len(qids), k
+
+    def score(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cell = pdf[cell_col].to_numpy(dtype=np.int64)
+            norms = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+            batch_cells = set(int(c) for c in np.unique(cell))
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                probe = [c for c in cells[qi] if int(c) in batch_cells]
+                if not probe:
+                    continue
+                mask = np.isin(cell, np.asarray(probe, dtype=np.int64))
+                xs = x[mask]
+                cos = (xs @ qmat[qi]) / (norms[mask] * qnorms[qi])
+                idsm = ids[mask]
+                top = np.lexsort((idsm, -cos))[:kk]
+                out_q.append(np.full(top.size, qids[qi]))
+                out_i.append(idsm[top])
+                out_s.append(cos[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "cos_sim": np.concatenate(out_s),
+                    }
+                )
+
+    local = (
+        indexed.where(F.col(cell_col).isin(union))
+        .select(id_col, vec_col, cell_col)
+        .mapInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 _LSH_TOP_BITS = 8
 
 

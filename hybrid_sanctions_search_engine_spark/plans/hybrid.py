@@ -936,27 +936,24 @@ class HybridSearchPlan:
             import numpy as np
 
             qvecs = {q: self.encoder.encode_one(qtext[q]) for q in targets}
+            ivf_hits = None
             if self.ann_index_dir is not None and self.ann_kind == "ivf":
-                cells = {
-                    q: [
-                        int(c)
-                        for c in np.argsort(
-                            -(self.ann_centroids @ (
-                                np.asarray(qvecs[q])
-                                / max(np.linalg.norm(qvecs[q]), 1e-12)
-                            ))
-                        )[: self.ann_n_probe]
-                    ]
-                    for q in targets
-                }
-                union_cells = sorted({c for cs in cells.values() for c in cs})
-                celldf = spark.createDataFrame(
-                    [(q, c) for q, cs in cells.items() for c in cs],
-                    "query_id long, ivf_cell int",
+                # fused per-cell batched scorer (round 6): ONE map-only pass
+                # over the pruned cell union; each Arrow task masks each
+                # query to its own probed cells and emits k-bounded local
+                # top-ks — no per-(query, row) join fan-out, no full-volume
+                # window exchange (was ~1.1M duplicated rows at 960k × 100
+                # speculative queries)
+                from ..operators.similarity import knn_ivf_probe_many
+
+                ivf_hits = knn_ivf_probe_many(
+                    self.ann_df, self.ann_centroids,
+                    [(q, qvecs[q]) for q in targets],
+                    k=k, n_probe=self.ann_n_probe,
+                ).select(
+                    "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
                 )
-                base = self.ann_df.where(
-                    F.col("ivf_cell").isin(union_cells)
-                ).join(F.broadcast(celldf), "ivf_cell")
+                base = None
             elif self.ann_index_dir is not None and self.ann_kind == "lsh_mb":
                 import os as _os
 
@@ -1037,7 +1034,9 @@ class HybridSearchPlan:
                 )
             else:
                 base = None
-            if base is not None:
+            if ivf_hits is not None:
+                hits = ivf_hits
+            elif base is not None:
                 # Arrow cosine at EVERY dim: the batched probe scores
                 # |escalating| × cell-population pairs (~370k at 960k docs ×
                 # 34 queries), and the interpreted HOF cosine_col walks each

@@ -166,8 +166,30 @@ def summarize(attempts: list[dict]) -> dict:
         c: [a[str(c)] for a in attempts if str(c) in a and a[str(c)]]
         for c in CORES_PAIR
     }
+    # round-6 gate: a leg is clean only if (a) steal ≤ threshold during its
+    # window AND (b) its single-core canary ran within 25% of the round's
+    # fastest canary — the box's quota-throttle mode shows near-zero steal
+    # while halving throughput (attempt 2 this round: leg-4 canary 1.65×
+    # the leg-1 canary in the same attempt, raw efficiency 0.73 — a window
+    # artifact, not the build path)
+    canaries = [
+        l["canary_sec"]
+        for ls in legs.values()
+        for l in ls
+        if l.get("canary_sec")
+    ]
+    min_canary = min(canaries) if canaries else None
+
+    def _is_clean(leg: dict) -> bool:
+        if not leg.get("clean"):
+            return False
+        c = leg.get("canary_sec")
+        if min_canary is not None and c is not None and c > 1.25 * min_canary:
+            return False
+        return True
+
     clean = {
-        c: [l for l in legs[c] if l.get("clean")] for c in CORES_PAIR
+        c: [l for l in legs[c] if _is_clean(l)] for c in CORES_PAIR
     }
     # best clean leg per side — external interference only ever slows a run,
     # so fastest-clean is the least-biased sample of the box's capability
@@ -179,6 +201,9 @@ def summarize(attempts: list[dict]) -> dict:
         "metric": f"index-build scaling efficiency local[{n}] -> local[{n4}]",
         "unit": "efficiency",
         "steal_threshold_pct": STEAL_MAX,
+        "canary_bound_sec": (
+            round(1.25 * min_canary, 4) if min_canary is not None else None
+        ),
         "n_attempts": len(attempts),
         "clean_legs": {str(c): len(clean[c]) for c in CORES_PAIR},
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
