@@ -380,3 +380,67 @@ def test_fold_delta_embeddings_lsh_mb(spark, env, tmp_path):
         spark, path, pseudo_embedding(DELTA_DOCS[1][1], DIM), k=3
     ).collect()
     assert hits[0]["vec_id"] == DELTA_DOCS[1][0]
+
+
+def test_delta_overlay_with_lsh_plan(spark, env, tmp_path):
+    """The vector overlay is layout-agnostic: an LSH-served plan with the
+    same delta attached also surfaces the streamed doc at cosine 1.0, and
+    search ≡ search_many holds."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        write_lsh_index,
+    )
+
+    base_docs = env["plan"].docs
+    path = str(tmp_path / "lsh")
+    write_lsh_index(env["base_emb"], path, dim=DIM, n_planes=16)
+    plan = HybridSearchPlan(
+        base_docs, embeddings=env["base_emb"], embedding_dim=DIM,
+        ann_index_dir=path, ann_kind="lsh", ann_max_hamming=3,
+    )
+    plan.attach_delta(
+        delta_docs=spark.createDataFrame(DELTA_DOCS, SCHEMA),
+        delta_postings=load_delta_postings(spark, env["delta_dir"]),
+        delta_stats=load_delta_stats(env["delta_dir"]),
+        delta_embeddings=load_delta_embeddings(spark, env["delta_dir"]),
+    )
+    try:
+        hits = plan.vector_stage(DELTA_DOCS[0][1], k=3, rerank=False).collect()
+        assert hits[0]["doc_id"] == DELTA_DOCS[0][0]
+        assert hits[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+        queries = [(1, GIBBERISH_QUERY), (2, "zorblatt"), (3, DELTA_DOCS[2][1])]
+        opts = SearchOpts(top_k=5)
+        batched, meta = plan.search_many(queries, opts)
+        got: dict[int, list] = {}
+        for r in batched.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+            )
+        for qid, text in queries:
+            res, trace = plan.search(text, opts)
+            want = [
+                (i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(res.collect())
+            ]
+            assert sorted(got.get(qid, [])) == want, (qid, text)
+    finally:
+        plan.close()
+
+
+def test_fold_delta_embeddings_lsh(spark, env, tmp_path):
+    """The single-signature LSH layout folds too (band from the stored
+    meta); post-fold probe finds the streamed doc."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        knn_lsh_probe,
+        write_lsh_index,
+    )
+
+    path = str(tmp_path / "lsh_fold")
+    write_lsh_index(env["base_emb"], path, dim=DIM, n_planes=16)
+    demb = load_delta_embeddings(spark, env["delta_dir"])
+    rep = fold_delta_embeddings(spark, path, demb, kind="lsh")
+    assert rep["folded_vecs"] == len(DELTA_DOCS)
+    hits = knn_lsh_probe(
+        spark, path, pseudo_embedding(DELTA_DOCS[0][1], DIM), k=3,
+        max_hamming=0,
+    ).collect()
+    assert hits and hits[0]["vec_id"] == DELTA_DOCS[0][0]
