@@ -681,9 +681,32 @@ class HybridSearchPlan:
             doc, sc = r["doc_id"], r["score"]
             if doc not in lexical_best or sc > lexical_best[doc]:
                 lexical_best[doc] = sc
+        vec_rows: list = []
+        have_vectors = (
+            self.embeddings is not None
+            or self.ann_index_dir is not None
+            or self.delta_embeddings is not None
+        )
         if escalate:
+            # stages 2 and 3 are independent given the escalation decision
+            # (fuzzy feeds nothing into the vector probe; both merge after)
+            # — run them CONCURRENTLY, exactly like search_many overlaps
+            # them (round 6: the sequential ladder paid 0.8 s fuzzy + 1.0 s
+            # vector back-to-back on an escalated ANN query).  Each stage's
+            # took_ms is its own wall; the trace keeps the ladder order.
             t1 = time.monotonic()
-            fz_rows = self.fuzzy_stage(query, k, opts).collect()
+            fz_fut = _Async(lambda: self.fuzzy_stage(query, k, opts).collect())
+            vec_fut = (
+                _Async(
+                    lambda: self.vector_stage(
+                        query, k, rerank=opts.rapidfuzz_rerank
+                    ).collect()
+                )
+                if have_vectors
+                else None
+            )
+            fz_rows = fz_fut.result()
+            fz_ms = (time.monotonic() - t1) * 1000
             for r in fz_rows:
                 doc, sc = r["doc_id"], r["score"]
                 if doc not in lexical_best or sc > lexical_best[doc]:
@@ -693,30 +716,20 @@ class HybridSearchPlan:
                     "FUZZY",
                     len(fz_rows),
                     max((r["score"] for r in fz_rows), default=0.0),
-                    (time.monotonic() - t1) * 1000,
+                    fz_ms,
                 )
             )
-
-        vec_rows: list = []
-        have_vectors = (
-            self.embeddings is not None
-            or self.ann_index_dir is not None
-            or self.delta_embeddings is not None
-        )
-        if escalate and have_vectors:
-            t2 = time.monotonic()
-            vec_rows = self.vector_stage(
-                query, k, rerank=opts.rapidfuzz_rerank
-            ).collect()
-            trace.append(
-                SearchTraceStep(
-                    "SEMANTIC",
-                    len(vec_rows),
-                    max((r["score"] for r in vec_rows), default=0.0),
-                    (time.monotonic() - t2) * 1000,
-                    {"ann": self.ann_kind if self.ann_index_dir else "bruteforce"},
+            if vec_fut is not None:
+                vec_rows = vec_fut.result()
+                trace.append(
+                    SearchTraceStep(
+                        "SEMANTIC",
+                        len(vec_rows),
+                        max((r["score"] for r in vec_rows), default=0.0),
+                        (time.monotonic() - t1) * 1000,
+                        {"ann": self.ann_kind if self.ann_index_dir else "bruteforce"},
+                    )
                 )
-            )
 
         # stage-4 gating (_should_use_vector_fallback,
         # hybrid_search_service.py:930-955): no AC hits, AC very weak, or
