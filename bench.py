@@ -441,7 +441,15 @@ def main() -> None:
     try:
         import glob as _glob
 
-        scaling_files = sorted(_glob.glob(os.path.join(repo_dir, "SCALING_R*.json")))
+        # numeric round sort — lexicographic picks R9 over R10 (review)
+        scaling_files = sorted(
+            (
+                p
+                for p in _glob.glob(os.path.join(repo_dir, "SCALING_R*.json"))
+                if re.search(r"SCALING_R(\d+)\.json$", p)
+            ),
+            key=lambda p: int(re.search(r"SCALING_R(\d+)\.json$", p).group(1)),
+        )
         if scaling_files:
             with open(scaling_files[-1]) as fh:
                 extra["scaling"] = json.load(fh)["summary"]

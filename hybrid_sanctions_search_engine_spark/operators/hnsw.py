@@ -328,25 +328,32 @@ def hnsw_probe_partitioned(
     )
 
     def probe(pdfs):
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            x = x / np.maximum(
-                np.linalg.norm(x, axis=1, keepdims=True), 1e-300
-            )
-            g = _HnswGraph(m=m, ef_construction=ef_construction)
-            g.build(x, ids)
-            out_q, out_i, out_s = [], [], []
-            for qi, qid in enumerate(qids):
-                for sim, node in g.search(qmat[qi], k, ef_search):
-                    out_q.append(qid)
-                    out_i.append(int(ids[node]))
-                    out_s.append(sim)
-            yield pd.DataFrame(
-                {"query_id": out_q, id_col: out_i, "cos_sim": out_s}
-            )
+        # ONE graph per PARTITION: mapInPandas yields one pdf per Arrow
+        # record batch (spark.sql.execution.arrow.maxRecordsPerBatch), so
+        # the batches must concatenate first — a per-batch graph would
+        # silently shrink the experiment whenever a partition exceeds the
+        # batch size and the adjudication numbers would describe smaller
+        # graphs than claimed (round-6 review finding)
+        batches = [pdf for pdf in pdfs if not pdf.empty]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        x = x / np.maximum(
+            np.linalg.norm(x, axis=1, keepdims=True), 1e-300
+        )
+        g = _HnswGraph(m=m, ef_construction=ef_construction)
+        g.build(x, ids)
+        out_q, out_i, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            for sim, node in g.search(qmat[qi], k, ef_search):
+                out_q.append(qid)
+                out_i.append(int(ids[node]))
+                out_s.append(sim)
+        yield pd.DataFrame(
+            {"query_id": out_q, id_col: out_i, "cos_sim": out_s}
+        )
 
     local = (
         embeddings.select(id_col, vec_col)

@@ -93,15 +93,25 @@ class SearchOpts:
     speculative_fuzzy: bool = True
 
 
-def _timed_into(trace: dict, name: str, fn):
-    """Wrap ``fn`` so its wall time (ms) lands in ``trace[name]``."""
+def _timed_into(trace: dict, name: str, fn, lock=None):
+    """Wrap ``fn`` so its wall time (ms) lands in ``trace[name]``.
+
+    ``lock`` must be held for the write when the wrapper runs on a daemon
+    thread that may outlive its consumer: an ABANDONED speculative stage
+    (cancelled after the AC result) can finish and insert its key while the
+    main thread iterates the dict for publication — CPython raises
+    "dictionary changed size during iteration" (round-6 review finding)."""
 
     def run():
         import time
 
         t0 = time.monotonic()
         out = fn()
-        trace[name] = (time.monotonic() - t0) * 1000
+        if lock is not None:
+            with lock:
+                trace[name] = (time.monotonic() - t0) * 1000
+        else:
+            trace[name] = (time.monotonic() - t0) * 1000
         return out
 
     return run
@@ -898,6 +908,13 @@ class HybridSearchPlan:
         # and an abandoned speculative thread can only write into its own
         # call's local dict, never a later call's published one
         trace: dict[str, float] = {}
+        import threading
+
+        # every speculative writer takes this lock for its trace insert,
+        # and publication snapshots under it — an abandoned thread that
+        # finishes after cancellation can no longer mutate the dict while
+        # the main thread iterates it (review finding, round 6)
+        trace_lock = threading.Lock()
         opts = opts or SearchOpts()
         k = opts.top_k
         spark = self.docs.sparkSession
@@ -918,6 +935,7 @@ class HybridSearchPlan:
                     lambda: self._expand_terms_batch(
                         [qid for qid, _ in queries], qtext, opts
                     ),
+                    lock=trace_lock,
                 )
             )
             if opts.enable_escalation
@@ -1198,7 +1216,7 @@ class HybridSearchPlan:
             return _vector_stage_batch([qid for qid, _ in queries])
 
         vec_fut = (
-            _Async(_timed_into(trace, "vector_ms", _speculative_probe))
+            _Async(_timed_into(trace, "vector_ms", _speculative_probe, lock=trace_lock))
             # ANN-served probes only: the brute-force fallback is an
             # O(corpus) scan and must not run for queries that may never
             # escalate (review finding, round 4)
@@ -1310,7 +1328,7 @@ class HybridSearchPlan:
             return _fuzzy_stage_batch([qid for qid, _ in queries])
 
         fz_fut = (
-            _Async(_timed_into(trace, "fuzzy_ms", _speculative_fuzzy))
+            _Async(_timed_into(trace, "fuzzy_ms", _speculative_fuzzy, lock=trace_lock))
             if opts.speculative_fuzzy and opts.enable_escalation
             else None
         )
@@ -1393,6 +1411,7 @@ class HybridSearchPlan:
                 _timed_into(
                     trace, "fuzzy_ms",
                     lambda: _fuzzy_stage_batch(escalating),
+                    lock=trace_lock,
                 )
             )
         if vec_fut is None and escalating:
@@ -1400,6 +1419,7 @@ class HybridSearchPlan:
                 _timed_into(
                     trace, "vector_ms",
                     lambda: _vector_stage_batch(escalating),
+                    lock=trace_lock,
                 )
             )
         suppress_vec_trace = suppress_fz_trace = False
@@ -1487,13 +1507,14 @@ class HybridSearchPlan:
         result = spark.createDataFrame(
             out_rows, "query_id long, doc_id long, score double, rank int"
         )
-        trace["total_ms"] = (time.monotonic() - t_start) * 1000
-        self.last_batch_trace = {
-            k: v
-            for k, v in trace.items()
-            if not (
-                (suppress_vec_trace and k == "vector_ms")
-                or (suppress_fz_trace and k == "fuzzy_ms")
-            )
-        }
+        with trace_lock:
+            trace["total_ms"] = (time.monotonic() - t_start) * 1000
+            self.last_batch_trace = {
+                k: v
+                for k, v in trace.items()
+                if not (
+                    (suppress_vec_trace and k == "vector_ms")
+                    or (suppress_fz_trace and k == "fuzzy_ms")
+                )
+            }
         return result, meta

@@ -72,7 +72,23 @@ def start_delta_stream(
     # agg is not allowed in append mode; per-batch is exact because a doc's
     # tokens always arrive within one file/batch).  The batch arrives at the
     # DOCUMENT level so one pass feeds both sinks (postings + embeddings).
+    #
+    # Exactly-once under foreachBatch's at-least-once retries (round-6
+    # review finding — a blind `.mode("append")` re-run duplicated posting
+    # AND embedding rows while the guarded stats fold skipped):
+    #   1. a batch whose id ≤ the lineage manifest's last_batch_id is
+    #      skipped whole (the stats fold is the batch's COMMIT record);
+    #   2. data lands via stage-then-move with DETERMINISTIC destination
+    #      names (`postings-<lineage>-<batch>-<i>.parquet`): a retry of a
+    #      crashed-mid-batch attempt first deletes any partial move of the
+    #      same batch, then re-stages and re-moves — the same batch can
+    #      never contribute twice.
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..sources.fs import fs_for
+
+        fs = fs_for(delta_dir)
+        if batch_id <= _lineage_last_batch_id(delta_dir, lineage_key):
+            return  # fully committed by a prior attempt
         batch_df = batch_df.persist()
         toks = tokenized_documents(batch_df, text_col)
         postings = (
@@ -81,21 +97,45 @@ def start_delta_stream(
             .agg(F.count("*").cast("int").alias("tf"))
             .persist()
         )
-        postings.write.mode("append").parquet(delta_dir)
+
+        def _land(df, dest_dir: str, prefix: str) -> None:
+            stage = os.path.join(dest_dir, f".stage-{prefix}")
+            df.write.mode("overwrite").parquet(stage)
+            fs.makedirs(dest_dir)
+            # drop partial moves of THIS batch from a crashed attempt (the
+            # fresh stage may split into a different number of part files)
+            for name in fs.list_files(dest_dir):
+                if name.startswith(prefix) and name.endswith(".parquet"):
+                    fs.delete(os.path.join(dest_dir, name))
+            parts = sorted(
+                n for n in fs.list_files(stage) if n.endswith(".parquet")
+            )
+            for i, name in enumerate(parts):
+                fs.move(
+                    os.path.join(stage, name),
+                    os.path.join(dest_dir, f"{prefix}-{i}.parquet"),
+                )
+            fs.rmtree(stage)
+
+        _land(postings, delta_dir, f"postings-{lineage_key}-{batch_id}")
         if encoder is not None:
             from ..functions.encoder import embed_texts
 
-            embed_texts(
+            emb = embed_texts(
                 batch_df.select("doc_id", text_col), encoder, text_col
-            ).select(
-                F.col("doc_id").alias("vec_id"), "embedding"
-            ).write.mode("append").parquet(delta_embeddings_dir(delta_dir))
+            ).select(F.col("doc_id").alias("vec_id"), "embedding")
+            _land(
+                emb,
+                delta_embeddings_dir(delta_dir),
+                f"emb-{lineage_key}-{batch_id}",
+            )
         # fold this batch's corpus stats into the delta manifest so overlay
         # queries read (n_docs, avgdl) from one tiny JSON instead of a
         # distinct().agg() job per call (round-3 verdict item 8).  Docs are
         # new-only and arrive whole within a batch (the merge_compact
-        # contract), so per-batch distinct counts ADD exactly.  batch_id
-        # guards foreachBatch's at-least-once retries from double-counting.
+        # contract), so per-batch distinct counts ADD exactly.  The fold is
+        # the batch's commit record — it advances last_batch_id only after
+        # both data sinks landed.
         row = (
             postings.select("doc_id", "doc_len")
             .distinct()
@@ -141,8 +181,9 @@ def load_delta_embeddings(
 def fold_delta_embeddings(
     spark: SparkSession,
     ann_index_dir: str,
-    delta_embeddings: DataFrame,
+    delta_embeddings: DataFrame | None = None,
     kind: str = "ivf",
+    delta_files: list[str] | None = None,
 ) -> dict:
     """Fold streamed delta vectors into the base ANN layout — the vector-side
     twin of ``merge_compact`` (the reference rebuilds+swaps its whole FAISS/ES
@@ -164,8 +205,19 @@ def fold_delta_embeddings(
     (``fs.move``), and only then does the meta JSON commit the fingerprint.
     A rerun after a crash replays only the unfinished moves (src present →
     move; src gone → already moved) and finalizes; a rerun after the meta
-    commit is a no-op.  Duplicated vectors are therefore impossible — the
-    same guarantee class as ``merge_compact``'s shard swap."""
+    commit is a no-op.
+
+    Pass ``delta_files`` (the caller's snapshot of the embeddings parquet
+    paths — ``jobs/compact_job.py`` does) for PER-FILE idempotency, the
+    same contract as ``merge_compact``'s ``folded_delta_files``: basenames
+    recorded in the ANN meta are excluded from later folds, so a rerun
+    after a crash in the caller's delete window cannot double-fold them
+    even when the stream appended NEW files in between, and two different
+    deltas can never collide on a set-level fingerprint (round-6 review
+    finding: count+id-sum let {2,3} and {1,4} alias).  The bare-DataFrame
+    form keeps a content fingerprint (count + id sums + id hashes) for
+    ad-hoc/test use — snapshot-identical reruns only."""
+    import hashlib
     import time
 
     from ..sources.fs import fs_for
@@ -180,14 +232,42 @@ def fold_delta_embeddings(
     meta = fs.read_json(meta_path)
     t0 = time.monotonic()
 
-    row = delta_embeddings.agg(
-        F.count("*").alias("n"),
-        F.coalesce(
-            F.sum(F.col("vec_id") % F.lit(2**61 - 1)), F.lit(0)
-        ).alias("id_sum"),
-    ).collect()[0]
-    n_vecs = int(row["n"])
-    fp = f"{n_vecs}-{int(row['id_sum'])}"
+    files_folded: list[str] = []
+    files_excluded: list[str] = []
+    if delta_files is not None:
+        already = set(meta.get("folded_emb_files", []))
+        keep = [f for f in delta_files if os.path.basename(f) not in already]
+        files_excluded = sorted(
+            os.path.basename(f) for f in delta_files if f not in keep
+        )
+        if not keep:
+            return {
+                "folded_vecs": 0,
+                "noop": "all embedding files already folded",
+                "files_folded": [],
+                "files_excluded": files_excluded,
+            }
+        files_folded = sorted(os.path.basename(f) for f in keep)
+        delta_embeddings = spark.read.parquet(*keep)
+        n_vecs = delta_embeddings.count()
+        fp = hashlib.md5("|".join(files_folded).encode()).hexdigest()[:16]
+    elif delta_embeddings is None:
+        raise ValueError("pass delta_embeddings or delta_files")
+    else:
+        row = delta_embeddings.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.col("vec_id") % F.lit(2**61 - 1)), F.lit(0)
+            ).alias("id_sum"),
+            # pmod bounds each term below 1e9 so the long sum cannot
+            # overflow ANSI arithmetic before ~9e9 rows
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000_000))),
+                F.lit(0),
+            ).alias("id_hash"),
+        ).collect()[0]
+        n_vecs = int(row["n"])
+        fp = f"{n_vecs}-{int(row['id_sum'])}-{int(row['id_hash'])}"
     folded = list(meta.get("folded_delta_fps", []))
     pending_path = os.path.join(ann_index_dir, f"._fold_pending_{fp}.json")
     stage_dir = os.path.join(ann_index_dir, f".fold-{fp}")
@@ -197,6 +277,10 @@ def fold_delta_embeddings(
             if fs.exists(src):
                 fs.move(src, dst)
         meta["folded_delta_fps"] = folded + [fp]
+        if files_folded:
+            meta["folded_emb_files"] = sorted(
+                set(meta.get("folded_emb_files", [])) | set(files_folded)
+            )
         fs.commit_json(meta_path, meta)
         fs.delete(pending_path)
         fs.rmtree(stage_dir)
@@ -213,6 +297,8 @@ def fold_delta_embeddings(
             "folded_vecs": n_vecs,
             "fp": fp,
             "resumed": True,
+            "files_folded": files_folded,
+            "files_excluded": files_excluded,
             "elapsed_sec": round(time.monotonic() - t0, 3),
         }
     if n_vecs == 0:
@@ -299,6 +385,8 @@ def fold_delta_embeddings(
         "folded_vecs": n_vecs,
         "files_moved": len(moves),
         "fp": fp,
+        "files_folded": files_folded,
+        "files_excluded": files_excluded,
         "elapsed_sec": round(time.monotonic() - t0, 3),
     }
 
@@ -313,6 +401,33 @@ def _lineage_stats_path(delta_dir: str, lineage: str) -> str:
 
     safe = hashlib.md5(lineage.encode()).hexdigest()[:16]
     return os.path.join(delta_dir, f"{DELTA_STATS_LINEAGE_PREFIX}{safe}.json")
+
+
+def _lineage_last_batch_id(delta_dir: str, lineage: str) -> int:
+    """Highest batch id the lineage's stats manifest has COMMITTED — the
+    whole-batch replay guard (`write_batch` skips ids ≤ this before writing
+    any data).  Mirrors `_fold_delta_stats`'s read, including the legacy
+    combined-file migration."""
+    from ..sources.fs import fs_for
+
+    fs = fs_for(delta_dir)
+    try:
+        return int(
+            fs.read_json(_lineage_stats_path(delta_dir, lineage)).get(
+                "last_batch_id", -1
+            )
+        )
+    except (OSError, ValueError):
+        pass
+    try:
+        legacy = fs.read_json(os.path.join(delta_dir, DELTA_STATS_FILE))
+        return int(
+            legacy.get("lineages", {}).get(
+                lineage, legacy.get("last_batch_id", -1)
+            )
+        )
+    except (OSError, ValueError):
+        return -1
 
 
 def _fold_delta_stats(
@@ -506,8 +621,13 @@ def delta_bm25_topk(
             [(t, float(w)) for t, w in term_weights.items()],
             "term string, term_weight double",
         )
-        scored = scored.join(F.broadcast(wdf), "term").withColumn(
-            "term_score", F.col("term_score") * F.col("term_weight")
+        # LEFT join + coalesce(1.0): terms absent from the dict keep full
+        # weight, matching wand's `term_weights.get(term, 1.0)` contract —
+        # an inner join silently DROPPED unweighted matched terms (round-6
+        # review finding)
+        scored = scored.join(F.broadcast(wdf), "term", "left").withColumn(
+            "term_score",
+            F.col("term_score") * F.coalesce(F.col("term_weight"), F.lit(1.0)),
         )
     return (
         scored.groupBy("doc_id")

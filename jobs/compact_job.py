@@ -77,11 +77,15 @@ def main() -> None:
             if f.endswith(".parquet")
         ]
         if emb_files:
+            # per-file idempotency (same contract as the postings fold):
+            # basenames recorded in the ANN meta are excluded from later
+            # folds, so a crash in the delete window below cannot
+            # double-fold them even if the stream appended new files
             report["ann_fold"] = fold_delta_embeddings(
                 spark,
                 args.ann_index_dir,
-                spark.read.parquet(*emb_files),
                 kind=args.ann_kind,
+                delta_files=emb_files,
             )
             if not args.keep_delta:
                 for f in emb_files:

@@ -181,7 +181,13 @@ def summarize(attempts: list[dict]) -> dict:
     min_canary = min(canaries) if canaries else None
 
     def _is_clean(leg: dict) -> bool:
-        if not leg.get("clean"):
+        # recompute the steal gate from the RECORDED steal_pct — the flag
+        # stamped at run time froze whatever threshold was then in force,
+        # so tightening the gate must re-judge old legs too (round-6
+        # review finding: a 4%-steal leg stamped clean under the 5% gate
+        # would have sailed through a 1% summary)
+        s = leg.get("steal_pct")
+        if s is None or s > STEAL_MAX:
             return False
         c = leg.get("canary_sec")
         if min_canary is not None and c is not None and c > 1.25 * min_canary:

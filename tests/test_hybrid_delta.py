@@ -444,3 +444,52 @@ def test_fold_delta_embeddings_lsh(spark, env, tmp_path):
         max_hamming=0,
     ).collect()
     assert hits and hits[0]["vec_id"] == DELTA_DOCS[0][0]
+
+
+def test_fold_file_ledger_excludes_already_folded(spark, env, ann_copy, tmp_path):
+    """Per-file idempotency (round-6 review): folding with delta_files
+    records basenames in the ANN meta; a rerun whose snapshot adds NEW
+    files folds ONLY those, and re-folding the old snapshot is a no-op —
+    set-level fingerprints could alias distinct deltas ({2,3} vs {1,4})."""
+    import os as _os
+
+    from hybrid_sanctions_search_engine_spark.sources.fs import fs_for
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        delta_embeddings_dir,
+    )
+
+    emb_dir = delta_embeddings_dir(env["delta_dir"])
+    fs = fs_for(emb_dir)
+    files = [
+        _os.path.join(emb_dir, f)
+        for f in fs.list_files(emb_dir)
+        if f.endswith(".parquet")
+    ]
+    assert files
+    before = spark.read.parquet(ann_copy).count()
+    rep = fold_delta_embeddings(spark, ann_copy, kind="ivf", delta_files=files)
+    assert rep["files_folded"] and not rep["files_excluded"]
+    n1 = spark.read.parquet(ann_copy).count()
+    assert n1 == before + len(DELTA_DOCS)
+    # identical snapshot again → every file excluded, nothing folded
+    rep2 = fold_delta_embeddings(spark, ann_copy, kind="ivf", delta_files=files)
+    assert rep2.get("noop") and rep2["files_excluded"]
+    assert spark.read.parquet(ann_copy).count() == n1
+    # a NEW file with different vectors (the {1,4}-style second delta that
+    # a count+sum fingerprint could alias) folds, old files stay excluded
+    extra = str(tmp_path / "extra")
+    spark.createDataFrame(
+        [(990001, [0.5] * DIM), (990002, [0.25] * DIM)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(extra)
+    new_files = files + [
+        _os.path.join(extra, f)
+        for f in fs_for(extra).list_files(extra)
+        if f.endswith(".parquet")
+    ]
+    rep3 = fold_delta_embeddings(
+        spark, ann_copy, kind="ivf", delta_files=new_files
+    )
+    assert len(rep3["files_folded"]) == 1
+    assert rep3["folded_vecs"] == 2
+    assert spark.read.parquet(ann_copy).count() == n1 + 2
