@@ -115,13 +115,25 @@ def q_phrase_slop(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_phrase_slop_unordered(spark: SparkSession, sf: str) -> DataFrame:
-    """ES-style unordered sloppy phrase (slop=2 permits adjacent
-    transposition, like Lucene's SloppyPhraseMatcher): term i matches in
-    the SYMMETRIC window [p+i-slop, p+i+slop] — see
-    operators/bm25.py::phrase_match(ordered=False) for the contract."""
-    return bm25_ops.phrase_match(
-        _docs(spark, sf), ["table", "value", "row"], slop=2, ordered=False
-    )
+    """Both sloppy-phrase reordering contracts in one oracled query
+    (merged to respect the driver's 50-entry snapshot cap):
+
+    - mode='symmetric' — ES-style unordered slop (term i in the SYMMETRIC
+      window [p+i-slop, p+i+slop]; operators/bm25.py::phrase_match
+      ordered=False).
+    - mode='lucene' — exact Lucene span-budget semantics (round-6; the
+      doc matches iff some alignment's offset-adjusted span
+      max(p_i−i)−min(p_i−i) ≤ slop, i.e. SloppyPhraseMatcher's
+      matchLength criterion; phrase_match(lucene=True)).  The DuckDB
+      mirror anchors on the union of ALL terms' adjusted positions."""
+    docs = _docs(spark, sf)
+    sym = bm25_ops.phrase_match(
+        docs, ["table", "value", "row"], slop=2, ordered=False
+    ).withColumn("mode", F.lit("symmetric"))
+    luc = bm25_ops.phrase_match(
+        docs, ["table", "value", "row"], slop=2, lucene=True
+    ).withColumn("mode", F.lit("lucene"))
+    return sym.unionByName(luc)
 
 
 def q_webpage_extract(spark: SparkSession, sf: str) -> DataFrame:
@@ -1304,7 +1316,7 @@ WITH {_ORACLE_TOKS},
 pos AS (
   SELECT doc_id, generate_subscripts(tokens, 1) AS i, unnest(tokens) AS tok FROM toks
 )
-SELECT a.doc_id, count(*)::INT AS n_occurrences
+SELECT a.doc_id, count(*)::INT AS n_occurrences, 'symmetric' AS mode
 FROM pos a
 WHERE a.tok = 'table'
   AND EXISTS (SELECT 1 FROM pos b
@@ -1313,6 +1325,25 @@ WHERE a.tok = 'table'
   AND EXISTS (SELECT 1 FROM pos c
               WHERE c.doc_id = a.doc_id AND c.tok = 'row'
                 AND c.i BETWEEN a.i AND a.i + 4)
+GROUP BY a.doc_id
+UNION ALL
+SELECT a.doc_id, count(*)::INT AS n_occurrences, 'lucene' AS mode
+FROM (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, i     AS s FROM pos WHERE tok = 'table'
+    UNION ALL SELECT doc_id, i - 1 FROM pos WHERE tok = 'value'
+    UNION ALL SELECT doc_id, i - 2 FROM pos WHERE tok = 'row'
+  )
+) a
+WHERE EXISTS (SELECT 1 FROM pos b
+              WHERE b.doc_id = a.doc_id AND b.tok = 'table'
+                AND b.i BETWEEN a.s AND a.s + 2)
+  AND EXISTS (SELECT 1 FROM pos c
+              WHERE c.doc_id = a.doc_id AND c.tok = 'value'
+                AND c.i BETWEEN a.s + 1 AND a.s + 3)
+  AND EXISTS (SELECT 1 FROM pos d
+              WHERE d.doc_id = a.doc_id AND d.tok = 'row'
+                AND d.i BETWEEN a.s + 2 AND a.s + 4)
 GROUP BY a.doc_id
 """,
         "webpage_extract": f"""

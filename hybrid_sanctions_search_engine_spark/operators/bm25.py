@@ -327,6 +327,7 @@ def phrase_match(
     postings: DataFrame | None = None,
     slop: int = 0,
     ordered: bool = True,
+    lucene: bool = False,
 ) -> DataFrame:
     """doc_ids containing the phrase (ES match_phrase; reference query at
     ``elasticsearch_adapters.py:206-216``, and the watchlist adapter's
@@ -344,9 +345,26 @@ def phrase_match(
     slot in EITHER direction, so an adjacent transposition ("b a" for
     phrase "a b") matches at slop=2, exactly like Lucene's
     SloppyPhraseMatcher on two terms.  A strict superset of the anchored
-    ordered matches at the same slop.  (Lucene's full semantics charge a
-    TOTAL movement budget across terms; this contract is per-term — the
-    documented, DuckDB-mirrorable approximation.)
+    ordered matches at the same slop.  (Per-term windows are a documented
+    approximation; for the exact budget see ``lucene=True``.)
+
+    ``lucene=True`` (exact Lucene doc-match semantics): Lucene's
+    SloppyPhraseMatcher accepts an alignment (one position ``p_i`` per
+    term) when its matchLength — the SPAN of the offset-adjusted
+    positions, ``max_i(p_i − i) − min_i(p_i − i)`` — is ≤ slop.  That
+    criterion reduces to an anchored check where the anchor ranges over
+    EVERY term's adjusted positions: the doc matches iff some
+    ``s ∈ ⋃_i {p − i : p ∈ positions(term_i)}`` has every term ``i``
+    present in ``[s+i, s+i+slop]`` (s = the min adjusted position of a
+    witnessing alignment; conversely any such s yields an alignment of
+    span ≤ slop).  At the same slop: ordered ⊆ lucene ⊆ unordered
+    (property-tested).  ``n_occurrences`` counts distinct anchors s.
+    ``ordered`` is ignored when lucene=True (the span budget inherently
+    admits reordering once slop ≥ 2).  Two documented deviations from
+    Lucene proper, NOT affecting distinct-term phrases' doc sets: phrases
+    with a repeated term may satisfy two slots with one physical
+    occurrence (Lucene demands distinct positions), and occurrence COUNTS
+    follow the anchor contract rather than Lucene's greedy phraseFreq.
 
     Positions-list intersection: start from term 0's positions and
     successively keep only positions p with p+i(+d) present in term i's
@@ -359,11 +377,7 @@ def phrase_match(
         raise ValueError("slop must be >= 0")
     if postings is None:
         postings = build_postings(docs, text_col, positions=True)
-    current = (
-        postings.where(F.col("term") == phrase_terms[0])
-        .select("doc_id", F.col("positions").alias("cand"))
-    )
-    lo = -slop if not ordered else 0
+    lo = -slop if (not ordered and not lucene) else 0
 
     def _within_slop(pos_col: str, offset: int):
         def pred(p):
@@ -376,6 +390,12 @@ def phrase_match(
 
         return pred
 
+    if lucene:
+        return _phrase_match_lucene(postings, phrase_terms, slop, _within_slop)
+    current = (
+        postings.where(F.col("term") == phrase_terms[0])
+        .select("doc_id", F.col("positions").alias("cand"))
+    )
     for i, term in enumerate(phrase_terms[1:], start=1):
         nxt = postings.where(F.col("term") == term).select(
             "doc_id", F.col("positions").alias(f"pos_{i}")
@@ -387,6 +407,44 @@ def phrase_match(
             .select("doc_id", "cand")
         )
     return current.select("doc_id", F.size("cand").alias("n_occurrences"))
+
+
+def _shift_by(i: int):
+    """Closure factory (NOT a default-arg lambda — Spark counts lambda
+    parameters) mapping a position to its offset-adjusted value p − i."""
+    return lambda p: p - F.lit(i)
+
+
+def _phrase_match_lucene(postings, phrase_terms, slop, _within_slop):
+    """Exact-Lucene span-budget phrase match (see ``phrase_match`` for the
+    contract derivation).  Anchors = distinct offset-adjusted positions of
+    ALL terms; an anchor survives iff every term i (term 0 included) has a
+    position in [s+i, s+i+slop].  Anchors can be NEGATIVE (phrase "a b"
+    over text "b a" at slop=2 witnesses s=−1: 'a'∈[−1,1] via 1, 'b'∈[0,2]
+    via 0) — array algebra handles that for free; the packed-key indexed
+    twin (plans/wand.py::_phrase_intersect) needs a bias for it."""
+    current = (
+        postings.where(F.col("term") == phrase_terms[0])
+        .select("doc_id", F.col("positions").alias("pos_0"))
+    )
+    for i, term in enumerate(phrase_terms[1:], start=1):
+        nxt = postings.where(F.col("term") == term).select(
+            "doc_id", F.col("positions").alias(f"pos_{i}")
+        )
+        current = current.join(nxt, "doc_id")
+    shifted = [
+        F.transform(F.col(f"pos_{i}"), _shift_by(i))
+        for i in range(len(phrase_terms))
+    ]
+    cand = F.array_distinct(F.concat(*shifted)) if len(shifted) > 1 else shifted[0]
+    current = current.withColumn("cand", cand)
+    for i in range(len(phrase_terms)):
+        current = current.withColumn(
+            "cand", F.filter(F.col("cand"), _within_slop(f"pos_{i}", i))
+        )
+    return current.where(F.size("cand") > 0).select(
+        "doc_id", F.size("cand").alias("n_occurrences")
+    )
 
 
 def prefix_match_terms(

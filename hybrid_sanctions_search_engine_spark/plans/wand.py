@@ -375,7 +375,7 @@ _PHRASE_POS_BITS = 40  # positions < 2^40 — far beyond any document length
 
 def _phrase_chunk_scorer(
     ordered_terms: list[str], chunk_bits: int, slop: int = 0,
-    ordered: bool = True,
+    ordered: bool = True, lucene: bool = False,
 ):
     """Per-chunk phrase matcher over decoded postings + position streams.
 
@@ -392,7 +392,10 @@ def _phrase_chunk_scorer(
     widens the window to the symmetric ``[p+i-slop, p+i+slop]`` (ES-style
     reordering; 2·slop+1 copies).  A shift that borrows below a document's
     position 0 produces a key no anchor can match (anchors are real
-    positions), so no masking is needed."""
+    positions), so no masking is needed.  ``lucene=True`` switches to the
+    exact span-budget contract (operators/bm25.py::phrase_match docstring;
+    anchors drawn from EVERY term's adjusted positions, bias-packed
+    because adjusted positions can be negative)."""
     from ..functions.codec import varint_decode
 
     def match(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -401,7 +404,7 @@ def _phrase_chunk_scorer(
         )
         chunk_base = int(key[0]) << chunk_bits
         per_term = _decode_position_keys(pdf, chunk_base)
-        keys = _phrase_intersect(per_term, ordered_terms, slop, ordered)
+        keys = _phrase_intersect(per_term, ordered_terms, slop, ordered, lucene)
         if keys is None or keys.size == 0:
             return empty
         docs, counts = np.unique(keys >> _PHRASE_POS_BITS, return_counts=True)
@@ -437,15 +440,43 @@ def _decode_position_keys(pdf: pd.DataFrame, chunk_base: int) -> dict:
 
 def _phrase_intersect(
     per_term: dict, ordered_terms: list[str], slop: int,
-    ordered: bool = True,
+    ordered: bool = True, lucene: bool = False,
 ) -> "np.ndarray | None":
     """Anchor keys of phrase occurrences: a phrase occurrence at (doc, p)
     needs term i within [p + i, p + i + slop] (ordered contract) or the
     symmetric [p + i − slop, p + i + slop] (``ordered=False``, ES-style
     reordering) — shift each term's keys by its offset (and the slop
-    window's extra displacements) and intersect."""
+    window's extra displacements) and intersect.
+
+    ``lucene=True`` (exact span-budget contract, see
+    operators/bm25.py::phrase_match): anchors are drawn from EVERY term's
+    offset-adjusted positions, and every term — term 0 included — must
+    land in [s+i, s+i+slop].  Adjusted positions can be NEGATIVE ("b a"
+    for phrase "a b" witnesses s=−1 at slop=2), which would borrow into
+    the packed doc-id bits, so all key arithmetic carries a
+    ``+(n_terms−1+slop)`` position bias: biased pos ≥ pos−(n−1)+B = slop
+    ≥ the largest window displacement d, so neither the anchors nor the
+    ``−d`` expansions ever underflow position 0 of their doc.  Returned
+    keys keep the bias (callers only use ``key >> pos_bits``, unaffected
+    since biased positions stay ≪ 2^pos_bits)."""
     if any(t not in per_term for t in ordered_terms):
         return None
+    if lucene:
+        bias = len(ordered_terms) - 1 + slop
+        adj = [
+            per_term[t] - offset + bias
+            for offset, t in enumerate(ordered_terms)
+        ]
+        keys = np.unique(np.concatenate(adj)) if len(adj) > 1 else adj[0]
+        for kt in adj:
+            if slop:
+                kt = np.unique(
+                    np.concatenate([kt - d for d in range(0, slop + 1)])
+                )
+            keys = np.intersect1d(keys, kt, assume_unique=True)
+            if keys.size == 0:
+                return keys
+        return keys
     lo = -slop if not ordered else 0
     keys = per_term[ordered_terms[0]]
     for offset, t in enumerate(ordered_terms[1:], start=1):
@@ -468,17 +499,19 @@ def phrase_search(
     meta: IndexMeta | None = None,
     slop: int = 0,
     ordered: bool = True,
+    lucene: bool = False,
 ) -> DataFrame:
     """Phrase match over a positions-enabled compressed index
     → (doc_id, n_occurrences).  Same shard/row-group pruning as topk_search;
-    adjacency (or the anchored ``slop`` window — see
-    ``operators.bm25.phrase_match`` for the contract; the reference's
-    watchlist adapter queries with slop=1,
+    adjacency (or the anchored ``slop`` window / symmetric ``ordered=False``
+    window / exact-Lucene span budget ``lucene=True`` — see
+    ``operators.bm25.phrase_match`` for the three contracts; the
+    reference's watchlist adapter queries with slop=1,
     ``elasticsearch_watchlist_adapter.py:218-229``) verified from the
     varint position streams per chunk.
 
     Rank-identity vs the DataFrame ``operators.bm25.phrase_match`` is
-    asserted in tests/test_wand.py (slop 0, 1, 2)."""
+    asserted in tests/test_wand.py (slop 0, 1, 2; all three contracts)."""
     if index_df is None or meta is None:
         index_df, meta = load_index(spark, index_dir)
     if not meta.has_positions:
@@ -502,7 +535,7 @@ def phrase_search(
         group_partitioned(matched, F.col("chunk"), n_parts)
         .groupBy("chunk")
         .applyInPandas(
-            _phrase_chunk_scorer(terms, meta.chunk_bits, slop, ordered),
+            _phrase_chunk_scorer(terms, meta.chunk_bits, slop, ordered, lucene),
             PHRASE_SCHEMA,
         )
         .orderBy("doc_id")
@@ -526,6 +559,7 @@ def batch_phrase_search(
     meta: IndexMeta | None = None,
     slop: int = 0,
     ordered: bool = True,
+    lucene: bool = False,
 ) -> DataFrame:
     """Many phrases in ONE job (the msearch shape for phrase queries — the
     reference's watchlist adapter issues match_phrase per request;
@@ -564,7 +598,7 @@ def batch_phrase_search(
         per_term = _decode_position_keys(pdf, chunk_base)
         out_q, out_d, out_n = [], [], []
         for qid, ts in qterms:
-            keys = _phrase_intersect(per_term, ts, slop, ordered)
+            keys = _phrase_intersect(per_term, ts, slop, ordered, lucene)
             if keys is None or keys.size == 0:
                 continue
             docs, counts = np.unique(keys >> _PHRASE_POS_BITS, return_counts=True)

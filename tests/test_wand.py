@@ -349,6 +349,115 @@ def test_phrase_unordered_semantics_unit(spark):
     assert match(3, ordered=True) == {1: 1, 3: 1}
 
 
+def test_phrase_lucene_semantics_unit(spark):
+    """Pin the exact-Lucene span-budget contract on hand-built docs.
+
+    Doc 2 'b a' (phrase [a,b]): witnessed at anchor s=−1 (a∈[−1,1] via 1,
+    b∈[0,2] via 0) — matches at slop=2, not slop=1, exactly Lucene's cost
+    for an adjacent transposition (and exercises the NEGATIVE-anchor path
+    the packed-key twin must bias around).  Doc 3 'x b a x x x c' (phrase
+    [a,b,c]): adjusted positions a→2, b→0, c→4, minimal span 4 — the
+    SYMMETRIC contract accepts it at slop=2 (each term within ±2 of its
+    term-0-anchored slot independently) but Lucene's total span budget
+    rejects it until slop=4: the case that separates the two contracts.
+    Doc 4 'a b a b' at slop=0: two anchors → count 2 (anchor counting,
+    identical to the ordered contract at slop=0)."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b a"), (3, "x b a x x x c"), (4, "a b a b")],
+        "doc_id long, text string",
+    )
+
+    def match(phrase, slop, **kw):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_match(docs, phrase, slop=slop, **kw).collect()
+        }
+
+    assert match(["a", "b"], 0, lucene=True) == {1: 1, 4: 2}
+    assert match(["a", "b"], 0) == {1: 1, 4: 2}
+    assert match(["a", "b"], 1, lucene=True) == {1: 1, 4: 2}
+    # doc 3 contains 'b a' too — the transposition matches at slop=2
+    assert match(["a", "b"], 2, lucene=True) == {1: 1, 2: 1, 3: 1, 4: 2}
+    assert 2 not in match(["a", "b", "c"], 2, lucene=True)
+    assert 3 not in match(["a", "b", "c"], 2, lucene=True)
+    assert 3 in match(["a", "b", "c"], 2, ordered=False)
+    assert 3 not in match(["a", "b", "c"], 3, lucene=True)
+    assert 3 in match(["a", "b", "c"], 4, lucene=True)
+
+
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [
+        (["table", "value"], 2),
+        (["order", "key"], 2),
+        (["table", "value", "row"], 1),
+        (["table", "value", "row"], 2),
+    ],
+)
+def test_phrase_lucene_identity_vs_dataframe(spark, pos_corpus, phrase, slop):
+    """Exact-Lucene span contract: indexed packed-key path (biased-anchor
+    arithmetic) ≡ DataFrame positions path, counts included; and the
+    subset chain ordered ⊆ lucene ⊆ unordered holds at the same slop
+    (provable from the window algebra — a span-≤-slop alignment embeds in
+    the symmetric windows of any of its term-0 choices, and an anchored
+    match has span ≤ slop by construction)."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import phrase_match
+    from hybrid_sanctions_search_engine_spark.plans.wand import phrase_search
+
+    docs, index_dir, idx, meta = pos_corpus
+    expected = sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_match(docs, phrase, slop=slop, lucene=True).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_occurrences"])
+        for r in phrase_search(
+            spark, index_dir, phrase, index_df=idx, meta=meta,
+            slop=slop, lucene=True,
+        ).collect()
+    )
+    assert got == expected
+    lucene_docs = {d for d, _ in expected}
+    ordered_docs = {
+        r["doc_id"] for r in phrase_match(docs, phrase, slop=slop).collect()
+    }
+    unordered_docs = {
+        r["doc_id"]
+        for r in phrase_match(docs, phrase, slop=slop, ordered=False).collect()
+    }
+    assert ordered_docs <= lucene_docs <= unordered_docs
+
+
+def test_batch_phrase_lucene_parity(spark, pos_corpus):
+    """batch_phrase_search(lucene=True) ≡ per-phrase
+    phrase_search(lucene=True) over a mixed batch."""
+    from hybrid_sanctions_search_engine_spark.plans.wand import (
+        batch_phrase_search,
+        phrase_search,
+    )
+
+    docs, index_dir, idx, meta = pos_corpus
+    phrases = [(1, "key order"), (2, "order key"), (3, "table value row")]
+    batched = batch_phrase_search(
+        spark, index_dir, phrases, index_df=idx, meta=meta,
+        slop=2, lucene=True,
+    )
+    got: dict[int, list] = {qid: [] for qid, _ in phrases}
+    for r in batched.collect():
+        got[r["query_id"]].append((r["doc_id"], r["n_occurrences"]))
+    for qid, p in phrases:
+        want = sorted(
+            (r["doc_id"], r["n_occurrences"])
+            for r in phrase_search(
+                spark, index_dir, p, index_df=idx, meta=meta,
+                slop=2, lucene=True,
+            ).collect()
+        )
+        assert sorted(got[qid]) == want, (qid, p)
+
+
 def test_batch_phrase_unordered_parity(spark, pos_corpus):
     """batch_phrase_search(ordered=False) ≡ per-phrase
     phrase_search(ordered=False) over a mixed batch."""
