@@ -360,11 +360,17 @@ def phrase_match(
     span ≤ slop).  At the same slop: ordered ⊆ lucene ⊆ unordered
     (property-tested).  ``n_occurrences`` counts distinct anchors s.
     ``ordered`` is ignored when lucene=True (the span budget inherently
-    admits reordering once slop ≥ 2).  Two documented deviations from
-    Lucene proper, NOT affecting distinct-term phrases' doc sets: phrases
-    with a repeated term may satisfy two slots with one physical
-    occurrence (Lucene demands distinct positions), and occurrence COUNTS
-    follow the anchor contract rather than Lucene's greedy phraseFreq.
+    admits reordering once slop ≥ 2).  Phrases with REPEATED terms get
+    Lucene's distinct-position requirement too: for each repeated term the
+    windows are equal-width with sorted starts, so a system of distinct
+    representatives exists iff Hall's condition holds on contiguous offset
+    runs — ``|P_t ∩ [s+i_a, s+i_b+slop]| ≥ b−a+1`` for every offset pair
+    (exact: overlapping runs' window unions are single intervals, and
+    split runs follow from their components) — a per-anchor count filter
+    (cross-checked against a brute-force alignment oracle in
+    tests/test_wand.py).  One documented deviation from Lucene proper,
+    NOT affecting doc sets: occurrence COUNTS follow the distinct-anchor
+    contract rather than Lucene's greedy phraseFreq.
 
     Positions-list intersection: start from term 0's positions and
     successively keep only positions p with p+i(+d) present in term i's
@@ -415,19 +421,59 @@ def _shift_by(i: int):
     return lambda p: p - F.lit(i)
 
 
+def _hall_count_pred(pos_col: str, lo_off: int, hi_off: int, need: int):
+    """Closure factory: anchor s survives iff ≥ ``need`` positions of
+    ``pos_col`` fall in [s+lo_off, s+hi_off] (one Hall run of a repeated
+    term's window family)."""
+
+    def pred(s):
+        def in_run(p):
+            return (p >= s + F.lit(lo_off)) & (p <= s + F.lit(hi_off))
+
+        return F.size(F.filter(F.col(pos_col), in_run)) >= F.lit(need)
+
+    return pred
+
+
+def _repeated_term_runs(phrase_terms: list[str], slop: int):
+    """(pos_col_index, run_lo_offset, run_hi_offset, need) Hall checks for
+    every repeated term's contiguous offset runs (empty for distinct-term
+    phrases — the common case pays nothing)."""
+    by_term: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase_terms):
+        by_term.setdefault(t, []).append(i)
+    runs = []
+    for offs in by_term.values():
+        if len(offs) < 2:
+            continue
+        for a in range(len(offs)):
+            for b in range(a + 1, len(offs)):
+                runs.append(
+                    (offs[0], offs[a], offs[b] + slop, b - a + 1)
+                )
+    return runs
+
+
 def _phrase_match_lucene(postings, phrase_terms, slop, _within_slop):
     """Exact-Lucene span-budget phrase match (see ``phrase_match`` for the
     contract derivation).  Anchors = distinct offset-adjusted positions of
     ALL terms; an anchor survives iff every term i (term 0 included) has a
-    position in [s+i, s+i+slop].  Anchors can be NEGATIVE (phrase "a b"
-    over text "b a" at slop=2 witnesses s=−1: 'a'∈[−1,1] via 1, 'b'∈[0,2]
-    via 0) — array algebra handles that for free; the packed-key indexed
-    twin (plans/wand.py::_phrase_intersect) needs a bias for it."""
+    position in [s+i, s+i+slop], and — for repeated terms — Hall's
+    condition grants a distinct position per slot.  Anchors can be
+    NEGATIVE (phrase "a b" over text "b a" at slop=2 witnesses s=−1:
+    'a'∈[−1,1] via 1, 'b'∈[0,2] via 0) — array algebra handles that for
+    free; the packed-key indexed twin (plans/wand.py::_phrase_intersect)
+    needs a bias for it."""
     current = (
         postings.where(F.col("term") == phrase_terms[0])
         .select("doc_id", F.col("positions").alias("pos_0"))
     )
+    seen = {phrase_terms[0]: 0}
     for i, term in enumerate(phrase_terms[1:], start=1):
+        if term in seen:  # repeated term: same positions array, no re-join
+            current = current.withColumn(f"pos_{i}", F.col(f"pos_{seen[term]}"))
+            continue
+        seen[term] = i
         nxt = postings.where(F.col("term") == term).select(
             "doc_id", F.col("positions").alias(f"pos_{i}")
         )
@@ -441,6 +487,11 @@ def _phrase_match_lucene(postings, phrase_terms, slop, _within_slop):
     for i in range(len(phrase_terms)):
         current = current.withColumn(
             "cand", F.filter(F.col("cand"), _within_slop(f"pos_{i}", i))
+        )
+    for col_i, lo_off, hi_off, need in _repeated_term_runs(phrase_terms, slop):
+        current = current.withColumn(
+            "cand",
+            F.filter(F.col("cand"), _hall_count_pred(f"pos_{col_i}", lo_off, hi_off, need)),
         )
     return current.where(F.size("cand") > 0).select(
         "doc_id", F.size("cand").alias("n_occurrences")

@@ -456,12 +456,17 @@ def _phrase_intersect(
     the packed doc-id bits, so all key arithmetic carries a
     ``+(n_terms−1+slop)`` position bias: biased pos ≥ pos−(n−1)+B = slop
     ≥ the largest window displacement d, so neither the anchors nor the
-    ``−d`` expansions ever underflow position 0 of their doc.  Returned
+    ``−d`` expansions ever underflow position 0 of their doc.  Repeated
+    phrase terms additionally pass Lucene's distinct-position requirement
+    via per-anchor Hall-run counts (searchsorted range counts over the
+    term's sorted keys; see operators/bm25.py::phrase_match).  Returned
     keys keep the bias (callers only use ``key >> pos_bits``, unaffected
     since biased positions stay ≪ 2^pos_bits)."""
     if any(t not in per_term for t in ordered_terms):
         return None
     if lucene:
+        from ..operators.bm25 import _repeated_term_runs
+
         bias = len(ordered_terms) - 1 + slop
         adj = [
             per_term[t] - offset + bias
@@ -474,6 +479,23 @@ def _phrase_intersect(
                     np.concatenate([kt - d for d in range(0, slop + 1)])
                 )
             keys = np.intersect1d(keys, kt, assume_unique=True)
+            if keys.size == 0:
+                return keys
+        pos_mask = (np.int64(1) << _PHRASE_POS_BITS) - 1
+        for first_off, lo_off, hi_off, need in _repeated_term_runs(
+            ordered_terms, slop
+        ):
+            kt = np.sort(per_term[ordered_terms[first_off]])
+            doc_base = keys & ~pos_mask
+            # anchor key k = (doc << bits) | (s + bias); count raw positions
+            # of the term in [s+lo_off, s+hi_off], clamped to the doc's own
+            # position range so negative bounds can't borrow into doc bits
+            lo = np.maximum(keys - bias + lo_off, doc_base)
+            hi = np.maximum(keys - bias + hi_off, doc_base - 1)
+            cnt = np.searchsorted(kt, hi, side="right") - np.searchsorted(
+                kt, lo, side="left"
+            )
+            keys = keys[cnt >= need]
             if keys.size == 0:
                 return keys
         return keys

@@ -430,6 +430,115 @@ def test_phrase_lucene_identity_vs_dataframe(spark, pos_corpus, phrase, slop):
     assert ordered_docs <= lucene_docs <= unordered_docs
 
 
+def _brute_lucene_anchors(tokens, phrase, slop):
+    """Independent brute-force oracle for the exact-Lucene contract:
+    enumerate alignments (one position per phrase slot, windows
+    [s+i, s+i+slop], DISTINCT positions within a repeated term's slots)
+    for every candidate anchor s in the adjusted-position union."""
+    from itertools import product
+
+    pos = {t: [i for i, x in enumerate(tokens) if x == t] for t in set(phrase)}
+    if any(not pos[t] for t in phrase):
+        return set()
+    cand = {p - i for i, t in enumerate(phrase) for p in pos[t]}
+    valid = set()
+    for s in cand:
+        choices = [
+            [p for p in pos[t] if s + i <= p <= s + i + slop]
+            for i, t in enumerate(phrase)
+        ]
+        if any(not c for c in choices):
+            continue
+        for combo in product(*choices):
+            by_term: dict = {}
+            for i, t in enumerate(phrase):
+                by_term.setdefault(t, []).append(combo[i])
+            if all(len(set(ps)) == len(ps) for ps in by_term.values()):
+                valid.add(s)
+                break
+    return valid
+
+
+def test_phrase_lucene_repeated_terms_unit(spark):
+    """Lucene demands DISTINCT positions for a repeated phrase term — the
+    Hall-run count filter enforces it: a lone 'a' can no longer satisfy
+    both slots of phrase [a,a] at slop≥1 (the phantom the plain window
+    check admits)."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a a"), (3, "a x a"), (4, "a b a b a")],
+        "doc_id long, text string",
+    )
+
+    def match(phrase, slop):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase_match(docs, phrase, slop=slop, lucene=True).collect()
+        }
+
+    assert 1 not in match(["a", "a"], 0)
+    assert 1 not in match(["a", "a"], 2)
+    assert match(["a", "a"], 0).get(2) == 1
+    assert 3 not in match(["a", "a"], 0)
+    assert match(["a", "a"], 1).get(3) == 1
+    # doc 4 'a b a b a': phrase [a,b,a] exact at anchors 0 and 2
+    assert match(["a", "b", "a"], 0).get(4) == 2
+
+
+@pytest.mark.parametrize(
+    "phrase,slop",
+    [
+        (["a", "a"], 1),
+        (["a", "b", "a"], 0),
+        (["a", "b", "a"], 2),
+        (["a", "a", "b"], 1),
+        (["a", "b", "a", "b"], 2),
+        (["b", "a"], 3),
+    ],
+)
+def test_phrase_lucene_brute_force_cross_check(spark, tmp_path, phrase, slop):
+    """Both lucene-mode paths ≡ an independent brute-force alignment
+    enumerator (distinct positions for repeated slots) over a seeded
+    random corpus — anchors counted, not just doc sets."""
+    import random
+
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import phrase_match
+    from hybrid_sanctions_search_engine_spark.plans.wand import phrase_search
+    from hybrid_sanctions_search_engine_spark.sources.index_io import (
+        build_index,
+        load_index,
+    )
+
+    rng = random.Random(20260817)
+    rows = [
+        (i, " ".join(rng.choice("a a b b c x".split()) for _ in range(rng.randint(1, 8))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {}
+    for doc_id, text in rows:
+        anchors = _brute_lucene_anchors(text.split(), phrase, slop)
+        if anchors:
+            expected[doc_id] = len(anchors)
+    got_df = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match(docs, phrase, slop=slop, lucene=True).collect()
+    }
+    assert got_df == expected
+    index_dir = str(tmp_path / "idx")
+    build_index(docs, index_dir, n_shards=2, chunk_bits=5, store_positions=True)
+    idx, meta = load_index(spark, index_dir)
+    got_idx = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(
+            spark, index_dir, phrase, index_df=idx, meta=meta,
+            slop=slop, lucene=True,
+        ).collect()
+    }
+    assert got_idx == expected
+
+
 def test_batch_phrase_lucene_parity(spark, pos_corpus):
     """batch_phrase_search(lucene=True) ≡ per-phrase
     phrase_search(lucene=True) over a mixed batch."""
