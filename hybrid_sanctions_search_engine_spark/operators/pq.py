@@ -273,3 +273,159 @@ def knn_ivf_pq_probe(
     cand_ids = [r[id_col] for r in cand.collect()]
     survivors = cells.where(F.col(id_col).isin(cand_ids))
     return knn_bruteforce(survivors, query_vec, k, id_col, vec_col, arrow=True)
+
+
+def knn_ivf_pq_probe_many(
+    indexed: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    n_probe: int = 3,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Batched IVF-PQ probe → (query_id, id, cos_sim): TWO map-only passes
+    for the whole query set (the ``knn_ivf_probe_many`` fused shape,
+    round 6 — the per-(query, doc) fan-out never leaves the Arrow task).
+
+    1. ADC pass over the union of all queries' probed cells, reading only
+       ``(id, pq_code, cell)``: each Arrow batch masks every query to ITS
+       probed cells, scores the masked codes against that query's lookup
+       table (one fancy-index sum), and emits the batch-local top
+       ``refine·k``; a k-bounded window merge picks each query's global
+       candidates (driver collect: |queries|·refine·k ids, never scores a
+       corpus-sized set).
+    2. exact re-rank pass over ``id IN (∪ candidates)`` from the same
+       pruned partitions: per-query gemv with ``cosine_to_query_udf``'s
+       dtype ops (float64 tolist, axis-1 norms, 1e-300 clamps, raw-query
+       gemv).  Candidate SELECTION is bit-identical to per-query
+       ``knn_ivf_pq_probe`` (per-query ``adc_lookup_table`` calls — never
+       a fused 3-D einsum — plus the same (−score, id) tie-break), but the
+       re-ranked cosines can differ from the single-query path in the last
+       ulp: BLAS dgemv bits depend on the matrix row count, and here the
+       gemv runs over a masked submatrix of the union-candidate batch
+       rather than one query's own survivor batch.  Parity is therefore
+       pinned at 9 decimals with exact id sets — the same convention as
+       ``knn_bruteforce_many`` (similarity.py) batch↔single tests."""
+    from pyspark.sql import Window
+
+    spark = indexed.sparkSession
+    out_schema = f"query_id long, {id_col} long, cos_sim double"
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    qids = np.asarray([q for q, _ in queries], dtype=np.int64)
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    qnorms = np.array(
+        [
+            max(float(np.linalg.norm(np.asarray(v, dtype=np.float64))), 1e-300)
+            for _, v in queries
+        ]
+    )
+    qn = qmat / qnorms[:, None]
+    m = codebooks.shape[0]
+    # per-query adc_lookup_table calls, NOT one 3-D einsum: the fused
+    # contraction can sum in a different order and the resulting ulp-level
+    # ADC drift flips candidate selection at the refine boundary — parity
+    # with the single-query probe requires bit-identical tables
+    luts = np.stack([adc_lookup_table(v, codebooks) for _, v in queries])
+    cells = [
+        np.argsort(-(centroids @ qn[i]))[:n_probe].astype(np.int64)
+        for i in range(len(qids))
+    ]
+    union = sorted({int(c) for cs in cells for c in cs})
+    nq, nsel, cols = len(qids), refine * k, np.arange(m)
+
+    def adc_score(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            codes = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8
+            ).reshape(len(pdf), m)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cell = pdf[cell_col].to_numpy(dtype=np.int64)
+            batch_cells = set(int(c) for c in np.unique(cell))
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                probe = [c for c in cells[qi] if int(c) in batch_cells]
+                if not probe:
+                    continue
+                mask = np.isin(cell, np.asarray(probe, dtype=np.int64))
+                s = luts[qi][cols, codes[mask]].sum(axis=1)
+                idsm = ids[mask]
+                top = np.lexsort((idsm, -s))[:nsel]
+                out_q.append(np.full(top.size, qids[qi]))
+                out_i.append(idsm[top])
+                out_s.append(s[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "adc_score": np.concatenate(out_s),
+                    }
+                )
+
+    pruned = indexed.where(F.col(cell_col).isin(union))
+    local = pruned.select(id_col, "pq_code", cell_col).mapInPandas(
+        adc_score, f"query_id long, {id_col} long, adc_score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc(id_col)
+    )
+    cand_rows = (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= nsel)
+        .select("query_id", id_col)
+        .collect()
+    )
+    cand: dict[int, set] = {}
+    for r in cand_rows:
+        cand.setdefault(r["query_id"], set()).add(r[id_col])
+    union_ids = sorted({i for s in cand.values() for i in s})
+    cand_arr = {
+        qid: np.asarray(sorted(s), dtype=np.int64) for qid, s in cand.items()
+    }
+
+    def rerank(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            norms = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+            out_q, out_i, out_s = [], [], []
+            for qi in range(nq):
+                mine = cand_arr.get(int(qids[qi]))
+                if mine is None:
+                    continue
+                mask = np.isin(ids, mine)
+                if not mask.any():
+                    continue
+                xs = x[mask]
+                cos = (xs @ qmat[qi]) / (norms[mask] * qnorms[qi])
+                idsm = ids[mask]
+                top = np.lexsort((idsm, -cos))[:k]
+                out_q.append(np.full(top.size, qids[qi]))
+                out_i.append(idsm[top])
+                out_s.append(cos[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        id_col: np.concatenate(out_i),
+                        "cos_sim": np.concatenate(out_s),
+                    }
+                )
+
+    surv = pruned.where(F.col(id_col).isin(union_ids)).select(id_col, vec_col)
+    scored = surv.mapInPandas(rerank, out_schema)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -127,6 +127,36 @@ def test_probe_prunes_partitions(spark, pq_fixture):
     assert cells_read <= set(probe)
 
 
+def test_batch_probe_parity_with_single(spark, pq_fixture):
+    """knn_ivf_pq_probe_many ≡ per-query knn_ivf_pq_probe: same ADC
+    candidate selection (identical lookup tables + (−score, id)
+    tie-break, bit-exact) and re-rank cosines equal at 9 decimals — the
+    knn_bruteforce_many convention; exact bits are unattainable because
+    dgemv output depends on the matrix row count and the batch path
+    gemvs a masked submatrix of the union-candidate batch."""
+    from hybrid_sanctions_search_engine_spark.operators.pq import (
+        knn_ivf_pq_probe_many,
+    )
+
+    x, q, df, indexed, cents, books = pq_fixture
+    queries = [(i, q[i].tolist()) for i in range(5)]
+    batched = knn_ivf_pq_probe_many(
+        indexed, cents, books, queries, k=10, n_probe=4, refine=3
+    )
+    got: dict[int, list] = {qid: [] for qid, _ in queries}
+    for r in batched.collect():
+        got[r["query_id"]].append((r["vec_id"], round(r["cos_sim"], 9)))
+    for qid, qv in queries:
+        want = [
+            (r["vec_id"], round(r["cos_sim"], 9))
+            for r in knn_ivf_pq_probe(
+                indexed, cents, books, qv, k=10, n_probe=4, refine=3
+            ).collect()
+        ]
+        key = lambda t: (-t[1], t[0])
+        assert sorted(got[qid], key=key) == sorted(want, key=key), qid
+
+
 def test_recall_improves_with_refine(spark, pq_fixture):
     """recall@10 vs brute force on the boundary-query regime: the refine
     dial converges the PQ probe toward the IVF-Flat result; at refine=8
