@@ -172,6 +172,7 @@ class HybridSearchPlan:
         ann_kind: str = "ivf",
         ann_n_probe: int = 3,
         ann_max_hamming: int = 2,
+        ann_refine: int = 4,
         encoder=None,
     ):
         """``index_dir``: serve the AC stage from a prebuilt compressed index
@@ -184,8 +185,11 @@ class HybridSearchPlan:
         full embeddings scan — the reference's vector stage is an ES HNSW
         query, never a scan (``elasticsearch_adapters.py:819-843``).  Each
         probe reads only the matching partition directories (PartitionFilters
-        pruning); ``ann_kind`` picks the layout, ``ann_n_probe`` /
-        ``ann_max_hamming`` are the recall dials.
+        pruning); ``ann_kind`` picks the layout (``ivf`` / ``lsh`` /
+        ``lsh_mb`` / ``ivf_pq`` — the last over ``write_ivf_pq_index``
+        output, the memory-bounded layout whose candidate scan reads 48-byte
+        codes instead of raw vectors); ``ann_n_probe`` / ``ann_max_hamming``
+        / ``ann_refine`` are the recall dials.
 
         ``encoder``: query-text embedding encoder satisfying the
         ``functions.encoder`` contract (dim / encode_one / encode_batch) —
@@ -205,14 +209,22 @@ class HybridSearchPlan:
         self.ann_kind = ann_kind
         self.ann_n_probe = ann_n_probe
         self.ann_max_hamming = ann_max_hamming
+        self.ann_refine = ann_refine
         self.ann_df = None
         self.ann_centroids = None
+        self.ann_codebooks = None
         if ann_index_dir is not None:
             if ann_kind == "ivf":
                 from ..operators.similarity import load_ivf_index
 
                 self.ann_df, self.ann_centroids = load_ivf_index(
                     docs.sparkSession, ann_index_dir
+                )
+            elif ann_kind == "ivf_pq":
+                from ..operators.pq import load_ivf_pq_index
+
+                self.ann_df, self.ann_centroids, self.ann_codebooks = (
+                    load_ivf_pq_index(docs.sparkSession, ann_index_dir)
                 )
             elif ann_kind in ("lsh", "lsh_mb"):
                 self.ann_df = docs.sparkSession.read.parquet(ann_index_dir)
@@ -585,6 +597,17 @@ class HybridSearchPlan:
 
             res = knn_ivf_probe(
                 self.ann_df, self.ann_centroids, qv, k=k, n_probe=self.ann_n_probe
+            )
+        elif self.ann_index_dir is not None and self.ann_kind == "ivf_pq":
+            # memory-bounded layout: ADC over 48-byte codes picks
+            # refine·k candidates, exact re-rank emits true cosines — the
+            # downstream ladder (escalation gate, fusion, rerank) is
+            # layout-blind because cos_sim is exact either way
+            from ..operators.pq import knn_ivf_pq_probe
+
+            res = knn_ivf_pq_probe(
+                self.ann_df, self.ann_centroids, self.ann_codebooks, qv,
+                k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
             )
         elif self.ann_index_dir is not None and self.ann_kind == "lsh_mb":
             from ..operators.similarity import knn_lsh_multiband_probe
@@ -981,6 +1004,21 @@ class HybridSearchPlan:
                     self.ann_df, self.ann_centroids,
                     [(q, qvecs[q]) for q in targets],
                     k=k, n_probe=self.ann_n_probe,
+                ).select(
+                    "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
+                )
+                base = None
+            elif self.ann_index_dir is not None and self.ann_kind == "ivf_pq":
+                # same fused two-pass shape as the flat-IVF batch (ADC over
+                # the union of probed cells, one exact re-rank) — candidate
+                # selection is bit-identical to per-query probes, cosines
+                # exact, so batch↔single parity holds at 9 decimals
+                from ..operators.pq import knn_ivf_pq_probe_many
+
+                ivf_hits = knn_ivf_pq_probe_many(
+                    self.ann_df, self.ann_centroids, self.ann_codebooks,
+                    [(q, qvecs[q]) for q in targets],
+                    k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
                 ).select(
                     "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
                 )

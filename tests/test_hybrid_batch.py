@@ -84,6 +84,23 @@ def test_search_many_parity_ivf(spark, corpus, tmp_path):
     _assert_parity(plan, SearchOpts(top_k=8))
 
 
+def test_search_many_parity_ivf_pq(spark, corpus, tmp_path):
+    """PQ-backed batched vector stage ≡ per-query knn_ivf_pq_probe path
+    (candidate selection bit-identical, exact re-rank cosines at 9dp)."""
+    from hybrid_sanctions_search_engine_spark.operators.pq import (
+        write_ivf_pq_index,
+    )
+
+    docs, emb = corpus
+    path = str(tmp_path / "ivfpqb")
+    write_ivf_pq_index(emb, path, n_centroids=8, m=16, iters=8)
+    plan = HybridSearchPlan(
+        docs, embeddings=emb, embedding_dim=DIM,
+        ann_index_dir=path, ann_kind="ivf_pq", ann_n_probe=3, ann_refine=4,
+    )
+    _assert_parity(plan, SearchOpts(top_k=8))
+
+
 def test_search_many_parity_no_rerank_with_anchor(spark, corpus):
     """Anchor boosts flow through the batched driver-side path identically
     (rerank off isolates the anchor multiplication)."""
