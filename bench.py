@@ -344,6 +344,70 @@ def main() -> None:
                     timings["q_hybrid_batch_100_960k"] * 1000 / 100, 2
                 ),
             }
+
+            # the SAME serving harness over the PQ-coded layout
+            # (ann_kind='ivf_pq') — evidences the memory-bounded scale
+            # path at the same corpus size: the ADC candidate scan reads
+            # the byte-code column only, and the measured per-column
+            # parquet bytes below quantify a probed cell's working set vs
+            # the raw vector column the flat layout must touch
+            from hybrid_sanctions_search_engine_spark.operators.pq import (
+                write_ivf_pq_index,
+            )
+
+            big_pq_dir = tempfile.mkdtemp(prefix="bench_ladder_pq_")
+            try:
+                t0 = time.monotonic()
+                write_ivf_pq_index(emb960, big_pq_dir, n_centroids=256, m=16)
+                pq_setup_sec = time.monotonic() - t0
+                plan_pq = HybridSearchPlan(
+                    exp2, ann_index_dir=big_pq_dir, ann_kind="ivf_pq",
+                    embedding_dim=64, index_dir=big_ladder_idx,
+                )
+                try:
+                    plan_pq.search_many(hybrid_batch, SearchOpts(top_k=10))[
+                        0
+                    ].collect()
+                    timed_best2(
+                        "q_hybrid_batch_100_960k_pq",
+                        lambda: plan_pq.search_many(
+                            hybrid_batch, SearchOpts(top_k=10)
+                        )[0].collect(),
+                    )
+                finally:
+                    plan_pq.close()
+                import pyarrow.parquet as _pqmeta
+
+                code_bytes = raw_bytes = 0
+                for root, _dirs, files in os.walk(big_pq_dir):
+                    for f in files:
+                        if not f.endswith(".parquet"):
+                            continue
+                        md = _pqmeta.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata
+                        for rg in range(md.num_row_groups):
+                            g = md.row_group(rg)
+                            for ci in range(g.num_columns):
+                                col = g.column(ci)
+                                name = col.path_in_schema.split(".")[0]
+                                if name == "pq_code":
+                                    code_bytes += col.total_compressed_size
+                                elif name == "embedding":
+                                    raw_bytes += col.total_compressed_size
+                extra["ladder_at_scale_pq"] = {
+                    "setup_sec": round(pq_setup_sec, 2),
+                    "ms_per_query": round(
+                        timings["q_hybrid_batch_100_960k_pq"] * 1000 / 100, 2
+                    ),
+                    "code_col_bytes": int(code_bytes),
+                    "raw_vec_col_bytes": int(raw_bytes),
+                    "adc_scan_compression": round(
+                        raw_bytes / max(code_bytes, 1), 1
+                    ),
+                }
+            finally:
+                shutil.rmtree(big_pq_dir, ignore_errors=True)
             exp2.unpersist()
         finally:
             shutil.rmtree(big_ladder_idx, ignore_errors=True)

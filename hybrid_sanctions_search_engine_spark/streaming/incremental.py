@@ -195,6 +195,10 @@ def fold_delta_embeddings(
                  retrain: probes stay consistent with queries planned against
                  the stored centroids) and append into the matching
                  ``ivf_cell=…`` directories;
+      * ivf_pq — same cell assignment, plus each vector is PQ-coded with
+                 the stored codebooks (no retrain, for the same reason)
+                 before the append — folded rows are ADC-scannable exactly
+                 like base rows;
       * lsh    — hyperplane signature with the stored (dim, n_planes, seed),
                  append into ``lsh_band=…``;
       * lsh_mb — per-band rows appended into ``lsh_band_idx=…/lsh_band_val=…``.
@@ -224,6 +228,7 @@ def fold_delta_embeddings(
 
     meta_name = {
         "ivf": "_ivf_meta.json",
+        "ivf_pq": "_ivf_pq_meta.json",
         "lsh": "_lsh_meta.json",
         "lsh_mb": "_lsh_mb_meta.json",
     }[kind]
@@ -304,13 +309,21 @@ def fold_delta_embeddings(
     if n_vecs == 0:
         return {"folded_vecs": 0, "noop": "empty delta", "fp": fp}
 
-    if kind == "ivf":
+    if kind in ("ivf", "ivf_pq"):
         from ..operators.similarity import assign_ivf_cells
 
         import numpy as np
 
         cents = np.asarray(meta["centroids"], dtype=np.float64)
         staged = assign_ivf_cells(delta_embeddings, cents)
+        if kind == "ivf_pq":
+            # code with the STORED codebooks — parquet is self-describing,
+            # so the appended files' column order need not match the base
+            from ..operators.pq import encode_pq
+
+            staged = encode_pq(
+                staged, np.asarray(meta["codebooks"], dtype=np.float64)
+            )
         part_cols = ["ivf_cell"]
         staged.repartition(*part_cols).write.mode("overwrite").partitionBy(
             *part_cols

@@ -320,6 +320,37 @@ def test_fold_delta_embeddings_ivf(spark, env, ann_copy):
     assert spark.read.parquet(ann_copy).count() == before + len(DELTA_DOCS)
 
 
+def test_fold_delta_embeddings_ivf_pq(spark, env, tmp_path):
+    """The PQ layout folds too: delta vectors are cell-assigned AND coded
+    with the STORED codebooks (no retrain), so a plain PQ probe finds the
+    streamed doc at exact cosine 1.0 after the re-rank; rerun is a no-op."""
+    from hybrid_sanctions_search_engine_spark.operators.pq import (
+        knn_ivf_pq_probe,
+        load_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "ivf_pq_fold")
+    write_ivf_pq_index(env["base_emb"], path, n_centroids=4, m=16, iters=6)
+    demb = load_delta_embeddings(spark, env["delta_dir"])
+    before = spark.read.parquet(path).count()
+    rep = fold_delta_embeddings(spark, path, demb, kind="ivf_pq")
+    assert rep["folded_vecs"] == len(DELTA_DOCS)
+    df, cents, books = load_ivf_pq_index(spark, path)
+    assert df.count() == before + len(DELTA_DOCS)
+    assert df.where(F.col("pq_code").isNull()).count() == 0
+    hits = knn_ivf_pq_probe(
+        df, cents, books, pseudo_embedding(DELTA_DOCS[0][1], DIM), k=3,
+        n_probe=len(cents), refine=8,
+    ).collect()
+    assert hits[0]["vec_id"] == DELTA_DOCS[0][0]
+    assert hits[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+    # idempotent rerun
+    rep2 = fold_delta_embeddings(spark, path, demb, kind="ivf_pq")
+    assert rep2.get("noop")
+    assert spark.read.parquet(path).count() == before + len(DELTA_DOCS)
+
+
 def test_fold_crash_resume_no_duplicates(spark, env, ann_copy, monkeypatch):
     """Crash mid-move: a rerun replays only the unfinished moves and the
     folded index holds each delta vector exactly once."""
@@ -396,6 +427,50 @@ def test_delta_overlay_with_lsh_plan(spark, env, tmp_path):
     plan = HybridSearchPlan(
         base_docs, embeddings=env["base_emb"], embedding_dim=DIM,
         ann_index_dir=path, ann_kind="lsh", ann_max_hamming=3,
+    )
+    plan.attach_delta(
+        delta_docs=spark.createDataFrame(DELTA_DOCS, SCHEMA),
+        delta_postings=load_delta_postings(spark, env["delta_dir"]),
+        delta_stats=load_delta_stats(env["delta_dir"]),
+        delta_embeddings=load_delta_embeddings(spark, env["delta_dir"]),
+    )
+    try:
+        hits = plan.vector_stage(DELTA_DOCS[0][1], k=3, rerank=False).collect()
+        assert hits[0]["doc_id"] == DELTA_DOCS[0][0]
+        assert hits[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+        queries = [(1, GIBBERISH_QUERY), (2, "zorblatt"), (3, DELTA_DOCS[2][1])]
+        opts = SearchOpts(top_k=5)
+        batched, meta = plan.search_many(queries, opts)
+        got: dict[int, list] = {}
+        for r in batched.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], round(r["score"], 9))
+            )
+        for qid, text in queries:
+            res, trace = plan.search(text, opts)
+            want = [
+                (i + 1, r["doc_id"], round(r["score"], 9))
+                for i, r in enumerate(res.collect())
+            ]
+            assert sorted(got.get(qid, [])) == want, (qid, text)
+    finally:
+        plan.close()
+
+
+def test_delta_overlay_with_ivf_pq_plan(spark, env, tmp_path):
+    """The vector overlay composes with the PQ-coded base layout too: the
+    streamed doc surfaces at cosine 1.0 (it is served by the exact delta
+    gemv, never quantized), and search ≡ search_many holds."""
+    from hybrid_sanctions_search_engine_spark.operators.pq import (
+        write_ivf_pq_index,
+    )
+
+    base_docs = env["plan"].docs
+    path = str(tmp_path / "ivf_pq")
+    write_ivf_pq_index(env["base_emb"], path, n_centroids=4, m=16, iters=6)
+    plan = HybridSearchPlan(
+        base_docs, embeddings=env["base_emb"], embedding_dim=DIM,
+        ann_index_dir=path, ann_kind="ivf_pq", ann_n_probe=4, ann_refine=8,
     )
     plan.attach_delta(
         delta_docs=spark.createDataFrame(DELTA_DOCS, SCHEMA),
