@@ -139,6 +139,60 @@ def ivf_recall_curve(
     return out
 
 
+def ivf_pq_recall_curve(
+    index_dir: str,
+    x: np.ndarray,
+    queries: np.ndarray,
+    truth: np.ndarray,
+    refines: list[int],
+    n_probe: int = 4,
+    k: int = 10,
+) -> dict[int, float]:
+    """recall@k vs the ``refine`` dial at fixed ``n_probe``, replaying
+    ``knn_ivf_pq_probe``'s candidate selection (nearest-centroid cells,
+    ADC top refine·k with the (−score, id) tie-break, exact re-rank) from
+    the written index's own cells/codes — the PQ analogue of
+    ``ivf_recall_curve``, isolating what quantized candidate selection
+    costs vs the IVF-Flat ceiling at the same n_probe."""
+    import pyarrow.dataset as ds
+
+    from .pq import adc_lookup_table
+
+    meta = _read_meta(index_dir, "_ivf_pq_meta.json")
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    m = books.shape[0]
+    tbl = ds.dataset(index_dir, format="parquet", partitioning="hive").to_table(
+        columns=["vec_id", "ivf_cell", "pq_code"]
+    )
+    vec_ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    cells = np.asarray(tbl["ivf_cell"], dtype=np.int64)
+    codes = np.frombuffer(
+        b"".join(c.as_py() for c in tbl["pq_code"]), dtype=np.uint8
+    ).reshape(len(vec_ids), m)
+    cols = np.arange(m)
+    out: dict[int, float] = {}
+    for refine in refines:
+        hits = 0
+        for i in range(queries.shape[0]):
+            qn = queries[i] / max(np.linalg.norm(queries[i]), 1e-12)
+            probe = np.argsort(-(cents @ qn))[:n_probe]
+            cand = np.flatnonzero(np.isin(cells, probe))
+            if cand.size == 0:
+                continue
+            lut = adc_lookup_table(queries[i].tolist(), books)
+            # residual coding: add each candidate's per-cell q̂·centroid
+            adc = lut[cols, codes[cand]].sum(axis=1) + (cents @ qn)[cells[cand]]
+            sel = cand[np.lexsort((vec_ids[cand], -adc))[: refine * k]]
+            ids = vec_ids[sel]
+            s = x[ids] @ queries[i]
+            kk = min(k, ids.size)
+            top = ids[np.lexsort((ids, -s))[:kk]]
+            hits += len(set(top.tolist()) & set(truth[i].tolist()))
+        out[refine] = hits / (queries.shape[0] * k)
+    return out
+
+
 def lsh_recall_curve(
     index_dir: str,
     x: np.ndarray,
@@ -267,10 +321,13 @@ def recall_report(
     n_probes = n_probes or [1, 2, 4, 8, 16]
     max_hammings = max_hammings or [0, 1, 2, 3]
     n_probe_bands = n_probe_bands or [1, 2, 4, 8]
+    pq_refines = [1, 2, 4, 8]
+    pq_n_probe = 4
     import pandas as pd
 
     base = workdir or tempfile.mkdtemp(prefix="ann_recall_")
     ivf_dir = os.path.join(base, "ivf")
+    pq_dir = os.path.join(base, "ivf_pq")
     lsh_dir = os.path.join(base, "lsh")
     mb_dir = os.path.join(base, "lsh_mb")
     out: dict = {"n": n, "dim": dim, "k": k, "noise": noise}
@@ -286,6 +343,11 @@ def recall_report(
                     )
                 )
                 write_ivf_index(emb, ivf_dir, n_centroids=n_centroids)
+                from .pq import write_ivf_pq_index
+
+                write_ivf_pq_index(
+                    emb, pq_dir, n_centroids=n_centroids, m=dim // 8
+                )
                 write_lsh_index(emb, lsh_dir, dim=dim, n_planes=n_planes)
                 write_lsh_multiband_index(
                     emb, mb_dir, dim=dim, n_bands=mb_bands,
@@ -295,6 +357,12 @@ def recall_report(
             out[f"ivf_recall_at_{k}_by_n_probe_{mode}"] = {
                 str(d): round(v, 4)
                 for d, v in ivf_recall_curve(ivf_dir, x, q, truth, n_probes, k).items()
+            }
+            out[f"ivf_pq_recall_at_{k}_by_refine_{mode}_n_probe_{pq_n_probe}"] = {
+                str(d): round(v, 4)
+                for d, v in ivf_pq_recall_curve(
+                    pq_dir, x, q, truth, pq_refines, pq_n_probe, k
+                ).items()
             }
             out[f"lsh_recall_at_{k}_by_max_hamming_{mode}"] = {
                 str(d): round(v, 4)

@@ -29,6 +29,16 @@ a probe prunes to ``n_probe`` partition directories, ADC-scans their code
 column, and re-ranks survivors from the same files' vector column via an
 ``id IN (...)`` pushed filter.  All numpy stages are Arrow-vectorized;
 nothing here is row-at-a-time Python.
+
+Codes quantize the RESIDUAL ``x̂ − centroid(cell)`` (FAISS IndexIVFPQ's
+encoding), not the raw vector: on clustered corpora the members of one
+cell differ only by small offsets, and quantizing x̂ directly drowns those
+offsets in reconstruction error (measured on the 20k/384-d clustered
+fixture at n_probe=4, refine=8: recall@10 rose 0.46 → 0.60 member and
+0.56 → 0.89 boundary after the switch).  The identity
+``q̂·x̂ = q̂·centroid + q̂·residual`` keeps ADC exact-form: the scan adds
+each row's per-cell ``q̂·centroid`` offset (the cell id is a hive
+partition value already in the pruned scan — no extra IO).
 """
 
 from __future__ import annotations
@@ -56,6 +66,7 @@ def train_pq_codebooks(
     iters: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace k-means codebooks → ``(m, 2**nbits, dim//m)`` float64.
 
@@ -65,7 +76,17 @@ def train_pq_codebooks(
     layouts); vectors are L2-normalized BEFORE splitting so the ADC sum of
     subspace dots approximates cosine directly.  Subspace training is
     plain Euclidean Lloyd (minimum reconstruction MSE — the PQ objective)
-    with farthest-point init, k_eff = min(2**nbits, n_sample)."""
+    with farthest-point init, k_eff = min(2**nbits, n_sample).
+
+    With ``centroids`` (the trained IVF centroids), codebooks train on the
+    RESIDUALS ``x̂ − c(x̂)`` — FAISS IndexIVFPQ's encoding.  On a clustered
+    corpus the raw vectors of one cell differ only by small within-cluster
+    offsets; quantizing x̂ directly spends the codebook's resolution on the
+    cluster centers and drowns those offsets in reconstruction error
+    (measured: member recall@10 0.46 at refine=8 on the 20k fixture).
+    Quantizing the residual spends it on exactly the differences ADC must
+    rank, and the identity ``q̂·x̂ = q̂·c + q̂·r`` keeps scoring exact-form:
+    the per-cell ``q̂·c`` offset is added at scan time."""
     rows = (
         embeddings.select(F.col(vec_col), F.xxhash64(F.col(id_col)).alias("_h"))
         .orderBy("_h")
@@ -74,6 +95,8 @@ def train_pq_codebooks(
         .collect()
     )
     x = _normalized(np.array([r[0] for r in rows], dtype=np.float64))
+    if centroids is not None:
+        x = x - centroids[(x @ centroids.T).argmax(axis=1)]
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
@@ -122,21 +145,43 @@ def encode_pq(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     out_col: str = "pq_code",
+    centroids: np.ndarray | None = None,
+    cell_col: str = "ivf_cell",
 ) -> DataFrame:
     """Append the ``m``-byte PQ code (BinaryType) — one Arrow batch gemm
-    chain per subspace, no shuffle."""
+    chain per subspace, no shuffle.
+
+    With ``centroids``, codes quantize the RESIDUAL ``x̂ − centroids[cell]``
+    using the row's ALREADY-ASSIGNED ``cell_col`` (never re-deriving the
+    nearest centroid here — ties must resolve identically to
+    ``assign_ivf_cells`` or code and cell disagree)."""
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import BinaryType
 
     books = codebooks  # broadcast via closure (m·256·dsub floats ≈ 786 KB)
 
+    if centroids is None:
+
+        @pandas_udf(BinaryType())
+        def code(vs: pd.Series) -> pd.Series:
+            x = _normalized(np.array(vs.tolist(), dtype=np.float64))
+            codes = _encode_block(x, books)
+            return pd.Series([c.tobytes() for c in codes])
+
+        return embeddings.withColumn(out_col, code(F.col(vec_col)))
+
+    cents = centroids
+
     @pandas_udf(BinaryType())
-    def code(vs: pd.Series) -> pd.Series:
+    def code_residual(vs: pd.Series, cells: pd.Series) -> pd.Series:
         x = _normalized(np.array(vs.tolist(), dtype=np.float64))
-        codes = _encode_block(x, books)
+        r = x - cents[cells.to_numpy(dtype=np.int64)]
+        codes = _encode_block(r, books)
         return pd.Series([c.tobytes() for c in codes])
 
-    return embeddings.withColumn(out_col, code(F.col(vec_col)))
+    return embeddings.withColumn(
+        out_col, code_residual(F.col(vec_col), F.col(cell_col))
+    )
 
 
 def adc_lookup_table(query_vec: list[float], codebooks: np.ndarray) -> np.ndarray:
@@ -156,16 +201,27 @@ def adc_scan_topn(
     n: int,
     id_col: str = "vec_id",
     code_col: str = "pq_code",
+    centroids: np.ndarray | None = None,
+    cell_col: str = "ivf_cell",
 ) -> DataFrame:
     """Approximate top-n by ADC over the code column → (id, adc_score).
 
     mapInPandas emits only each Arrow batch's local top-n (k-bounded, by
     the compound (−score, id) order so the global merge is exact over the
-    ADC scores); the input is column-pruned to ``(id, code)`` — the raw
-    vector column never leaves parquet (ReadSchema-asserted in tests)."""
+    ADC scores); the input is column-pruned to ``(id, code[, cell])`` —
+    the raw vector column never leaves parquet (ReadSchema-asserted in
+    tests; the cell is a hive partition value, not file IO).
+
+    With ``centroids`` (residual-coded index), each row's score adds its
+    cell's ``q̂·centroid`` offset: ``q̂·x̂ ≈ q̂·c + Σ lut[j, code_j]``."""
     lut = adc_lookup_table(query_vec, codebooks)
     m = lut.shape[0]
     cols = np.arange(m)
+    cent_dots = None
+    if centroids is not None:
+        qn = np.asarray(query_vec, dtype=np.float64)
+        qn = qn / max(np.linalg.norm(qn), 1e-12)
+        cent_dots = centroids @ qn
 
     def score(it):
         for pdf in it:
@@ -175,12 +231,15 @@ def adc_scan_topn(
                 b"".join(pdf[code_col]), dtype=np.uint8
             ).reshape(len(pdf), m)
             s = lut[cols, codes].sum(axis=1)
+            if cent_dots is not None:
+                s = s + cent_dots[pdf[cell_col].to_numpy(dtype=np.int64)]
             order = np.lexsort((pdf[id_col].to_numpy(), -s))[:n]
             yield pd.DataFrame(
                 {id_col: pdf[id_col].to_numpy()[order], "adc_score": s[order]}
             )
 
-    scored = codes_df.select(id_col, code_col).mapInPandas(
+    in_cols = [id_col, code_col] + ([cell_col] if cent_dots is not None else [])
+    scored = codes_df.select(*in_cols).mapInPandas(
         score, f"{id_col} long, adc_score double"
     )
     return scored.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(n)
@@ -205,10 +264,12 @@ def write_ivf_pq_index(
         embeddings, n_centroids, sample, iters, vec_col=vec_col, id_col=id_col
     )
     books = train_pq_codebooks(
-        embeddings, m, nbits, sample, iters, vec_col=vec_col, id_col=id_col
+        embeddings, m, nbits, sample, iters, vec_col=vec_col, id_col=id_col,
+        centroids=cents,
     )
     coded = encode_pq(
-        assign_ivf_cells(embeddings, cents, vec_col=vec_col), books, vec_col
+        assign_ivf_cells(embeddings, cents, vec_col=vec_col), books, vec_col,
+        centroids=cents,
     )
     (
         coded.repartition("ivf_cell")
@@ -224,6 +285,7 @@ def write_ivf_pq_index(
             "dim": int(cents.shape[1]),
             "m": int(m),
             "nbits": int(nbits),
+            "residual": True,
         },
     )
     return cents, books
@@ -231,6 +293,12 @@ def write_ivf_pq_index(
 
 def load_ivf_pq_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     meta = fs_for(path).read_json(os.path.join(path, "_ivf_pq_meta.json"))
+    if not meta.get("residual"):
+        # codes quantizing raw vectors would silently mis-rank under the
+        # residual ADC offsets — refuse rather than serve wrong candidates
+        raise ValueError(
+            "pre-residual ivf_pq index format; rebuild with write_ivf_pq_index"
+        )
     return (
         spark.read.parquet(path),
         np.asarray(meta["centroids"], dtype=np.float64),
@@ -269,7 +337,9 @@ def knn_ivf_pq_probe(
     q = q / max(np.linalg.norm(q), 1e-12)
     probe = [int(c) for c in np.argsort(-(centroids @ q))[:n_probe]]
     cells = indexed.where(F.col("ivf_cell").isin(probe))
-    cand = adc_scan_topn(cells, codebooks, query_vec, refine * k, id_col)
+    cand = adc_scan_topn(
+        cells, codebooks, query_vec, refine * k, id_col, centroids=centroids
+    )
     cand_ids = [r[id_col] for r in cand.collect()]
     survivors = cells.where(F.col(id_col).isin(cand_ids))
     return knn_bruteforce(survivors, query_vec, k, id_col, vec_col, arrow=True)
@@ -337,6 +407,9 @@ def knn_ivf_pq_probe_many(
     ]
     union = sorted({int(c) for cs in cells for c in cs})
     nq, nsel, cols = len(qids), refine * k, np.arange(m)
+    # residual coding: per-(query, cell) q̂·centroid offsets, added to each
+    # masked row's lut sum — one small gemm, indexed per row at scan time
+    cent_dots_all = qn @ centroids.T
 
     def adc_score(it):
         for pdf in it:
@@ -354,7 +427,10 @@ def knn_ivf_pq_probe_many(
                 if not probe:
                     continue
                 mask = np.isin(cell, np.asarray(probe, dtype=np.int64))
-                s = luts[qi][cols, codes[mask]].sum(axis=1)
+                s = (
+                    luts[qi][cols, codes[mask]].sum(axis=1)
+                    + cent_dots_all[qi][cell[mask]]
+                )
                 idsm = ids[mask]
                 top = np.lexsort((idsm, -s))[:nsel]
                 out_q.append(np.full(top.size, qids[qi]))

@@ -317,12 +317,15 @@ def fold_delta_embeddings(
         cents = np.asarray(meta["centroids"], dtype=np.float64)
         staged = assign_ivf_cells(delta_embeddings, cents)
         if kind == "ivf_pq":
-            # code with the STORED codebooks — parquet is self-describing,
-            # so the appended files' column order need not match the base
+            # residual-code with the STORED centroids+codebooks — parquet
+            # is self-describing, so the appended files' column order need
+            # not match the base
             from ..operators.pq import encode_pq
 
             staged = encode_pq(
-                staged, np.asarray(meta["codebooks"], dtype=np.float64)
+                staged,
+                np.asarray(meta["codebooks"], dtype=np.float64),
+                centroids=cents,
             )
         part_cols = ["ivf_cell"]
         staged.repartition(*part_cols).write.mode("overwrite").partitionBy(

@@ -89,6 +89,36 @@ def test_lsh_replay_matches_real_probe(spark, built):
     assert curve[2] == pytest.approx(hits / 30)
 
 
+def test_ivf_pq_replay_matches_real_probe(spark, built, tmp_path_factory):
+    """The numpy replay (cells → ADC top refine·k → exact re-rank) scores
+    the same recall as the REAL knn_ivf_pq_probe at the same dials."""
+    from hybrid_sanctions_search_engine_spark.operators.ann_recall import (
+        ivf_pq_recall_curve,
+    )
+    from hybrid_sanctions_search_engine_spark.operators.pq import (
+        knn_ivf_pq_probe,
+        load_ivf_pq_index,
+        write_ivf_pq_index,
+    )
+
+    x, q, emb, _, _ = built
+    pq_dir = str(tmp_path_factory.mktemp("ann_recall_pq") / "ivf_pq")
+    write_ivf_pq_index(emb, pq_dir, n_centroids=16, m=48)
+    indexed, cents, books = load_ivf_pq_index(spark, pq_dir)
+    truth = brute_force_topk(x, q[:3], 10)
+    curve = ivf_pq_recall_curve(pq_dir, x, q[:3], truth, [2], n_probe=2, k=10)
+    hits = 0
+    for i in range(3):
+        got = [
+            r["vec_id"]
+            for r in knn_ivf_pq_probe(
+                indexed, cents, books, q[i].tolist(), k=10, n_probe=2, refine=2
+            ).collect()
+        ]
+        hits += len(set(got) & set(truth[i].tolist()))
+    assert curve[2] == pytest.approx(hits / 30)
+
+
 def test_recall_floors_at_default_dials(spark):
     """Floors at the serving defaults (HybridSearchPlan: n_probe=3,
     max_hamming=2) on the 8k × 384 clustered fixture — measured

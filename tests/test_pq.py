@@ -61,18 +61,26 @@ def test_codebook_determinism(spark, pq_fixture):
 
 
 def test_encode_matches_numpy(spark, pq_fixture):
+    """Residual encoding: code = quantize(x̂ − centroids[assigned cell])."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        assign_ivf_cells,
+    )
+
     x, q, df, indexed, cents, books = pq_fixture
     rows = (
-        encode_pq(df.where(F.col("vec_id") < 50), books)
-        .select("vec_id", "pq_code", "embedding")
+        encode_pq(
+            assign_ivf_cells(df.where(F.col("vec_id") < 50), cents),
+            books,
+            centroids=cents,
+        )
+        .select("vec_id", "pq_code", "embedding", "ivf_cell")
         .collect()
     )
     assert len(rows) == 50
     for r in rows:
         assert len(r["pq_code"]) == M  # 48 bytes vs 3072 raw — 32× on disk
-        want = _encode_block(
-            _normalized(np.array([r["embedding"]], dtype=np.float64)), books
-        )[0]
+        xn = _normalized(np.array([r["embedding"]], dtype=np.float64))
+        want = _encode_block(xn - cents[r["ivf_cell"]], books)[0]
         assert bytes(r["pq_code"]) == want.tobytes()
 
 
@@ -100,7 +108,7 @@ def test_adc_scan_reads_codes_not_vectors(spark, pq_fixture):
     """The ADC stage's parquet scan must NOT read the raw vector column —
     that column pruning is the whole memory story at 1B × 384-d."""
     x, q, df, indexed, cents, books = pq_fixture
-    cand = adc_scan_topn(indexed, books, q[0].tolist(), n=40)
+    cand = adc_scan_topn(indexed, books, q[0].tolist(), n=40, centroids=cents)
     buf = io.StringIO()
     with redirect_stdout(buf):
         cand.explain(mode="formatted")
