@@ -408,6 +408,69 @@ def main() -> None:
                 }
             finally:
                 shutil.rmtree(big_pq_dir, ignore_errors=True)
+
+            # the SAME serving harness over the int8 layout
+            # (ann_kind='ivf_sq8') — the middle Pareto point: dim-byte
+            # codes (4× less candidate-scan IO than raw vectors) with
+            # near-flat recall at refine=2, the quantization ES applies to
+            # indexed dense_vector fields by default
+            from hybrid_sanctions_search_engine_spark.operators.sq import (
+                write_ivf_sq8_index,
+            )
+
+            big_sq_dir = tempfile.mkdtemp(prefix="bench_ladder_sq_")
+            try:
+                t0 = time.monotonic()
+                write_ivf_sq8_index(emb960, big_sq_dir, n_centroids=256)
+                sq_setup_sec = time.monotonic() - t0
+                plan_sq = HybridSearchPlan(
+                    exp2, ann_index_dir=big_sq_dir, ann_kind="ivf_sq8",
+                    embedding_dim=64, index_dir=big_ladder_idx,
+                )
+                try:
+                    plan_sq.search_many(hybrid_batch, SearchOpts(top_k=10))[
+                        0
+                    ].collect()
+                    timed_best2(
+                        "q_hybrid_batch_100_960k_sq8",
+                        lambda: plan_sq.search_many(
+                            hybrid_batch, SearchOpts(top_k=10)
+                        )[0].collect(),
+                    )
+                finally:
+                    plan_sq.close()
+                import pyarrow.parquet as _pqmeta
+
+                code_bytes = raw_bytes = 0
+                for root, _dirs, files in os.walk(big_sq_dir):
+                    for f in files:
+                        if not f.endswith(".parquet"):
+                            continue
+                        md = _pqmeta.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata
+                        for rg in range(md.num_row_groups):
+                            g = md.row_group(rg)
+                            for ci in range(g.num_columns):
+                                col = g.column(ci)
+                                name = col.path_in_schema.split(".")[0]
+                                if name == "sq_code":
+                                    code_bytes += col.total_compressed_size
+                                elif name == "embedding":
+                                    raw_bytes += col.total_compressed_size
+                extra["ladder_at_scale_sq8"] = {
+                    "setup_sec": round(sq_setup_sec, 2),
+                    "ms_per_query": round(
+                        timings["q_hybrid_batch_100_960k_sq8"] * 1000 / 100, 2
+                    ),
+                    "code_col_bytes": int(code_bytes),
+                    "raw_vec_col_bytes": int(raw_bytes),
+                    "code_scan_compression": round(
+                        raw_bytes / max(code_bytes, 1), 1
+                    ),
+                }
+            finally:
+                shutil.rmtree(big_sq_dir, ignore_errors=True)
             exp2.unpersist()
         finally:
             shutil.rmtree(big_ladder_idx, ignore_errors=True)

@@ -193,6 +193,58 @@ def ivf_pq_recall_curve(
     return out
 
 
+def ivf_sq8_recall_curve(
+    index_dir: str,
+    x: np.ndarray,
+    queries: np.ndarray,
+    truth: np.ndarray,
+    refines: list[int],
+    n_probe: int = 4,
+    k: int = 10,
+) -> dict[int, float]:
+    """recall@k vs the ``refine`` dial at fixed ``n_probe``, replaying
+    ``knn_ivf_sq8_probe``'s candidate selection (nearest-centroid cells,
+    decoded-dot top refine·k with the (−score, id) tie-break, exact
+    re-rank) from the written index's own cells/codes — the int8 analogue
+    of ``ivf_pq_recall_curve``."""
+    import pyarrow.dataset as ds
+
+    from .sq import _sq8_query_form, _sq8_scores
+
+    meta = _read_meta(index_dir, "_ivf_sq8_meta.json")
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    vmin = np.asarray(meta["vmin"], dtype=np.float64)
+    vmax = np.asarray(meta["vmax"], dtype=np.float64)
+    dim = cents.shape[1]
+    tbl = ds.dataset(index_dir, format="parquet", partitioning="hive").to_table(
+        columns=["vec_id", "ivf_cell", "sq_code"]
+    )
+    vec_ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    cells = np.asarray(tbl["ivf_cell"], dtype=np.int64)
+    codes = np.frombuffer(
+        b"".join(c.as_py() for c in tbl["sq_code"]), dtype=np.uint8
+    ).reshape(len(vec_ids), dim)
+    out: dict[int, float] = {}
+    for refine in refines:
+        hits = 0
+        for i in range(queries.shape[0]):
+            qn = queries[i] / max(np.linalg.norm(queries[i]), 1e-12)
+            probe = np.argsort(-(cents @ qn))[:n_probe]
+            cand = np.flatnonzero(np.isin(cells, probe))
+            if cand.size == 0:
+                continue
+            w, b = _sq8_query_form(queries[i].tolist(), vmin, vmax)
+            s = _sq8_scores(codes[cand], w, b)
+            sel = cand[np.lexsort((vec_ids[cand], -s))[: refine * k]]
+            ids = vec_ids[sel]
+            cos = x[ids] @ queries[i]
+            kk = min(k, ids.size)
+            top = ids[np.lexsort((ids, -cos))[:kk]]
+            hits += len(set(top.tolist()) & set(truth[i].tolist()))
+        out[refine] = hits / (queries.shape[0] * k)
+    return out
+
+
 def lsh_recall_curve(
     index_dir: str,
     x: np.ndarray,
@@ -322,12 +374,14 @@ def recall_report(
     max_hammings = max_hammings or [0, 1, 2, 3]
     n_probe_bands = n_probe_bands or [1, 2, 4, 8]
     pq_refines = [1, 2, 4, 8]
+    sq_refines = [1, 2, 4]
     pq_n_probe = 4
     import pandas as pd
 
     base = workdir or tempfile.mkdtemp(prefix="ann_recall_")
     ivf_dir = os.path.join(base, "ivf")
     pq_dir = os.path.join(base, "ivf_pq")
+    sq_dir = os.path.join(base, "ivf_sq8")
     lsh_dir = os.path.join(base, "lsh")
     mb_dir = os.path.join(base, "lsh_mb")
     out: dict = {"n": n, "dim": dim, "k": k, "noise": noise}
@@ -348,6 +402,9 @@ def recall_report(
                 write_ivf_pq_index(
                     emb, pq_dir, n_centroids=n_centroids, m=dim // 8
                 )
+                from .sq import write_ivf_sq8_index
+
+                write_ivf_sq8_index(emb, sq_dir, n_centroids=n_centroids)
                 write_lsh_index(emb, lsh_dir, dim=dim, n_planes=n_planes)
                 write_lsh_multiband_index(
                     emb, mb_dir, dim=dim, n_bands=mb_bands,
@@ -362,6 +419,12 @@ def recall_report(
                 str(d): round(v, 4)
                 for d, v in ivf_pq_recall_curve(
                     pq_dir, x, q, truth, pq_refines, pq_n_probe, k
+                ).items()
+            }
+            out[f"ivf_sq8_recall_at_{k}_by_refine_{mode}_n_probe_{pq_n_probe}"] = {
+                str(d): round(v, 4)
+                for d, v in ivf_sq8_recall_curve(
+                    sq_dir, x, q, truth, sq_refines, pq_n_probe, k
                 ).items()
             }
             out[f"lsh_recall_at_{k}_by_max_hamming_{mode}"] = {

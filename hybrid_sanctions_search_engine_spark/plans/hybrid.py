@@ -186,10 +186,12 @@ class HybridSearchPlan:
         query, never a scan (``elasticsearch_adapters.py:819-843``).  Each
         probe reads only the matching partition directories (PartitionFilters
         pruning); ``ann_kind`` picks the layout (``ivf`` / ``lsh`` /
-        ``lsh_mb`` / ``ivf_pq`` — the last over ``write_ivf_pq_index``
-        output, the memory-bounded layout whose candidate scan reads 48-byte
-        codes instead of raw vectors); ``ann_n_probe`` / ``ann_max_hamming``
-        / ``ann_refine`` are the recall dials.
+        ``lsh_mb`` / ``ivf_pq`` / ``ivf_sq8`` — the quantized pair over
+        ``write_ivf_pq_index`` / ``write_ivf_sq8_index`` output, whose
+        candidate scans read 48-byte PQ / dim-byte int8 codes instead of
+        raw vectors — the int8 form is what ES applies to indexed
+        dense_vector fields by default); ``ann_n_probe`` /
+        ``ann_max_hamming`` / ``ann_refine`` are the recall dials.
 
         ``encoder``: query-text embedding encoder satisfying the
         ``functions.encoder`` contract (dim / encode_one / encode_batch) —
@@ -213,6 +215,8 @@ class HybridSearchPlan:
         self.ann_df = None
         self.ann_centroids = None
         self.ann_codebooks = None
+        self.ann_vmin = None
+        self.ann_vmax = None
         if ann_index_dir is not None:
             if ann_kind == "ivf":
                 from ..operators.similarity import load_ivf_index
@@ -225,6 +229,12 @@ class HybridSearchPlan:
 
                 self.ann_df, self.ann_centroids, self.ann_codebooks = (
                     load_ivf_pq_index(docs.sparkSession, ann_index_dir)
+                )
+            elif ann_kind == "ivf_sq8":
+                from ..operators.sq import load_ivf_sq8_index
+
+                self.ann_df, self.ann_centroids, self.ann_vmin, self.ann_vmax = (
+                    load_ivf_sq8_index(docs.sparkSession, ann_index_dir)
                 )
             elif ann_kind in ("lsh", "lsh_mb"):
                 self.ann_df = docs.sparkSession.read.parquet(ann_index_dir)
@@ -608,6 +618,16 @@ class HybridSearchPlan:
             res = knn_ivf_pq_probe(
                 self.ann_df, self.ann_centroids, self.ann_codebooks, qv,
                 k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
+            )
+        elif self.ann_index_dir is not None and self.ann_kind == "ivf_sq8":
+            # int8 middle layout (the ES dense_vector default): decoded-dot
+            # candidate scan over dim-byte codes (4× less IO than raw
+            # vectors), exact re-rank — cos_sim exact, ladder layout-blind
+            from ..operators.sq import knn_ivf_sq8_probe
+
+            res = knn_ivf_sq8_probe(
+                self.ann_df, self.ann_centroids, self.ann_vmin, self.ann_vmax,
+                qv, k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
             )
         elif self.ann_index_dir is not None and self.ann_kind == "lsh_mb":
             from ..operators.similarity import knn_lsh_multiband_probe
@@ -1018,6 +1038,20 @@ class HybridSearchPlan:
                 ivf_hits = knn_ivf_pq_probe_many(
                     self.ann_df, self.ann_centroids, self.ann_codebooks,
                     [(q, qvecs[q]) for q in targets],
+                    k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
+                ).select(
+                    "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
+                )
+                base = None
+            elif self.ann_index_dir is not None and self.ann_kind == "ivf_sq8":
+                # int8 layout, same fused two-pass shape; candidate
+                # selection bit-identical to per-query probes (row-local
+                # multiply-reduce scores), cosines exact after re-rank
+                from ..operators.sq import knn_ivf_sq8_probe_many
+
+                ivf_hits = knn_ivf_sq8_probe_many(
+                    self.ann_df, self.ann_centroids, self.ann_vmin,
+                    self.ann_vmax, [(q, qvecs[q]) for q in targets],
                     k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
                 ).select(
                     "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"

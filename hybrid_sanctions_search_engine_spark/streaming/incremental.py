@@ -199,6 +199,9 @@ def fold_delta_embeddings(
                  the stored codebooks (no retrain, for the same reason)
                  before the append — folded rows are ADC-scannable exactly
                  like base rows;
+      * ivf_sq8 — same cell assignment, plus each vector is int8-coded with
+                 the stored per-dimension (vmin, vmax) quantizer — folded
+                 rows are code-scannable exactly like base rows;
       * lsh    — hyperplane signature with the stored (dim, n_planes, seed),
                  append into ``lsh_band=…``;
       * lsh_mb — per-band rows appended into ``lsh_band_idx=…/lsh_band_val=…``.
@@ -229,6 +232,7 @@ def fold_delta_embeddings(
     meta_name = {
         "ivf": "_ivf_meta.json",
         "ivf_pq": "_ivf_pq_meta.json",
+        "ivf_sq8": "_ivf_sq8_meta.json",
         "lsh": "_lsh_meta.json",
         "lsh_mb": "_lsh_mb_meta.json",
     }[kind]
@@ -309,7 +313,7 @@ def fold_delta_embeddings(
     if n_vecs == 0:
         return {"folded_vecs": 0, "noop": "empty delta", "fp": fp}
 
-    if kind in ("ivf", "ivf_pq"):
+    if kind in ("ivf", "ivf_pq", "ivf_sq8"):
         from ..operators.similarity import assign_ivf_cells
 
         import numpy as np
@@ -326,6 +330,16 @@ def fold_delta_embeddings(
                 staged,
                 np.asarray(meta["codebooks"], dtype=np.float64),
                 centroids=cents,
+            )
+        elif kind == "ivf_sq8":
+            # int8-code with the STORED per-dim quantizer (no retrain —
+            # scans must decode folded rows with the same (vmin, vmax))
+            from ..operators.sq import encode_sq8
+
+            staged = encode_sq8(
+                staged,
+                np.asarray(meta["vmin"], dtype=np.float64),
+                np.asarray(meta["vmax"], dtype=np.float64),
             )
         part_cols = ["ivf_cell"]
         staged.repartition(*part_cols).write.mode("overwrite").partitionBy(

@@ -34,7 +34,8 @@ def main() -> None:
     parser.add_argument("--delta-dir", required=True)
     parser.add_argument("--ann-index-dir", default=None)
     parser.add_argument(
-        "--ann-kind", default="ivf", choices=["ivf", "ivf_pq", "lsh", "lsh_mb"]
+        "--ann-kind", default="ivf",
+        choices=["ivf", "ivf_pq", "ivf_sq8", "lsh", "lsh_mb"],
     )
     parser.add_argument("--keep-delta", action="store_true")
     parser.add_argument("--cores", type=int, default=0, help="local[N] for testing")

@@ -119,6 +119,38 @@ def test_ivf_pq_replay_matches_real_probe(spark, built, tmp_path_factory):
     assert curve[2] == pytest.approx(hits / 30)
 
 
+def test_ivf_sq8_replay_matches_real_probe(spark, built, tmp_path_factory):
+    """The numpy replay (cells → decoded-dot top refine·k → exact re-rank)
+    scores the same recall as the REAL knn_ivf_sq8_probe at the same
+    dials."""
+    from hybrid_sanctions_search_engine_spark.operators.ann_recall import (
+        ivf_sq8_recall_curve,
+    )
+    from hybrid_sanctions_search_engine_spark.operators.sq import (
+        knn_ivf_sq8_probe,
+        load_ivf_sq8_index,
+        write_ivf_sq8_index,
+    )
+
+    x, q, emb, _, _ = built
+    sq_dir = str(tmp_path_factory.mktemp("ann_recall_sq") / "ivf_sq8")
+    write_ivf_sq8_index(emb, sq_dir, n_centroids=16)
+    indexed, cents, vmin, vmax = load_ivf_sq8_index(spark, sq_dir)
+    truth = brute_force_topk(x, q[:3], 10)
+    curve = ivf_sq8_recall_curve(sq_dir, x, q[:3], truth, [2], n_probe=2, k=10)
+    hits = 0
+    for i in range(3):
+        got = [
+            r["vec_id"]
+            for r in knn_ivf_sq8_probe(
+                indexed, cents, vmin, vmax, q[i].tolist(),
+                k=10, n_probe=2, refine=2,
+            ).collect()
+        ]
+        hits += len(set(got) & set(truth[i].tolist()))
+    assert curve[2] == pytest.approx(hits / 30)
+
+
 def test_recall_floors_at_default_dials(spark):
     """Floors at the serving defaults (HybridSearchPlan: n_probe=3,
     max_hamming=2) on the 8k × 384 clustered fixture — measured

@@ -147,6 +147,33 @@ def test_pq_backed_vector_stage_rank_parity(spark, corpus, tmp_path):
     ]
 
 
+def test_sq8_backed_vector_stage_rank_parity(spark, corpus, tmp_path):
+    """ann_kind='ivf_sq8' with probe+refine covering the whole corpus must
+    reproduce the brute-force ranking — same contract as the PQ test: the
+    code scan only SELECTS candidates, the exact re-rank emits true
+    cosines, so the int8 layout is semantically invisible to the ladder."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        knn_bruteforce,
+    )
+    from hybrid_sanctions_search_engine_spark.operators.sq import (
+        write_ivf_sq8_index,
+    )
+
+    docs, emb = corpus
+    path = str(tmp_path / "ivf_sq8_all")
+    write_ivf_sq8_index(emb, path, n_centroids=4, iters=8)
+    plan = HybridSearchPlan(
+        docs, embeddings=emb, embedding_dim=DIM,
+        ann_index_dir=path, ann_kind="ivf_sq8", ann_n_probe=4, ann_refine=20,
+    )
+    query = "customer order data"
+    probed = plan.vector_stage(query, k=10, rerank=False).collect()
+    exact = knn_bruteforce(emb, pseudo_embedding(query, DIM), k=10).collect()
+    assert [(r["doc_id"], round(r["cos_sim"], 9)) for r in probed] == [
+        (r["vec_id"], round(r["cos_sim"], 9)) for r in exact
+    ]
+
+
 def test_lsh_backed_vector_stage(spark, corpus, tmp_path):
     """ann_kind='lsh': the stage probes the band-partitioned index and
     returns cosine-ranked hits."""

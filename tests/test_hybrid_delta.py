@@ -351,6 +351,38 @@ def test_fold_delta_embeddings_ivf_pq(spark, env, tmp_path):
     assert spark.read.parquet(path).count() == before + len(DELTA_DOCS)
 
 
+def test_fold_delta_embeddings_ivf_sq8(spark, env, tmp_path):
+    """The int8 layout folds too: delta vectors are cell-assigned AND coded
+    with the STORED per-dim quantizer (no retrain), so a plain SQ8 probe
+    finds the streamed doc at exact cosine 1.0 after the re-rank; rerun is
+    a no-op."""
+    from hybrid_sanctions_search_engine_spark.operators.sq import (
+        knn_ivf_sq8_probe,
+        load_ivf_sq8_index,
+        write_ivf_sq8_index,
+    )
+
+    path = str(tmp_path / "ivf_sq8_fold")
+    write_ivf_sq8_index(env["base_emb"], path, n_centroids=4, iters=6)
+    demb = load_delta_embeddings(spark, env["delta_dir"])
+    before = spark.read.parquet(path).count()
+    rep = fold_delta_embeddings(spark, path, demb, kind="ivf_sq8")
+    assert rep["folded_vecs"] == len(DELTA_DOCS)
+    df, cents, vmin, vmax = load_ivf_sq8_index(spark, path)
+    assert df.count() == before + len(DELTA_DOCS)
+    assert df.where(F.col("sq_code").isNull()).count() == 0
+    hits = knn_ivf_sq8_probe(
+        df, cents, vmin, vmax, pseudo_embedding(DELTA_DOCS[0][1], DIM), k=3,
+        n_probe=len(cents), refine=8,
+    ).collect()
+    assert hits[0]["vec_id"] == DELTA_DOCS[0][0]
+    assert hits[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+    # idempotent rerun
+    rep2 = fold_delta_embeddings(spark, path, demb, kind="ivf_sq8")
+    assert rep2.get("noop")
+    assert spark.read.parquet(path).count() == before + len(DELTA_DOCS)
+
+
 def test_fold_crash_resume_no_duplicates(spark, env, ann_copy, monkeypatch):
     """Crash mid-move: a rerun replays only the unfinished moves and the
     folded index holds each delta vector exactly once."""
