@@ -22,6 +22,30 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _code_vs_raw_bytes(index_dir: str, code_col: str) -> tuple[int, int]:
+    """Compressed parquet bytes of the quantized-code column vs the raw
+    vector column across an ANN index directory — the measured candidate
+    scan compression the PQ/SQ8 bench legs publish."""
+    import pyarrow.parquet as pqmeta
+
+    code_bytes = raw_bytes = 0
+    for root, _dirs, files in os.walk(index_dir):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pqmeta.ParquetFile(os.path.join(root, f)).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema.split(".")[0]
+                    if name == code_col:
+                        code_bytes += col.total_compressed_size
+                    elif name == "embedding":
+                        raw_bytes += col.total_compressed_size
+    return code_bytes, raw_bytes
+
+
 def main() -> None:
     from hybrid_sanctions_search_engine_spark.session import get_spark
 
@@ -376,25 +400,7 @@ def main() -> None:
                     )
                 finally:
                     plan_pq.close()
-                import pyarrow.parquet as _pqmeta
-
-                code_bytes = raw_bytes = 0
-                for root, _dirs, files in os.walk(big_pq_dir):
-                    for f in files:
-                        if not f.endswith(".parquet"):
-                            continue
-                        md = _pqmeta.ParquetFile(
-                            os.path.join(root, f)
-                        ).metadata
-                        for rg in range(md.num_row_groups):
-                            g = md.row_group(rg)
-                            for ci in range(g.num_columns):
-                                col = g.column(ci)
-                                name = col.path_in_schema.split(".")[0]
-                                if name == "pq_code":
-                                    code_bytes += col.total_compressed_size
-                                elif name == "embedding":
-                                    raw_bytes += col.total_compressed_size
+                code_bytes, raw_bytes = _code_vs_raw_bytes(big_pq_dir, "pq_code")
                 extra["ladder_at_scale_pq"] = {
                     "setup_sec": round(pq_setup_sec, 2),
                     "ms_per_query": round(
@@ -439,25 +445,7 @@ def main() -> None:
                     )
                 finally:
                     plan_sq.close()
-                import pyarrow.parquet as _pqmeta
-
-                code_bytes = raw_bytes = 0
-                for root, _dirs, files in os.walk(big_sq_dir):
-                    for f in files:
-                        if not f.endswith(".parquet"):
-                            continue
-                        md = _pqmeta.ParquetFile(
-                            os.path.join(root, f)
-                        ).metadata
-                        for rg in range(md.num_row_groups):
-                            g = md.row_group(rg)
-                            for ci in range(g.num_columns):
-                                col = g.column(ci)
-                                name = col.path_in_schema.split(".")[0]
-                                if name == "sq_code":
-                                    code_bytes += col.total_compressed_size
-                                elif name == "embedding":
-                                    raw_bytes += col.total_compressed_size
+                code_bytes, raw_bytes = _code_vs_raw_bytes(big_sq_dir, "sq_code")
                 extra["ladder_at_scale_sq8"] = {
                     "setup_sec": round(sq_setup_sec, 2),
                     "ms_per_query": round(

@@ -78,6 +78,13 @@ def make_clustered_fixture(
     return x, q
 
 
+def _pq_m_for_dim(dim: int) -> int:
+    """Largest subspace count m ≤ dim//8 that divides dim —
+    ``train_pq_codebooks`` requires m | dim, and dim//8 alone fails for
+    e.g. dim=100 (100 // 8 = 12, 100 % 12 = 4)."""
+    return next(mm for mm in range(max(dim // 8, 1), 0, -1) if dim % mm == 0)
+
+
 def _read_meta(index_dir: str, name: str) -> dict:
     from ..sources.fs import fs_for
 
@@ -171,26 +178,26 @@ def ivf_pq_recall_curve(
         b"".join(c.as_py() for c in tbl["pq_code"]), dtype=np.uint8
     ).reshape(len(vec_ids), m)
     cols = np.arange(m)
-    out: dict[int, float] = {}
-    for refine in refines:
-        hits = 0
-        for i in range(queries.shape[0]):
-            qn = queries[i] / max(np.linalg.norm(queries[i]), 1e-12)
-            probe = np.argsort(-(cents @ qn))[:n_probe]
-            cand = np.flatnonzero(np.isin(cells, probe))
-            if cand.size == 0:
-                continue
-            lut = adc_lookup_table(queries[i].tolist(), books)
-            # residual coding: add each candidate's per-cell q̂·centroid
-            adc = lut[cols, codes[cand]].sum(axis=1) + (cents @ qn)[cells[cand]]
-            sel = cand[np.lexsort((vec_ids[cand], -adc))[: refine * k]]
-            ids = vec_ids[sel]
+    # the probe, ADC scan, and sort are refine-independent — score each
+    # query once and slice the shared ordering per refine
+    hits = {r: 0 for r in refines}
+    for i in range(queries.shape[0]):
+        qn = queries[i] / max(np.linalg.norm(queries[i]), 1e-12)
+        probe = np.argsort(-(cents @ qn))[:n_probe]
+        cand = np.flatnonzero(np.isin(cells, probe))
+        if cand.size == 0:
+            continue
+        lut = adc_lookup_table(queries[i].tolist(), books)
+        # residual coding: add each candidate's per-cell q̂·centroid
+        adc = lut[cols, codes[cand]].sum(axis=1) + (cents @ qn)[cells[cand]]
+        order = np.lexsort((vec_ids[cand], -adc))
+        for refine in refines:
+            ids = vec_ids[cand[order[: refine * k]]]
             s = x[ids] @ queries[i]
             kk = min(k, ids.size)
             top = ids[np.lexsort((ids, -s))[:kk]]
-            hits += len(set(top.tolist()) & set(truth[i].tolist()))
-        out[refine] = hits / (queries.shape[0] * k)
-    return out
+            hits[refine] += len(set(top.tolist()) & set(truth[i].tolist()))
+    return {r: hits[r] / (queries.shape[0] * k) for r in refines}
 
 
 def ivf_sq8_recall_curve(
@@ -224,25 +231,25 @@ def ivf_sq8_recall_curve(
     codes = np.frombuffer(
         b"".join(c.as_py() for c in tbl["sq_code"]), dtype=np.uint8
     ).reshape(len(vec_ids), dim)
-    out: dict[int, float] = {}
-    for refine in refines:
-        hits = 0
-        for i in range(queries.shape[0]):
-            qn = queries[i] / max(np.linalg.norm(queries[i]), 1e-12)
-            probe = np.argsort(-(cents @ qn))[:n_probe]
-            cand = np.flatnonzero(np.isin(cells, probe))
-            if cand.size == 0:
-                continue
-            w, b = _sq8_query_form(queries[i].tolist(), vmin, vmax)
-            s = _sq8_scores(codes[cand], w, b)
-            sel = cand[np.lexsort((vec_ids[cand], -s))[: refine * k]]
-            ids = vec_ids[sel]
+    # probe + decoded-dot scan + sort are refine-independent — score each
+    # query once and slice the shared ordering per refine
+    hits = {r: 0 for r in refines}
+    for i in range(queries.shape[0]):
+        qn = queries[i] / max(np.linalg.norm(queries[i]), 1e-12)
+        probe = np.argsort(-(cents @ qn))[:n_probe]
+        cand = np.flatnonzero(np.isin(cells, probe))
+        if cand.size == 0:
+            continue
+        w, b = _sq8_query_form(queries[i].tolist(), vmin, vmax)
+        s = _sq8_scores(codes[cand], w, b)
+        order = np.lexsort((vec_ids[cand], -s))
+        for refine in refines:
+            ids = vec_ids[cand[order[: refine * k]]]
             cos = x[ids] @ queries[i]
             kk = min(k, ids.size)
             top = ids[np.lexsort((ids, -cos))[:kk]]
-            hits += len(set(top.tolist()) & set(truth[i].tolist()))
-        out[refine] = hits / (queries.shape[0] * k)
-    return out
+            hits[refine] += len(set(top.tolist()) & set(truth[i].tolist()))
+    return {r: hits[r] / (queries.shape[0] * k) for r in refines}
 
 
 def lsh_recall_curve(
@@ -400,7 +407,7 @@ def recall_report(
                 from .pq import write_ivf_pq_index
 
                 write_ivf_pq_index(
-                    emb, pq_dir, n_centroids=n_centroids, m=dim // 8
+                    emb, pq_dir, n_centroids=n_centroids, m=_pq_m_for_dim(dim)
                 )
                 from .sq import write_ivf_sq8_index
 

@@ -94,6 +94,10 @@ def train_pq_codebooks(
         .select(vec_col)
         .collect()
     )
+    if nbits > 8:
+        # every scan layers 1 byte/subspace (tobytes/frombuffer uint8);
+        # wider codes would silently wrap modulo 256 in _encode_block
+        raise ValueError(f"nbits={nbits} unsupported: codes are 1 byte/subspace")
     x = _normalized(np.array([r[0] for r in rows], dtype=np.float64))
     if centroids is not None:
         x = x - centroids[(x @ centroids.T).argmax(axis=1)]
@@ -379,129 +383,41 @@ def knn_ivf_pq_probe_many(
        gemv runs over a masked submatrix of the union-candidate batch
        rather than one query's own survivor batch.  Parity is therefore
        pinned at 9 decimals with exact id sets — the same convention as
-       ``knn_bruteforce_many`` (similarity.py) batch↔single tests."""
-    from pyspark.sql import Window
+       ``knn_bruteforce_many`` (similarity.py) batch↔single tests.
 
-    spark = indexed.sparkSession
-    out_schema = f"query_id long, {id_col} long, cos_sim double"
-    if not queries:
-        return spark.createDataFrame([], out_schema)
-    qids = np.asarray([q for q, _ in queries], dtype=np.int64)
-    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
-    qnorms = np.array(
-        [
-            max(float(np.linalg.norm(np.asarray(v, dtype=np.float64))), 1e-300)
-            for _, v in queries
-        ]
-    )
-    qn = qmat / qnorms[:, None]
+    The two-pass engine is shared with the SQ8 batch probe
+    (``fused_probe.fused_cell_probe_many``); only the masked-block scorer
+    below is PQ-specific."""
+    from .fused_probe import fused_cell_probe_many
+
     m = codebooks.shape[0]
-    # per-query adc_lookup_table calls, NOT one 3-D einsum: the fused
-    # contraction can sum in a different order and the resulting ulp-level
-    # ADC drift flips candidate selection at the refine boundary — parity
-    # with the single-query probe requires bit-identical tables
-    luts = np.stack([adc_lookup_table(v, codebooks) for _, v in queries])
-    cells = [
-        np.argsort(-(centroids @ qn[i]))[:n_probe].astype(np.int64)
-        for i in range(len(qids))
-    ]
-    union = sorted({int(c) for cs in cells for c in cs})
-    nq, nsel, cols = len(qids), refine * k, np.arange(m)
-    # residual coding: per-(query, cell) q̂·centroid offsets, added to each
-    # masked row's lut sum — one small gemm, indexed per row at scan time
-    cent_dots_all = qn @ centroids.T
+    cols = np.arange(m)
 
-    def adc_score(it):
-        for pdf in it:
-            if pdf.empty:
-                continue
-            codes = np.frombuffer(
-                b"".join(pdf["pq_code"]), dtype=np.uint8
-            ).reshape(len(pdf), m)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            cell = pdf[cell_col].to_numpy(dtype=np.int64)
-            batch_cells = set(int(c) for c in np.unique(cell))
-            out_q, out_i, out_s = [], [], []
-            for qi in range(nq):
-                probe = [c for c in cells[qi] if int(c) in batch_cells]
-                if not probe:
-                    continue
-                mask = np.isin(cell, np.asarray(probe, dtype=np.int64))
-                s = (
-                    luts[qi][cols, codes[mask]].sum(axis=1)
-                    + cent_dots_all[qi][cell[mask]]
-                )
-                idsm = ids[mask]
-                top = np.lexsort((idsm, -s))[:nsel]
-                out_q.append(np.full(top.size, qids[qi]))
-                out_i.append(idsm[top])
-                out_s.append(s[top])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        id_col: np.concatenate(out_i),
-                        "adc_score": np.concatenate(out_s),
-                    }
-                )
+    def prepare(qn: np.ndarray):
+        nq = qn.shape[0]
+        # per-query adc_lookup_table calls, NOT one 3-D einsum: the fused
+        # contraction can sum in a different order and the resulting
+        # ulp-level ADC drift flips candidate selection at the refine
+        # boundary — parity with the single-query probe requires
+        # bit-identical tables
+        luts = np.stack([adc_lookup_table(v, codebooks) for _, v in queries])
+        # residual coding: per-(query, cell) q̂·centroid offsets, added to
+        # each masked row's lut sum.  Per-query gemv (centroids @ qn[i]),
+        # NOT one fused gemm (qn @ centroids.T): dgemm may sum in a
+        # different order than the single-query probe's dgemv, and a
+        # last-ulp offset drift flips selection — the same hazard as above.
+        cent_dots_all = np.stack([centroids @ qn[i] for i in range(nq)])
 
-    pruned = indexed.where(F.col(cell_col).isin(union))
-    local = pruned.select(id_col, "pq_code", cell_col).mapInPandas(
-        adc_score, f"query_id long, {id_col} long, adc_score double"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_score"), F.asc(id_col)
-    )
-    cand_rows = (
-        local.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= nsel)
-        .select("query_id", id_col)
-        .collect()
-    )
-    cand: dict[int, set] = {}
-    for r in cand_rows:
-        cand.setdefault(r["query_id"], set()).add(r[id_col])
-    union_ids = sorted({i for s in cand.values() for i in s})
-    cand_arr = {
-        qid: np.asarray(sorted(s), dtype=np.int64) for qid, s in cand.items()
-    }
+        def score_masked(
+            qi: int, codes_m: np.ndarray, cell_m: np.ndarray
+        ) -> np.ndarray:
+            return luts[qi][cols, codes_m].sum(axis=1) + cent_dots_all[qi][cell_m]
 
-    def rerank(it):
-        for pdf in it:
-            if pdf.empty:
-                continue
-            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            norms = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
-            out_q, out_i, out_s = [], [], []
-            for qi in range(nq):
-                mine = cand_arr.get(int(qids[qi]))
-                if mine is None:
-                    continue
-                mask = np.isin(ids, mine)
-                if not mask.any():
-                    continue
-                xs = x[mask]
-                cos = (xs @ qmat[qi]) / (norms[mask] * qnorms[qi])
-                idsm = ids[mask]
-                top = np.lexsort((idsm, -cos))[:k]
-                out_q.append(np.full(top.size, qids[qi]))
-                out_i.append(idsm[top])
-                out_s.append(cos[top])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        id_col: np.concatenate(out_i),
-                        "cos_sim": np.concatenate(out_s),
-                    }
-                )
+        return score_masked
 
-    surv = pruned.where(F.col(id_col).isin(union_ids)).select(id_col, vec_col)
-    scored = surv.mapInPandas(rerank, out_schema)
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w2))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+    return fused_cell_probe_many(
+        indexed, centroids, queries,
+        code_col="pq_code", code_width=m, score_col="adc_score",
+        prepare_scorer=prepare, k=k, n_probe=n_probe, refine=refine,
+        id_col=id_col, vec_col=vec_col, cell_col=cell_col,
     )

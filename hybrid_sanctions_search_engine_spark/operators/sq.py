@@ -269,121 +269,32 @@ def knn_ivf_sq8_probe_many(
     bit-identical to per-query ``knn_ivf_sq8_probe`` (``_sq8_scores``'s
     row-local reduce + the (−score, id) tie-break); re-ranked cosines are
     pinned at 9 decimals with exact id sets — the ``knn_bruteforce_many``
-    convention (dgemv bits vary with matrix row count)."""
-    from pyspark.sql import Window
+    convention (dgemv bits vary with matrix row count).
 
-    spark = indexed.sparkSession
-    out_schema = f"query_id long, {id_col} long, cos_sim double"
-    if not queries:
-        return spark.createDataFrame([], out_schema)
-    qids = np.asarray([q for q, _ in queries], dtype=np.int64)
-    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
-    qnorms = np.array(
-        [
-            max(float(np.linalg.norm(np.asarray(v, dtype=np.float64))), 1e-300)
-            for _, v in queries
-        ]
-    )
-    qn = qmat / qnorms[:, None]
+    The two-pass engine is shared with the PQ batch probe
+    (``fused_probe.fused_cell_probe_many``); only the masked-block scorer
+    below is SQ8-specific."""
+    from .fused_probe import fused_cell_probe_many
+
     dim = centroids.shape[1]
-    # per-query _sq8_query_form calls — the same construction as the
-    # single-query scan, never a fused matrix form (lockstep with the PQ
-    # batch path's per-query adc_lookup_table rule)
-    forms = [_sq8_query_form(v, vmin, vmax) for _, v in queries]
-    cells = [
-        np.argsort(-(centroids @ qn[i]))[:n_probe].astype(np.int64)
-        for i in range(len(qids))
-    ]
-    union = sorted({int(c) for cs in cells for c in cs})
-    nq, nsel = len(qids), refine * k
 
-    def sq_score(it):
-        for pdf in it:
-            if pdf.empty:
-                continue
-            codes = np.frombuffer(
-                b"".join(pdf["sq_code"]), dtype=np.uint8
-            ).reshape(len(pdf), dim)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            cell = pdf[cell_col].to_numpy(dtype=np.int64)
-            batch_cells = set(int(c) for c in np.unique(cell))
-            out_q, out_i, out_s = [], [], []
-            for qi in range(nq):
-                probe = [c for c in cells[qi] if int(c) in batch_cells]
-                if not probe:
-                    continue
-                mask = np.isin(cell, np.asarray(probe, dtype=np.int64))
-                w, b = forms[qi]
-                s = _sq8_scores(codes[mask], w, b)
-                idsm = ids[mask]
-                top = np.lexsort((idsm, -s))[:nsel]
-                out_q.append(np.full(top.size, qids[qi]))
-                out_i.append(idsm[top])
-                out_s.append(s[top])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        id_col: np.concatenate(out_i),
-                        "sq_score": np.concatenate(out_s),
-                    }
-                )
+    def prepare(qn: np.ndarray):
+        # per-query _sq8_query_form calls — the same construction as the
+        # single-query scan, never a fused matrix form (lockstep with the
+        # PQ batch path's per-query adc_lookup_table rule)
+        forms = [_sq8_query_form(v, vmin, vmax) for _, v in queries]
 
-    pruned = indexed.where(F.col(cell_col).isin(union))
-    local = pruned.select(id_col, "sq_code", cell_col).mapInPandas(
-        sq_score, f"query_id long, {id_col} long, sq_score double"
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sq_score"), F.asc(id_col))
-    cand_rows = (
-        local.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= nsel)
-        .select("query_id", id_col)
-        .collect()
-    )
-    cand: dict[int, set] = {}
-    for r in cand_rows:
-        cand.setdefault(r["query_id"], set()).add(r[id_col])
-    union_ids = sorted({i for s in cand.values() for i in s})
-    cand_arr = {
-        qid: np.asarray(sorted(s), dtype=np.int64) for qid, s in cand.items()
-    }
+        def score_masked(
+            qi: int, codes_m: np.ndarray, cell_m: np.ndarray
+        ) -> np.ndarray:
+            w, b = forms[qi]
+            return _sq8_scores(codes_m, w, b)
 
-    def rerank(it):
-        for pdf in it:
-            if pdf.empty:
-                continue
-            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            norms = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
-            out_q, out_i, out_s = [], [], []
-            for qi in range(nq):
-                mine = cand_arr.get(int(qids[qi]))
-                if mine is None:
-                    continue
-                mask = np.isin(ids, mine)
-                if not mask.any():
-                    continue
-                xs = x[mask]
-                cos = (xs @ qmat[qi]) / (norms[mask] * qnorms[qi])
-                idsm = ids[mask]
-                top = np.lexsort((idsm, -cos))[:k]
-                out_q.append(np.full(top.size, qids[qi]))
-                out_i.append(idsm[top])
-                out_s.append(cos[top])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        id_col: np.concatenate(out_i),
-                        "cos_sim": np.concatenate(out_s),
-                    }
-                )
+        return score_masked
 
-    surv = pruned.where(F.col(id_col).isin(union_ids)).select(id_col, vec_col)
-    scored = surv.mapInPandas(rerank, out_schema)
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w2))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+    return fused_cell_probe_many(
+        indexed, centroids, queries,
+        code_col="sq_code", code_width=dim, score_col="sq_score",
+        prepare_scorer=prepare, k=k, n_probe=n_probe, refine=refine,
+        id_col=id_col, vec_col=vec_col, cell_col=cell_col,
     )

@@ -326,6 +326,15 @@ def fold_delta_embeddings(
             # not match the base
             from ..operators.pq import encode_pq
 
+            if not meta.get("residual"):
+                # mirror load_ivf_pq_index's refusal: appending
+                # residual-coded rows next to raw-coded base rows would
+                # permanently mix two incompatible encodings in one index
+                raise ValueError(
+                    "pre-residual ivf_pq index format; rebuild with "
+                    "write_ivf_pq_index before folding deltas"
+                )
+
             staged = encode_pq(
                 staged,
                 np.asarray(meta["codebooks"], dtype=np.float64),

@@ -219,3 +219,17 @@ def test_multiband_recall_floor_at_defaults(spark):
     assert mb["8"] >= 0.8
     assert mb["4"] >= 0.6
     assert mb["8"] >= mb["4"]
+
+
+def test_pq_m_for_dim_divides():
+    """recall_report's PQ subspace count must divide dim for any dim —
+    dim//8 alone fails e.g. dim=100 (m=12, 100 % 12 = 4)."""
+    from hybrid_sanctions_search_engine_spark.operators.ann_recall import (
+        _pq_m_for_dim,
+    )
+
+    for dim in (8, 64, 100, 96, 384, 7, 1, 130):
+        m = _pq_m_for_dim(dim)
+        assert dim % m == 0 and 1 <= m <= max(dim // 8, 1), (dim, m)
+    assert _pq_m_for_dim(384) == 48
+    assert _pq_m_for_dim(100) == 10

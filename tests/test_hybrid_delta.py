@@ -351,6 +351,31 @@ def test_fold_delta_embeddings_ivf_pq(spark, env, tmp_path):
     assert spark.read.parquet(path).count() == before + len(DELTA_DOCS)
 
 
+def test_fold_refuses_pre_residual_pq_index(spark, env, tmp_path):
+    """Folding into a pre-residual ivf_pq index must refuse (mirroring
+    load_ivf_pq_index): appending residual-coded delta rows next to
+    raw-coded base rows would permanently mix two incompatible encodings
+    in one index directory."""
+    import json
+    import os
+
+    from hybrid_sanctions_search_engine_spark.operators.pq import (
+        write_ivf_pq_index,
+    )
+
+    path = str(tmp_path / "ivf_pq_preres")
+    write_ivf_pq_index(env["base_emb"], path, n_centroids=4, m=16, iters=6)
+    meta_path = os.path.join(path, "_ivf_pq_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["residual"]  # simulate the pre-residual index format
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    demb = load_delta_embeddings(spark, env["delta_dir"])
+    with pytest.raises(ValueError, match="pre-residual"):
+        fold_delta_embeddings(spark, path, demb, kind="ivf_pq")
+
+
 def test_fold_delta_embeddings_ivf_sq8(spark, env, tmp_path):
     """The int8 layout folds too: delta vectors are cell-assigned AND coded
     with the STORED per-dim quantizer (no retrain), so a plain SQ8 probe

@@ -189,3 +189,12 @@ def test_recall_improves_with_refine(spark, pq_fixture):
     r1, r8 = recall(1), recall(8)
     assert r8 >= r1
     assert r8 >= 0.85, (r1, r8)
+
+
+def test_train_rejects_nbits_over_8(spark, pq_fixture):
+    """Codes are stored 1 byte/subspace (tobytes/frombuffer uint8), so
+    nbits > 8 must raise at train time instead of silently wrapping codes
+    modulo 256 into a corrupt index."""
+    _, _, df, _, _, _ = pq_fixture
+    with pytest.raises(ValueError, match="nbits"):
+        train_pq_codebooks(df, m=M, nbits=10, sample=64)
