@@ -488,11 +488,25 @@ def _doc_embeddings_384(
 
 
 def q_knn_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    from hybrid_sanctions_search_engine_spark.operators.similarity import knn_bruteforce
+    """L12 exact kNN plus the ES filtered-kNN contract (``knn.filter`` —
+    the filter applies DURING search, so the result is the top-k OF the
+    label=3 subset, never a starvable post-filter), merged into one entry
+    to stay within the driver's 50-query snapshot cap."""
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_filtered,
+    )
 
     emb = _tbl(spark, sf, "embeddings")
-    res = knn_bruteforce(emb, _knn_query_vec(), k=10)
-    return res.select("vec_id", _r4("cos_sim").alias("cos_sim"))
+    allv = knn_bruteforce(emb, _knn_query_vec(), k=10).select(
+        F.lit("all").alias("mode"), "vec_id", _r4("cos_sim").alias("cos_sim")
+    )
+    filt = knn_filtered(
+        emb, _knn_query_vec(), predicate=F.col("label") == 3, k=10
+    ).select(
+        F.lit("filtered").alias("mode"), "vec_id", _r4("cos_sim").alias("cos_sim")
+    )
+    return allv.unionByName(filt)
 
 
 def q_knn_cosine_384(spark: SparkSession, sf: str) -> DataFrame:
@@ -1077,14 +1091,19 @@ def _knn_oracle_sql() -> str:
     return f"""
 WITH q AS (SELECT [{lits}]::DOUBLE[] AS qv),
 scored AS (
-  SELECT vec_id,
+  SELECT vec_id, label,
          list_dot_product(CAST(embedding AS DOUBLE[]), qv)
            / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
               * sqrt(list_dot_product(qv, qv))) AS cos
   FROM embeddings CROSS JOIN q
 )
-SELECT vec_id, floor((cos) * 10000 + 0.5) / 10000 AS cos_sim
-FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+SELECT mode, vec_id, cos_sim FROM (
+  SELECT 'all' AS mode, vec_id, floor((cos) * 10000 + 0.5) / 10000 AS cos_sim
+  FROM scored ORDER BY cos DESC, vec_id LIMIT 10)
+UNION ALL
+SELECT mode, vec_id, cos_sim FROM (
+  SELECT 'filtered' AS mode, vec_id, floor((cos) * 10000 + 0.5) / 10000 AS cos_sim
+  FROM scored WHERE label = 3 ORDER BY cos DESC, vec_id LIMIT 10)
 """
 
 

@@ -151,6 +151,51 @@ def knn_bruteforce_many(
     )
 
 
+def knn_filtered(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    predicate=None,
+    allowed_ids: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """Filtered kNN — ES's ``knn.filter`` semantics: the filter applies
+    DURING search, so the result is the top-k *of the filtered subset*
+    (exactly k survivors when the subset has ≥ k rows), never a post-filter
+    of an unfiltered top-k that can starve below k.  (The reference's
+    serving substrate is an ES indexed ``dense_vector``,
+    ``elasticsearch_index_manager.py:209-214``, where kNN queries take
+    exactly this pre-filter.)
+
+    ``predicate``: a Column over the embedding table's own columns —
+    Catalyst pushes it into the parquet scan (PushedFilters), so the
+    vector column of excluded rows is never materialized.
+    ``allowed_ids``: a 1-column DataFrame of permitted ids (the
+    doc-metadata form: filter the docs table, project the key) — applied
+    as a semi-join, broadcast when ``broadcast_filter`` (a filter set that
+    fits the driver is the common case; disable to let AQE pick a shuffle
+    join for huge allow-lists).  Both may be combined.
+
+    ANN composition: every probe in this module and in pq.py / sq.py
+    takes the index DataFrame as an argument, so the same filters apply to
+    an ANN-served search by passing ``indexed.where(predicate)`` or
+    ``indexed.join(allowed_ids, id_col, "semi")`` — cell partition pruning
+    still applies below the filter (the probes' ``ivf_cell IN`` predicate
+    composes with it), and candidate selection then yields k post-filter
+    survivors (recall still bounded by n_probe, as unfiltered)."""
+    cand = embeddings
+    if predicate is not None:
+        cand = cand.where(predicate)
+    if allowed_ids is not None:
+        ids = allowed_ids.select(F.col(allowed_ids.columns[0]).alias(id_col))
+        if broadcast_filter:
+            ids = F.broadcast(ids)
+        cand = cand.join(ids, id_col, "semi")
+    return knn_bruteforce(cand, query_vec, k, id_col, vec_col)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

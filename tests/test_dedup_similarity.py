@@ -269,3 +269,103 @@ def test_knn_bruteforce_many_matches_per_query(spark):
     plan = batched._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_filtered_is_topk_of_subset(spark):
+    """ES knn.filter semantics: the filter applies DURING search — the
+    result is the exact top-k OF the filtered subset (k survivors whenever
+    the subset has >= k rows), not a starvable post-filter of an
+    unfiltered top-k."""
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        knn_filtered,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    q = rng.standard_normal(dim)
+    rows = []
+    for i in range(200):
+        # even ids hug the query direction, odd ids are noise: an
+        # unfiltered top-5 contains (almost) no odd ids, so post-filtering
+        # it to odds would starve — the pre-filter contract must not
+        v = q * (2.0 if i % 2 == 0 else 0.0) + rng.standard_normal(dim)
+        rows.append((i, i % 2, (v / np.linalg.norm(v)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+
+    got = knn_filtered(emb, q.tolist(), predicate=F.col("label") == 1, k=5).collect()
+    want = knn_bruteforce(
+        emb.where(F.col("label") == 1), q.tolist(), k=5
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == [
+        (r["vec_id"], r["cos_sim"]) for r in want
+    ]
+    assert len(got) == 5 and all(r["vec_id"] % 2 == 1 for r in got)
+
+    # allowed-ids (doc-metadata) form: broadcast semi-join, same contract
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(0, 200, 2)], "doc_id long"
+    )
+    got2 = knn_filtered(emb, q.tolist(), allowed_ids=allowed, k=5).collect()
+    want2 = knn_bruteforce(
+        emb.where(F.col("vec_id") % 2 == 0), q.tolist(), k=5
+    ).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in got2] == [
+        (r["vec_id"], r["cos_sim"]) for r in want2
+    ]
+
+
+def test_filtered_ann_probe_composes_and_keeps_pruning(spark, tmp_path):
+    """Filtered ANN = pass a filtered index DataFrame to any probe: the
+    cell predicate composes with the filter (partition pruning preserved
+    — asserted from the files actually read) and the survivors are the
+    filtered subset's exact top-k when the probe covers its cells."""
+    import re
+
+    import numpy as np
+
+    from hybrid_sanctions_search_engine_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_probe,
+        load_ivf_index,
+        write_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(12)
+    dim = 8
+    centers = rng.standard_normal((4, dim)) * 6
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(50):
+            v = c + rng.standard_normal(dim) * 0.2
+            rows.append((i, (v / np.linalg.norm(v)).tolist()))
+            i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_idx_filtered")
+    write_ivf_index(emb, path, n_centroids=4, iters=8)
+    indexed, cents = load_ivf_index(spark, path)
+
+    q = rows[7][1]
+    filtered = indexed.where(F.col("vec_id") % 3 == 0)
+    probed = knn_ivf_probe(filtered, cents, q, k=10, n_probe=4)
+    exact = knn_bruteforce(
+        emb.where(F.col("vec_id") % 3 == 0), q, k=10
+    ).collect()
+    assert [(r["vec_id"], round(r["cos_sim"], 9)) for r in probed.collect()] == [
+        (r["vec_id"], round(r["cos_sim"], 9)) for r in exact
+    ]
+
+    # pruning survives under the filter: n_probe=1 still reads <= 1 cell dir
+    qn = np.asarray(q) / np.linalg.norm(q)
+    probe_cells = {int(c) for c in np.argsort(-(cents @ qn))[:1]}
+    cands = filtered.where(F.col("ivf_cell").isin(sorted(probe_cells)))
+    files = [
+        r[0] for r in cands.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files
+    cells_read = {int(re.search(r"ivf_cell=(\d+)", f).group(1)) for f in files}
+    assert cells_read <= probe_cells
