@@ -105,7 +105,9 @@ def start_delta_stream(
             # drop partial moves of THIS batch from a crashed attempt (the
             # fresh stage may split into a different number of part files)
             for name in fs.list_files(dest_dir):
-                if name.startswith(prefix) and name.endswith(".parquet"):
+                # the "-" delimiter matters: batch 1's bare prefix would
+                # also match batch 10..19's landed files
+                if name.startswith(f"{prefix}-") and name.endswith(".parquet"):
                     fs.delete(os.path.join(dest_dir, name))
             parts = sorted(
                 n for n in fs.list_files(stage) if n.endswith(".parquet")
@@ -241,6 +243,35 @@ def fold_delta_embeddings(
     meta = fs.read_json(meta_path)
     t0 = time.monotonic()
 
+    # replay ANY crashed fold's pending manifest FIRST: a crash mid-move
+    # followed by new stream appends changes the current fingerprint, so
+    # the same-fp replay below would never fire for the orphaned fold —
+    # its partially-moved files would stay in the index AND its vectors
+    # would be re-staged under the new fingerprint (duplicates).  The
+    # pending record carries everything needed to finalize: fp, the exact
+    # move list, and the folded file basenames.
+    for name in sorted(fs.list_files(ann_index_dir)):
+        if not (name.startswith("._fold_pending_") and name.endswith(".json")):
+            continue
+        rec = fs.read_json(os.path.join(ann_index_dir, name))
+        pfp = rec.get("fp") or name[len("._fold_pending_") : -len(".json")]
+        for src, dst in rec.get("moves", []):
+            if fs.exists(src):
+                fs.move(src, dst)
+        fresh = fs.read_json(meta_path)
+        fps = list(fresh.get("folded_delta_fps", []))
+        if pfp not in fps:
+            fresh["folded_delta_fps"] = fps + [pfp]
+        pfiles = rec.get("files") or []
+        if pfiles:
+            fresh["folded_emb_files"] = sorted(
+                set(fresh.get("folded_emb_files", [])) | set(pfiles)
+            )
+        fs.commit_json(meta_path, fresh)
+        fs.delete(os.path.join(ann_index_dir, name))
+        fs.rmtree(os.path.join(ann_index_dir, f".fold-{pfp}"))
+        meta = fresh
+
     files_folded: list[str] = []
     files_excluded: list[str] = []
     if delta_files is not None:
@@ -265,8 +296,11 @@ def fold_delta_embeddings(
     else:
         row = delta_embeddings.agg(
             F.count("*").alias("n"),
+            # pmod bounds each term below 1e9 (like id_hash below) so the
+            # long sum cannot overflow ANSI arithmetic before ~9e9 rows —
+            # the `% (2**61-1)` form overflowed after 4 large hash-derived ids
             F.coalesce(
-                F.sum(F.col("vec_id") % F.lit(2**61 - 1)), F.lit(0)
+                F.sum(F.pmod(F.col("vec_id"), F.lit(1_000_000_000))), F.lit(0)
             ).alias("id_sum"),
             # pmod bounds each term below 1e9 so the long sum cannot
             # overflow ANSI arithmetic before ~9e9 rows
@@ -418,7 +452,12 @@ def fold_delta_embeddings(
                 )
 
     _walk("", 0)
-    fs.commit_json(pending_path, {"fp": fp, "moves": moves})
+    # `files` rides the pending record so the entry replay (crash followed
+    # by new stream appends → different current fp) can still commit the
+    # per-file fold record for this fold
+    fs.commit_json(
+        pending_path, {"fp": fp, "moves": moves, "files": files_folded}
+    )
     _finalize(moves)
     return {
         "folded_vecs": n_vecs,
@@ -843,6 +882,7 @@ def merge_compact(
     index_dir: str,
     delta_postings: DataFrame | None = None,
     delta_files: list[str] | None = None,
+    _recover_depth: int = 0,
 ) -> dict:
     """Fold streamed delta postings into the base index WITHOUT re-tokenizing
     any document: for each delta-touched shard, decode the stored posting
@@ -943,18 +983,34 @@ def merge_compact(
         .agg(
             F.count("*").alias("n"),
             F.coalesce(F.sum("doc_len"), F.lit(0)).alias("toks"),
-            F.coalesce(F.sum(F.col("doc_id") % F.lit(2**61 - 1)), F.lit(0)).alias(
-                "id_sum"
-            ),
+            # pmod bounds each term below 1e9 so the long sum cannot
+            # overflow ANSI arithmetic before ~9e9 rows (the unbounded
+            # `% (2**61-1)` form overflowed after 4 large hash-derived ids)
+            F.coalesce(
+                F.sum(F.pmod(F.col("doc_id"), F.lit(1_000_000_000))), F.lit(0)
+            ).alias("id_sum"),
+            # second independent id digest: count+tokens+id_sum alone let
+            # two different deltas alias (e.g. doc ids {2,3} vs {1,4} with
+            # equal doc_len totals), turning the second fold into a silent
+            # noop whose files the compact job then deletes
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000_000))),
+                F.lit(0),
+            ).alias("id_hash"),
         )
         .collect()[0]
     )
     new_docs, new_tokens = int(stats_row["n"]), int(stats_row["toks"])
     # deterministic fingerprint of this delta — the idempotency token the
     # swap protocol records in each 'compacting' manifest
-    delta_fp = f"{new_docs}-{new_tokens}-{int(stats_row['id_sum'])}"
+    delta_fp = (
+        f"{new_docs}-{new_tokens}-{int(stats_row['id_sum'])}"
+        f"-{int(stats_row['id_hash'])}"
+    )
     if meta.last_delta_fp == delta_fp:
         # the entire fold (shards + meta) already committed — full no-op
+        # (the stats subtraction runs BEFORE the meta commit, so landing
+        # here means it already happened too)
         return {
             "shards_compacted": [],
             "new_docs": 0,
@@ -981,6 +1037,20 @@ def merge_compact(
     # atomically) and detect shards a crashed prior attempt ALREADY swapped
     already_swapped: set[int] = set()
     already_complete: set[int] = set()
+    # a CRASHED FOLD OF A DIFFERENT DELTA is recognized by three signals
+    # together: the shard manifest's delta_fp differs from this fold's, its
+    # recorded file basenames still sit in the caller's snapshot (folded
+    # files are only deleted after the meta commit), and IndexMeta never
+    # recorded them as folded.  Re-merging such a shard would duplicate the
+    # crashed delta's postings (its data.parquet already holds them).
+    # A shard completed by a LEGITIMATE prior fold never trips this: its
+    # files were either recorded in folded_delta_files (meta committed
+    # atomically with the shard state) or already deleted from the snapshot.
+    foreign: dict[str, set[str]] = {}
+    snapshot_names = (
+        {os.path.basename(f) for f in delta_files} if delta_files else set()
+    )
+    already_recorded = set(meta.folded_delta_files or [])
     for s in touched:
         shard_dir = os.path.join(index_dir, f"shard={s}")
         data_files = [
@@ -996,6 +1066,14 @@ def merge_compact(
             mf = fs.read_json(os.path.join(shard_dir, "_manifest.json"))
         except (OSError, ValueError):
             mf = {}
+        mfiles = set(mf.get("delta_files") or [])
+        if (
+            mf.get("delta_fp") not in (None, delta_fp)
+            and mfiles & snapshot_names
+            and not mfiles <= already_recorded
+        ):
+            foreign.setdefault(mf["delta_fp"], set()).update(mfiles)
+            continue  # recovered below by re-running that fold's snapshot
         if mf.get("status") == "compacting":
             if mf.get("delta_fp") == delta_fp and not fs.exists(
                 os.path.join(shard_dir, tmp_name)
@@ -1040,6 +1118,37 @@ def merge_compact(
             # (e.g. before the IndexMeta commit): THIS delta is already
             # folded in — re-merging would duplicate it
             already_complete.add(s)
+
+    if foreign:
+        # finalize each crashed fold by re-running it on EXACTLY its
+        # recorded snapshot: the content-derived fingerprint reproduces, so
+        # already-swapped shards are skipped, half-swapped ones recovered,
+        # and untouched ones merged — then redo this fold (the recursion
+        # excludes the recovered files via folded_delta_files)
+        if _recover_depth >= 4:
+            raise RuntimeError(
+                f"crashed-fold recovery did not converge: {sorted(foreign)}"
+            )
+        by_name = {os.path.basename(f): f for f in delta_files}
+        for ffp in sorted(foreign):
+            ffiles = sorted(foreign[ffp])
+            missing = [n for n in ffiles if n not in by_name]
+            if missing:
+                raise RuntimeError(
+                    f"shards hold a crashed fold {ffp} whose delta files "
+                    f"{missing} are no longer in the snapshot; rebuild the "
+                    "touched shards via build_index(resume=True) and "
+                    "re-apply deltas"
+                )
+            merge_compact(
+                spark, index_dir,
+                delta_files=[by_name[n] for n in ffiles],
+                _recover_depth=_recover_depth + 1,
+            )
+        return merge_compact(
+            spark, index_dir, delta_files=delta_files,
+            _recover_depth=_recover_depth + 1,
+        )
 
     merge_shards = [
         s for s in touched if s not in already_swapped and s not in already_complete
@@ -1089,6 +1198,10 @@ def merge_compact(
         s = int(row["shard"])
         manifest = _json.loads(row["manifest_json"])
         manifest["delta_fp"] = delta_fp
+        # the folded file basenames ride BOTH manifests: they are what lets
+        # a rerun recognize (and auto-recover) a crashed fold of a
+        # different delta — see the foreign-fold pre-pass
+        manifest["delta_files"] = files_folded or None
         shard_dir = os.path.join(index_dir, f"shard={s}")
         # merged size+rows ride the 'compacting' manifest so a rerun can tell
         # a half-finished object-store move (copy landed, delete pending)
@@ -1099,6 +1212,7 @@ def merge_compact(
                 "status": "compacting",
                 "shard": s,
                 "delta_fp": delta_fp,
+                "delta_files": files_folded or None,
                 "merged_bytes": manifest["bytes"],
                 "merged_rows": manifest["chunks"],
             },
@@ -1130,6 +1244,7 @@ def merge_compact(
                 "bytes": fs.getsize(data_path),
                 "elapsed_sec": 0.0,
                 "delta_fp": delta_fp,
+                "delta_files": files_folded or None,
                 "recovered": True,
             },
         )
@@ -1139,7 +1254,10 @@ def merge_compact(
     # folded-file record: this run's files + previously-recorded ones still
     # present in the caller's snapshot (i.e. folded but not yet deleted);
     # entries for files a prior job already deleted age out naturally
-    folded_record = None
+    # a bare-DataFrame fold must PRESERVE the existing per-file record —
+    # committing None here would wipe it, and the next delta_files call
+    # would re-fold (duplicate) everything the ledger had excluded
+    folded_record = meta.folded_delta_files
     if delta_files is not None:
         snapshot = {os.path.basename(f) for f in delta_files}
         prior = set(meta.folded_delta_files or []) & snapshot
@@ -1157,15 +1275,20 @@ def merge_compact(
         last_delta_fp=delta_fp,
         folded_delta_files=folded_record,
     )
-    fs.commit_json(os.path.join(index_dir, "_index_meta.json"), asdict(new_meta))
     # the folded documents' stats leave the delta manifest (idempotent per
     # fingerprint) so the REMAINING delta keeps serving under correct stats;
     # only possible when the caller passed file paths (delta_postings alone
-    # does not locate the manifest — such callers manage their own stats)
+    # does not locate the manifest — such callers manage their own stats).
+    # Subtraction runs BEFORE the meta commit: a crash in between makes the
+    # rerun re-enter the fold path (meta still old, shards already complete
+    # → skipped) and re-call the subtraction, which its fingerprint ledger
+    # makes a no-op — the reverse order left a crash window where the noop
+    # paths never subtracted and the delta stats over-reported forever.
     if delta_files:
         _subtract_delta_stats(
             os.path.dirname(delta_files[0]), delta_fp, new_docs, new_tokens
         )
+    fs.commit_json(os.path.join(index_dir, "_index_meta.json"), asdict(new_meta))
     return {
         "shards_compacted": merge_shards,
         "shards_recovered": sorted(already_swapped),

@@ -731,3 +731,200 @@ def test_subtraction_ledger_keeps_all_fingerprints(tmp_path):
     sub = fs_for(d).read_json(os.path.join(d, DELTA_STATS_SUB_FILE))
     assert sub["n_docs"] == 110 and sub["total_len"] == 1100
     assert len(sub["fps"]) == 101
+
+
+def test_merge_compact_recovers_crashed_fold_before_meta_commit(
+    spark, sf_smoke_dir, tmp_path
+):
+    """Crash AFTER every shard swapped+finalized for delta A but BEFORE the
+    IndexMeta commit, then the stream appends B: the rerun over {A, B} must
+    recognize the foreign shard fingerprints (recorded delta_files still in
+    the snapshot, absent from folded_delta_files), finalize fold A on its
+    own snapshot, and fold only B — never re-merge A into shards that
+    already contain its postings."""
+    import json as _json
+    import os as _os
+
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        build_postings,
+    )
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+    from hybrid_sanctions_search_engine_spark.sources.index_io import IndexMeta
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        DELTA_STATS_SUB_FILE,
+        merge_compact,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    base_docs = docs.where(F.col("doc_id") % 3 == 0)
+    wave1_docs = docs.where(F.col("doc_id") % 3 == 1)
+    wave2_docs = docs.where(F.col("doc_id") % 3 == 2)
+
+    idx_dir = str(tmp_path / "rc_idx")
+    delta_dir = str(tmp_path / "rc_delta")
+    build_index(base_docs, idx_dir, n_shards=4, chunk_bits=6, resume=False)
+
+    def delta_files():
+        return sorted(
+            _os.path.join(delta_dir, f)
+            for f in _os.listdir(delta_dir)
+            if f.endswith(".parquet")
+        )
+
+    meta_path = _os.path.join(idx_dir, "_index_meta.json")
+    with open(meta_path) as fh:
+        pre_meta = fh.read()
+
+    build_postings(wave1_docs, positions=False).coalesce(1).write.mode(
+        "append"
+    ).parquet(delta_dir)
+    wave1_files = delta_files()
+    merge_compact(spark, idx_dir, delta_files=wave1_files)
+    # simulate the crash: shard manifests are final (delta_fp = fold A),
+    # but the IndexMeta commit and the stats subtraction never happened
+    with open(meta_path, "w") as fh:
+        fh.write(pre_meta)
+    sub_path = _os.path.join(delta_dir, DELTA_STATS_SUB_FILE)
+    if _os.path.exists(sub_path):
+        _os.remove(sub_path)
+
+    build_postings(wave2_docs, positions=False).coalesce(1).write.mode(
+        "append"
+    ).parquet(delta_dir)
+    all_files = delta_files()
+    rep = merge_compact(spark, idx_dir, delta_files=all_files)
+    assert not rep.get("noop")
+
+    # the index must equal a from-scratch build over ALL docs (A folded
+    # exactly once, B folded)
+    scratch = str(tmp_path / "rc_scratch")
+    build_index(docs, scratch, n_shards=4, chunk_bits=6, resume=False)
+    m, s = IndexMeta.load(idx_dir), IndexMeta.load(scratch)
+    assert (m.n_docs, m.total_tokens) == (s.n_docs, s.total_tokens)
+    for q in ["spark query join", "window"]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, idx_dir, q, k=10).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, scratch, q, k=10).collect()
+        ]
+        assert got == want, q
+    # both folds' stats left the delta manifest side
+    with open(sub_path) as fh:
+        sub = _json.load(fh)
+    assert len(sub["fps"]) == 2
+
+
+def test_merge_compact_fp_distinguishes_aliasing_deltas(
+    spark, sf_smoke_dir, tmp_path
+):
+    """{2,3} and {1,4} with equal doc_len totals share count+tokens+id_sum;
+    the xxhash64 digest in the fingerprint must keep the second fold from
+    becoming a silent noop."""
+    import os as _os
+
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        build_postings,
+    )
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        merge_compact,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    base_docs = docs.where(F.col("doc_id") >= 100)
+    idx_dir = str(tmp_path / "alias_idx")
+    build_index(base_docs, idx_dir, n_shards=4, chunk_bits=6, resume=False)
+
+    rows_a = [
+        (2, "alpha beta gamma", "en", "synthetic", 16),
+        (3, "delta epsilon zeta", "en", "synthetic", 18),
+    ]
+    rows_b = [
+        (1, "alpha beta gamma", "en", "synthetic", 16),
+        (4, "delta epsilon zeta", "en", "synthetic", 18),
+    ]
+    delta_a = build_postings(spark.createDataFrame(rows_a, SCHEMA), positions=False)
+    delta_b = build_postings(spark.createDataFrame(rows_b, SCHEMA), positions=False)
+    rep_a = merge_compact(spark, idx_dir, delta_a)
+    assert rep_a["new_docs"] == 2
+    rep_b = merge_compact(spark, idx_dir, delta_b)
+    assert not rep_b.get("noop") and rep_b["new_docs"] == 2
+
+
+def test_merge_compact_subtracts_before_meta_commit(
+    spark, sf_smoke_dir, tmp_path
+):
+    """The stats subtraction runs BEFORE the IndexMeta commit, so every
+    crash window converges on rerun: a crash between the two re-enters the
+    fold path (shards already complete → skipped), re-calls the
+    fp-idempotent subtraction (no double-subtract), and commits the meta.
+    An interleaved bare-DataFrame fold must also PRESERVE the per-file
+    ledger (committing None would make a later files rerun re-fold
+    everything)."""
+    import json as _json
+    import os as _os
+
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        build_postings,
+    )
+    from hybrid_sanctions_search_engine_spark.sources.index_io import IndexMeta
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        DELTA_STATS_SUB_FILE,
+        merge_compact,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    base_docs = docs.where(F.col("doc_id") % 2 == 0)
+    wave_docs = docs.where(F.col("doc_id") % 2 == 1)
+    idx_dir = str(tmp_path / "sub_idx")
+    delta_dir = str(tmp_path / "sub_delta")
+    build_index(base_docs, idx_dir, n_shards=4, chunk_bits=6, resume=False)
+    meta_path = _os.path.join(idx_dir, "_index_meta.json")
+    with open(meta_path) as fh:
+        pre_meta = fh.read()
+    build_postings(wave_docs, positions=False).coalesce(1).write.mode(
+        "append"
+    ).parquet(delta_dir)
+    files = sorted(
+        _os.path.join(delta_dir, f)
+        for f in _os.listdir(delta_dir)
+        if f.endswith(".parquet")
+    )
+    rep = merge_compact(spark, idx_dir, delta_files=files)
+    sub_path = _os.path.join(delta_dir, DELTA_STATS_SUB_FILE)
+    with open(sub_path) as fh:
+        sub1 = _json.load(fh)
+    assert sub1["n_docs"] == rep["new_docs"]
+    meta_after = IndexMeta.load(idx_dir)
+
+    # crash between the subtraction and the meta commit: restore the old
+    # meta, keep the subtraction ledger — the rerun must re-complete the
+    # fold without subtracting twice
+    with open(meta_path, "w") as fh:
+        fh.write(pre_meta)
+    rerun = merge_compact(spark, idx_dir, delta_files=files)
+    assert not rerun.get("noop")
+    with open(sub_path) as fh:
+        sub2 = _json.load(fh)
+    assert sub2 == sub1  # fp-idempotent: no double subtraction
+    m = IndexMeta.load(idx_dir)
+    assert (m.n_docs, m.total_tokens) == (
+        meta_after.n_docs,
+        meta_after.total_tokens,
+    )
+
+    # interleaved bare-DataFrame fold preserves the per-file ledger
+    extra = build_postings(
+        spark.createDataFrame(
+            [(700001, "omicron sigma tau", "en", "synthetic", 17)], SCHEMA
+        ),
+        positions=False,
+    )
+    merge_compact(spark, idx_dir, extra)
+    assert set(IndexMeta.load(idx_dir).folded_delta_files or []) == {
+        _os.path.basename(f) for f in files
+    }
+    rerun2 = merge_compact(spark, idx_dir, delta_files=files)
+    assert rerun2.get("noop")
