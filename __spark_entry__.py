@@ -37,6 +37,19 @@ def _r4(col):
 
 
 BM25_QUERY_TERMS = ["spark", "query", "join"]
+# resolved ES "75%" against the 3-term query — the SAME resolver the engine
+# uses, inlined into the DuckDB oracle so both sides stay in lockstep
+from hybrid_sanctions_search_engine_spark.operators.bm25 import (  # noqa: E402
+    es_min_should_match as _es_msm,
+)
+
+# the msm probe mixes the corpus's one RARE term (df≈5%, idf ≈ 3.0) with two
+# common ones (df≈75%, idf ≈ 0.27): docs matching only "dup" out-score any
+# common-term pair, so the unfiltered top-10 is dominated by 1-term docs and
+# the ≥2 filter DEMONSTRABLY changes the result set (uniform-df triples
+# never bite on this corpus — every top doc matches everything)
+MSM_QUERY_TERMS = ["dup", "spark", "query"]
+_MSM75_N = _es_msm("75%", len(MSM_QUERY_TERMS))
 
 # DuckDB CTEs mirroring the JVM index tokenizer + postings build exactly.
 
@@ -71,10 +84,25 @@ def _tbl(spark: SparkSession, sf: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
-    res = bm25_ops.bm25_topk(_docs(spark, sf), BM25_QUERY_TERMS, k=10)
-    return res.select(
-        "doc_id", _r4("score").alias("score"), "n_terms_matched"
+    """L1 exact BM25 plus ES minimum_should_match (the reference's hybrid
+    BM25 query requires "75%" of terms, elasticsearch_adapters.py:695),
+    merged into one entry to stay within the driver's 50-query cap: the
+    'msm75' part is the top-10 among docs matching ≥ ⌊3·75/100⌋ = 2 of the
+    3 MSM_QUERY_TERMS (one rare + two common — the regime where the filter
+    bites: rare-term-only docs out-score common pairs, so this is a
+    pre-filter, not a post-filter of an unfiltered top-10)."""
+    docs = _docs(spark, sf)
+    allv = bm25_ops.bm25_topk(docs, BM25_QUERY_TERMS, k=10).select(
+        F.lit("all").alias("mode"), "doc_id",
+        _r4("score").alias("score"), "n_terms_matched",
     )
+    msm = bm25_ops.bm25_topk(
+        docs, MSM_QUERY_TERMS, k=10, min_should_match="75%"
+    ).select(
+        F.lit("msm75").alias("mode"), "doc_id",
+        _r4("score").alias("score"), "n_terms_matched",
+    )
+    return allv.unionByName(msm)
 
 
 def q_postings_tf(spark: SparkSession, sf: str) -> DataFrame:
@@ -1272,6 +1300,7 @@ FROM orders ORDER BY o_orderkey LIMIT 2000
 def oracle_sql() -> dict[str, str]:
     terms_values = ", ".join(f"('{t}')" for t in BM25_QUERY_TERMS)
     terms_in = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    msm_terms_values = ", ".join(f"('{t}')" for t in MSM_QUERY_TERMS)
     oracles = {
         "bm25_topk": f"""
 WITH {_ORACLE_TOKS},
@@ -1286,10 +1315,31 @@ scored AS (
   JOIN tdf d USING (term)
   JOIN dl l USING (doc_id)
   CROSS JOIN stats s
+),
+q2(term) AS (VALUES {msm_terms_values}),
+tdf2 AS (SELECT term, count(*)::DOUBLE AS df FROM tfs WHERE term IN (SELECT term FROM q2) GROUP BY 1),
+scored2 AS (
+  SELECT t.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.doc_len / s.avgdl)) AS ts
+  FROM tfs t
+  JOIN tdf2 d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
 )
-SELECT doc_id, floor((sum(ts)) * 10000 + 0.5) / 10000 AS score, count(*)::INT AS n_terms_matched
-FROM scored GROUP BY doc_id
-ORDER BY sum(ts) DESC, doc_id LIMIT 10
+SELECT mode, doc_id, score, n_terms_matched FROM (
+  SELECT 'all' AS mode, doc_id,
+         floor((sum(ts)) * 10000 + 0.5) / 10000 AS score,
+         count(*)::INT AS n_terms_matched
+  FROM scored GROUP BY doc_id
+  ORDER BY sum(ts) DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT mode, doc_id, score, n_terms_matched FROM (
+  SELECT 'msm75' AS mode, doc_id,
+         floor((sum(ts)) * 10000 + 0.5) / 10000 AS score,
+         count(*)::INT AS n_terms_matched
+  FROM scored2 GROUP BY doc_id HAVING count(*) >= {_MSM75_N}
+  ORDER BY sum(ts) DESC, doc_id LIMIT 10)
 """,
         "postings_tf": f"""
 WITH {_ORACLE_TOKS}

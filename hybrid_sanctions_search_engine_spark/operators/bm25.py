@@ -37,6 +37,30 @@ def tfnorm_col(tf_col, dl_col, avgdl: float, k1: float = K1, b: float = B):
     )
 
 
+def es_min_should_match(spec: int | str, n_terms: int) -> int:
+    """Resolve an Elasticsearch ``minimum_should_match`` spec against a
+    query's optional-clause count — the reference's hybrid BM25 query uses
+    ``"75%"`` (``elasticsearch_adapters.py:695``) and ``1`` elsewhere.
+
+    ES/Lucene rules for the simple forms (the reference uses no combos):
+    positive int N → N; negative int -N → n_terms − N; ``"P%"`` →
+    ⌊n_terms·P/100⌋ (rounded down); ``"-P%"`` → n_terms − ⌊n_terms·P/100⌋.
+    The result is clamped to [1, n_terms] (a computed value < 1 behaves as
+    1; more required clauses than exist means all are required)."""
+    if n_terms <= 0:
+        return 0
+    if isinstance(spec, str):
+        s = spec.strip()
+        if not s.endswith("%"):
+            return es_min_should_match(int(s), n_terms)
+        pct = int(s[:-1])
+        part = (n_terms * abs(pct)) // 100
+        got = part if pct >= 0 else n_terms - part
+    else:
+        got = spec if spec >= 0 else n_terms + spec
+    return max(1, min(n_terms, got))
+
+
 def score_terms(
     postings: DataFrame,
     dl: DataFrame,
@@ -80,10 +104,15 @@ def bm25_topk(
     postings: DataFrame | None = None,
     dl: DataFrame | None = None,
     stats: CorpusStats | None = None,
+    min_should_match: int | str = 1,
 ) -> DataFrame:
     """Top-k BM25 → (doc_id, score, n_terms_matched), deterministic order
     (score desc, doc_id asc). Catalyst plans the limit as a distributed
-    TakeOrderedAndProject — no global sort materialization."""
+    TakeOrderedAndProject — no global sort materialization.
+
+    ``min_should_match``: ES semantics (int or "P%", resolved by
+    ``es_min_should_match``) — docs matching fewer distinct query terms are
+    excluded BEFORE the top-k, so the k results all qualify."""
     from ..functions.tokenize import py_index_tokens
 
     terms = py_index_tokens(query) if isinstance(query, str) else list(query)
@@ -94,15 +123,14 @@ def bm25_topk(
     if stats is None:
         stats = corpus_stats(docs, text_col)
     scored = score_terms(postings, dl, terms, stats, k1, b)
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("term_score").alias("score"),
-            F.count("*").cast("int").alias("n_terms_matched"),
-        )
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count("*").cast("int").alias("n_terms_matched"),
     )
+    msm = es_min_should_match(min_should_match, len(terms))
+    if msm > 1:
+        agg = agg.where(F.col("n_terms_matched") >= msm)
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 BATCH_SCORE_SCHEMA = "query_id long, doc_id long, score double, n_terms_matched int"
@@ -133,6 +161,7 @@ def make_batch_group_scorer(
     k: int,
     flatten=None,
     target_acc_bytes: int = 64 << 20,
+    min_match_per_qidx=None,
 ):
     """Per-doc-group batch scorer for ``applyInPandas``: accumulates a dense
     (local docs × queries) BM25 score matrix with one 2-D scatter-add per
@@ -164,6 +193,13 @@ def make_batch_group_scorer(
     nq = len(qid_list)
     n_docs_f = float(n_docs)
     kk = k
+    # per-query minimum matched-term count (ES minimum_should_match,
+    # resolved per query by the caller) — defaults to 1 everywhere
+    msm_np = (
+        np.asarray(min_match_per_qidx, dtype=np.int32)
+        if min_match_per_qidx is not None
+        else np.ones(nq, dtype=np.int32)
+    )
 
     def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -218,15 +254,17 @@ def make_batch_group_scorer(
                 cnt[p[:, None], bc[None, :]] += 1
             # vectorized per-query top-k: one matrix partition finds each
             # column's k-th matched score; only the ≥k-th candidates (k +
-            # ties, a handful) get the exact (-score, doc) lexsort
-            s_masked = np.where(cnt > 0, acc, -np.inf)
+            # ties, a handful) get the exact (-score, doc) lexsort.
+            # "matched" = cnt ≥ that query's minimum_should_match.
+            msm_blk = msm_np[b0:b1]
+            s_masked = np.where(cnt >= msm_blk[None, :], acc, -np.inf)
             if nrows > kk:
                 kth = np.partition(s_masked, nrows - kk, axis=0)[nrows - kk, :]
             else:
                 kth = np.full(bw, -np.inf)
             for bi in range(bw):
                 cand = np.flatnonzero(
-                    (s_masked[:, bi] >= kth[bi]) & (cnt[:, bi] > 0)
+                    (s_masked[:, bi] >= kth[bi]) & (cnt[:, bi] >= msm_blk[bi])
                 )
                 if cand.size == 0:
                     continue
@@ -261,11 +299,15 @@ def batch_topk(
     postings: DataFrame | None = None,
     stats: CorpusStats | None = None,
     n_groups: int | None = None,
+    min_should_match: int | str = 1,
 ) -> DataFrame:
     """Many queries in ONE job (the reference's msearch, S7): the (query_id,
     term) set scores against the postings inside per-doc-group Arrow tasks
     (``make_batch_group_scorer``), then a per-query window ranks the
     n_groups × nq × k local winners → (query_id, doc_id, score, rank ≤ k).
+
+    ``min_should_match`` follows ES semantics, resolved PER QUERY against
+    its own distinct-term count (``es_min_should_match``).
 
     This is the scale-correct serving shape for Spark: per-query latency is
     job-bound (~100ms floor), but a thousand queries cost one job — the
@@ -303,8 +345,16 @@ def batch_topk(
     flat = matched.join(F.broadcast(tdf), "term").select(
         "term", "doc_id", "tf", "doc_len", "df"
     )
+    n_terms_of = {
+        qid: len(dict.fromkeys(py_index_tokens(q))) for qid, q in queries
+    }
+    msm_arr = [
+        es_min_should_match(min_should_match, n_terms_of[qid])
+        for qid in qid_list
+    ]
     scorer = make_batch_group_scorer(
-        term_to_qidx, qid_list, stats.n_docs, stats.avgdl, k1, b, k
+        term_to_qidx, qid_list, stats.n_docs, stats.avgdl, k1, b, k,
+        min_match_per_qidx=msm_arr,
     )
     grp_key = F.pmod(F.col("doc_id"), F.lit(n_groups))
     local_topk = (

@@ -54,7 +54,13 @@ class SearchOpts:
     fuzzy_max_expansions: int = 20
     vector_weight: float = 0.4
     ac_weight: float = 0.6
-    min_should_match: int = 1
+    # ES minimum_should_match for the AC (exact-term) stage — int or "P%"
+    # (the reference's hybrid BM25 query uses "75%",
+    # elasticsearch_adapters.py:695); resolved per query by
+    # operators.bm25.es_min_should_match and applied in the base scorer AND
+    # the delta overlay identically.  The fuzzy stage scores expansion
+    # VARIANTS and keeps no minimum (a variant count is not a term count).
+    min_should_match: int | str = 1
     # L9: fuzz-rerank vector-stage hits against the query text (reference
     # _apply_rapidfuzz_reranking, hybrid_search_service.py:990-1030)
     rapidfuzz_rerank: bool = True
@@ -456,7 +462,9 @@ class HybridSearchPlan:
 
     # -- stages -----------------------------------------------------------
 
-    def ac_stage(self, query: str, k: int) -> DataFrame:
+    def ac_stage(
+        self, query: str, k: int, min_should_match: int | str = 1
+    ) -> DataFrame:
         if self.index_df is not None:
             from .wand import topk_search
 
@@ -467,6 +475,7 @@ class HybridSearchPlan:
                 k=k,
                 index_df=self.index_df,
                 meta=self.index_meta,
+                min_should_match=min_should_match,
             ).select("doc_id", "score")
         else:
             base = bm25_topk(
@@ -477,8 +486,11 @@ class HybridSearchPlan:
                 postings=self.postings,
                 dl=self.dl,
                 stats=self.stats,
+                min_should_match=min_should_match,
             ).select("doc_id", "score")
-        return self._overlay_lexical(base, query, k)
+        return self._overlay_lexical(
+            base, query, k, min_should_match=min_should_match
+        )
 
     def _overlay_lexical(
         self,
@@ -486,6 +498,7 @@ class HybridSearchPlan:
         query: str | list[str],
         k: int,
         term_weights: dict[str, float] | None = None,
+        min_should_match: int | str = 1,
     ) -> DataFrame:
         """base ∪ delta BM25, keep-best per doc, re-top-k — the same overlay
         shape as ``streaming.incremental.search_with_delta`` (each side
@@ -499,6 +512,7 @@ class HybridSearchPlan:
         delta = delta_bm25_topk(
             self.delta_postings, query, k=k,
             delta_stats=self.delta_stats, term_weights=term_weights,
+            min_should_match=min_should_match,
         ).select("doc_id", "score")
         return (
             dedup_keep_best(base.unionByName(delta))
@@ -695,7 +709,7 @@ class HybridSearchPlan:
         # (one job per stage) instead of persist+agg+reuse (three jobs + a
         # cache leak per search call)
         t0 = time.monotonic()
-        ac_rows = self.ac_stage(query, k).collect()
+        ac_rows = self.ac_stage(query, k, opts.min_should_match).collect()
         # homoglyph permutation search (reference: _handle_search_layer
         # multi-search, unified_orchestrator.py:647-731): when the query mixes
         # scripts, also search the homoglyph-folded variant, keep best per doc
@@ -703,7 +717,9 @@ class HybridSearchPlan:
 
         folded, n_folds = fold_homoglyphs(query)
         if n_folds > 0 and folded != query:
-            folded_rows = self.ac_stage(folded, k).collect()
+            folded_rows = self.ac_stage(
+                folded, k, opts.min_should_match
+            ).collect()
             # driver-side merge is k-BOUNDED: both row sets are top-k collects
             # (≤ 2k rows total), never O(corpus) — safe at any scale
             best: dict[int, float] = {}
@@ -1421,11 +1437,13 @@ class HybridSearchPlan:
             ac_all = batch_topk_indexed(
                 spark, self.index_dir, entries, k=k,
                 index_df=self.index_df, meta=self.index_meta,
+                min_should_match=opts.min_should_match,
             ).select("query_id", "doc_id", "score").collect()
         else:
             ac_all = batch_topk(
                 self.docs, entries, k=k, text_col=self.text_col,
                 postings=self.postings, stats=self.stats,
+                min_should_match=opts.min_should_match,
             ).select("query_id", "doc_id", "score").collect()
         # per-ENTRY overlay first (base ∪ delta keep-best, truncated to k —
         # exactly ac_stage()'s limit), THEN the homoglyph-variant merge:
@@ -1445,10 +1463,20 @@ class HybridSearchPlan:
                 for qid, q in entries
                 for t in dict.fromkeys(py_index_tokens(q))
             ]
+            from ..operators.bm25 import es_min_should_match
+
+            msm_per_qid = {
+                qid: es_min_should_match(
+                    opts.min_should_match,
+                    len(dict.fromkeys(py_index_tokens(q))),
+                )
+                for qid, q in entries
+            }
             for r in batch_delta_topk(
                 spark, self.delta_postings, weighted,
                 [qid for qid, _ in entries], k=k,
                 delta_stats=self.delta_stats,
+                min_match_per_qid=msm_per_qid,
             ).collect():
                 cur = entry_best[r["query_id"]]
                 if r["doc_id"] not in cur or r["score"] > cur[r["doc_id"]]:

@@ -58,11 +58,23 @@ def _shard_of_terms(terms: list[str], n_shards: int) -> dict[str, int]:
     return {t: shard_of_term(t, n_shards) for t in terms}
 
 
-def _score_chunks(k: int, meta: IndexMeta, term_weights: dict[str, float] | None = None):
+def _score_chunks(
+    k: int,
+    meta: IndexMeta,
+    term_weights: dict[str, float] | None = None,
+    min_match: int = 1,
+):
     """Per-chunk scorer: decodes tf + doc_len streams and computes the exact
     BM25 contribution from IndexMeta (idf from the stored per-term df) — the
     same float64 numpy expression the old in-encoder scoring used, so results
-    stay bitwise identical to the DataFrame plan."""
+    stay bitwise identical to the DataFrame plan.
+
+    ``min_match``: drop docs matching fewer than this many query terms
+    BEFORE the local top-k (ES minimum_should_match, resolved by the
+    caller).  Chunks partition the doc space and hold every query term's
+    postings for their docs, so the per-chunk count is the doc's full
+    count and the filter composes exactly with θ-pruning (the chunk upper
+    bound still bounds every qualifying doc's score)."""
     from ..functions.codec import varint_decode
 
     k1, b = meta.k1, meta.b
@@ -89,6 +101,9 @@ def _score_chunks(k: int, meta: IndexMeta, term_weights: dict[str, float] | None
         uniq, inv = np.unique(ids, return_inverse=True)
         sums = np.bincount(inv, weights=contrib)
         counts = np.bincount(inv)
+        if min_match > 1:
+            qual = counts >= min_match
+            uniq, sums, counts = uniq[qual], sums[qual], counts[qual]
         # exact per-chunk top-k under the global ordering (score desc, doc asc)
         order = np.lexsort((uniq, -sums))[:k]
         return pd.DataFrame(
@@ -117,9 +132,14 @@ def topk_search(
     term_weights: dict[str, float] | None = None,
     max_driver_chunks: int = 4096,
     stats_out: dict | None = None,
+    min_should_match: int | str = 1,
 ) -> DataFrame:
     """Exact top-k BM25 over the compressed index → (doc_id, score,
     n_terms_matched) ordered (score desc, doc_id asc).
+
+    ``min_should_match``: ES semantics (``operators.bm25.
+    es_min_should_match``) — applied inside the chunk scorers, so the k
+    results all match at least the resolved number of query terms.
 
     ``max_driver_chunks`` caps how many chunk-UB rows the driver may hold
     (constant, corpus-independent); past the cap, pruning runs in-cluster.
@@ -193,7 +213,10 @@ def topk_search(
     if not probe:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    score_fn = _score_chunks(k, meta, term_weights)
+    from ..operators.bm25 import es_min_should_match
+
+    msm_n = es_min_should_match(min_should_match, len(terms))
+    score_fn = _score_chunks(k, meta, term_weights, min_match=msm_n)
     par = spark.sparkContext.defaultParallelism
 
     def run(chunks: list[int]) -> DataFrame:
@@ -278,6 +301,7 @@ def batch_topk_indexed(
     meta: IndexMeta | None = None,
     n_groups: int | None = None,
     query_terms_override: list[tuple[int, str, float]] | None = None,
+    min_should_match: int | str = 1,
 ) -> DataFrame:
     """Many queries in ONE job over the COMPRESSED index (the serving shape
     ``operators.bm25.batch_topk`` provides over raw documents, minus its
@@ -304,7 +328,13 @@ def batch_topk_indexed(
     ``query_terms_override``: explicit (query_id, term, weight) triples
     instead of tokenizing ``queries`` — each term's BM25 contribution is
     multiplied by its weight (the batched fuzzy-expansion shape, where an
-    expanded term contributes at its edit-ratio discount)."""
+    expanded term contributes at its edit-ratio discount).
+
+    ``min_should_match`` (ES semantics, resolved PER QUERY against its own
+    distinct-term count) applies only to the tokenized form — with
+    ``query_terms_override`` the per-doc count tallies matched expansion
+    VARIANTS, not original query terms, so a minimum over it would be
+    meaningless and the parameter is rejected."""
     from pyspark.sql import Window
 
     from ..sources.index_io import decode_shard_rows
@@ -342,11 +372,29 @@ def batch_topk_indexed(
         est_chunks = max(1, int(meta.n_docs) >> meta.chunk_bits)
         n_groups = max(8, min(n_groups, est_chunks))
 
-    from ..operators.bm25 import BATCH_SCORE_SCHEMA, make_batch_group_scorer
+    from ..operators.bm25 import (
+        BATCH_SCORE_SCHEMA,
+        es_min_should_match,
+        make_batch_group_scorer,
+    )
 
+    msm_arr = None
+    if min_should_match != 1:
+        if query_terms_override is not None:
+            raise ValueError(
+                "min_should_match cannot combine with query_terms_override"
+            )
+        n_terms_of = {
+            qid: len(dict.fromkeys(py_index_tokens(q))) for qid, q in queries
+        }
+        msm_arr = [
+            es_min_should_match(min_should_match, n_terms_of[qid])
+            for qid in qid_list
+        ]
     score_group = make_batch_group_scorer(
         term_to_qidx, qid_list, meta.n_docs, meta.avgdl, meta.k1, meta.b, k,
         flatten=lambda pdf: decode_shard_rows(pdf, include_df=True),
+        min_match_per_qidx=msm_arr,
     )
     grp_key = F.pmod(F.col("chunk"), F.lit(n_groups))
     local_topk = (

@@ -662,6 +662,7 @@ def delta_bm25_topk(
     b: float = 0.75,
     delta_stats: tuple[int, float] | None = None,
     term_weights: dict[str, float] | None = None,
+    min_should_match: int | str = 1,
 ) -> DataFrame:
     """BM25 top-k directly over streamed delta postings
     (term, doc_id, doc_len, tf) — stats from the delta manifest when the
@@ -670,7 +671,10 @@ def delta_bm25_topk(
 
     ``query`` may be a raw string or a pre-expanded term list;
     ``term_weights`` multiplies each term's contribution (the fuzzy stage's
-    edit-ratio discount — same contract as ``wand.topk_search``)."""
+    edit-ratio discount — same contract as ``wand.topk_search``).
+    ``min_should_match`` (ES semantics) keeps the OVERLAY side consistent
+    with the base index's filter — both sides of the keep-best union must
+    qualify docs identically or the overlay admits under-matched docs."""
     from ..plans.wand import query_terms
 
     terms = query_terms(query) if isinstance(query, str) else list(query)
@@ -707,9 +711,17 @@ def delta_bm25_topk(
             "term_score",
             F.col("term_score") * F.coalesce(F.col("term_weight"), F.lit(1.0)),
         )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score").alias("score"),
+        F.count("*").cast("int").alias("n_terms_matched"),
+    )
+    from ..operators.bm25 import es_min_should_match
+
+    msm = es_min_should_match(min_should_match, len(terms))
+    if msm > 1:
+        agg = agg.where(F.col("n_terms_matched") >= msm)
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("term_score").alias("score"))
+        agg.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
@@ -724,6 +736,7 @@ def batch_delta_topk(
     delta_stats: tuple[int, float] | None = None,
     k1: float = 1.2,
     b: float = 0.75,
+    min_match_per_qid: dict[int, int] | None = None,
 ) -> DataFrame:
     """Whole-query-set BM25 over the delta postings in ONE Arrow-scored job
     → (query_id, doc_id, score), k-bounded per query.
@@ -732,7 +745,11 @@ def batch_delta_topk(
     msearch, edit-ratio discounts for the batched fuzzy stage.  The scorer
     is the same dense local-docs × queries numpy block as the base index's
     (``make_batch_group_scorer``), with ``group_partitioned`` keeping AQE
-    from collapsing the scoring shuffle to one task."""
+    from collapsing the scoring shuffle to one task.
+
+    ``min_match_per_qid``: per-query RESOLVED minimum matched-term counts
+    (ES minimum_should_match) — only meaningful for weight-1.0 exact terms,
+    where matched rows tally matched query terms."""
     from ..operators.bm25 import (
         BATCH_SCORE_SCHEMA,
         group_partitioned,
@@ -764,8 +781,14 @@ def batch_delta_topk(
         "term", "doc_id", "tf", "doc_len", "df"
     )
     n_groups = max(8, spark.sparkContext.defaultParallelism)
+    msm_arr = (
+        [min_match_per_qid.get(qid, 1) for qid in qid_list]
+        if min_match_per_qid
+        else None
+    )
     scorer = make_batch_group_scorer(
-        term_to_qidx, qid_list, n_docs, avgdl, k1, b, k
+        term_to_qidx, qid_list, n_docs, avgdl, k1, b, k,
+        min_match_per_qidx=msm_arr,
     )
     from pyspark.sql import Window
 

@@ -260,3 +260,18 @@ def test_driver_expansion_twin_of_spark_path(spark, corpus):
         assert fast  # non-trivial comparison
     finally:
         plan.close()
+
+
+def test_search_many_parity_min_should_match(spark, corpus):
+    """opts.min_should_match="75%" flows through both ladders identically:
+    the AC stage (base scorer and, in delta tests elsewhere, the overlay)
+    pre-filters under-matched docs in search() and search_many() the same
+    way, so batch ≡ single holds with the dial engaged."""
+    docs, emb = corpus
+    plan = HybridSearchPlan(docs, embeddings=emb, embedding_dim=DIM)
+    try:
+        _assert_parity(
+            plan, SearchOpts(top_k=5, min_should_match="75%")
+        )
+    finally:
+        plan.close()

@@ -614,3 +614,95 @@ def test_batch_scorer_partitioning_pinned(spark, corpus):
     # exchange re-shuffles between it and the groupBy
     assert below.count("Exchange hashpartitioning") == 1, below
     assert "REPARTITION_BY_NUM" in below, below  # AQE-exempt form
+
+
+def test_es_min_should_match_rules():
+    """ES/Lucene resolution rules for the simple forms the reference uses:
+    positive/negative int, positive/negative percent, floor rounding,
+    clamped to [1, n]."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import (
+        es_min_should_match as msm,
+    )
+
+    assert msm(1, 5) == 1
+    assert msm(3, 5) == 3
+    assert msm(9, 5) == 5          # more required than exist → all required
+    assert msm(-1, 5) == 4
+    assert msm(-9, 5) == 1         # never below 1
+    assert msm("75%", 3) == 2      # floor(2.25)
+    assert msm("75%", 4) == 3
+    assert msm("100%", 7) == 7
+    assert msm("10%", 3) == 1      # floor(0.3) clamps up to 1
+    assert msm("-25%", 4) == 3     # n - floor(n*25/100)
+    assert msm("2", 5) == 2        # bare-number string
+    assert msm("75%", 0) == 0      # empty query
+
+
+@pytest.mark.parametrize("spec", ["75%", 2])
+def test_min_should_match_three_path_identity(spark, corpus, spec):
+    """The msm filter must select the same docs in all three scoring paths:
+    DataFrame bm25_topk, indexed topk_search (through θ-pruning), and the
+    batched indexed scorer — and every result must match ≥ the resolved
+    number of terms."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import (
+        es_min_should_match,
+    )
+    from hybrid_sanctions_search_engine_spark.plans.wand import (
+        batch_topk_indexed,
+        query_terms,
+    )
+
+    docs, index_dir, idx, meta = corpus
+    query = "spark query join"
+    n_terms = len(query_terms(query))
+    msm_n = es_min_should_match(spec, n_terms)
+    assert msm_n == 2
+
+    df_res = [
+        (r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+        for r in bm25_topk(docs, query, k=10, min_should_match=spec).collect()
+    ]
+    assert df_res and all(n >= msm_n for _, _, n in df_res)
+
+    idx_res = [
+        (r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+        for r in topk_search(
+            spark, index_dir, query, k=10,
+            index_df=idx, meta=meta, min_should_match=spec,
+        ).collect()
+    ]
+    assert idx_res == df_res
+
+    batch_res = sorted(
+        (
+            (r["doc_id"], r["n_terms_matched"])
+            for r in batch_topk_indexed(
+                spark, index_dir, [(7, query)], k=10,
+                index_df=idx, meta=meta, min_should_match=spec,
+            ).collect()
+        ),
+    )
+    assert batch_res == sorted((d, n) for d, _, n in df_res)
+
+    # the filter is a PRE-filter: post-filtering the unfiltered top-10
+    # yields a different (starved) set whenever single-term docs rank high
+    unfiltered = bm25_topk(docs, query, k=10).collect()
+    post = [r["doc_id"] for r in unfiltered if r["n_terms_matched"] >= msm_n]
+    assert len(post) <= len(df_res)
+
+
+def test_min_should_match_rejected_with_override(spark, corpus):
+    """query_terms_override tallies expansion variants, not query terms —
+    combining it with a minimum must raise, not silently mis-filter."""
+    from hybrid_sanctions_search_engine_spark.plans.wand import (
+        batch_topk_indexed,
+    )
+
+    docs, index_dir, idx, meta = corpus
+    with pytest.raises(ValueError, match="min_should_match"):
+        batch_topk_indexed(
+            spark, index_dir, [(1, "spark query")], k=5,
+            index_df=idx, meta=meta,
+            query_terms_override=[(1, "spark", 1.0), (1, "query", 0.5)],
+            min_should_match=2,
+        )
