@@ -308,10 +308,28 @@ class HybridSearchPlan:
         manifest read, no stats job); ``delta_embeddings`` from
         ``load_delta_embeddings``.  The delta sides rely on the compaction
         contract: delta doc_ids are DISJOINT from the base (new docs only),
-        so union + re-top-k needs no cross-side dedup.  Call again after the
-        stream appends (the postings/embeddings frames are lazy reads — a
-        re-attach only refreshes stats and the fuzzy dictionary), and
-        ``detach_delta()`` after compaction."""
+        so union + re-top-k needs no cross-side dedup.  After the stream
+        appends, re-attach with FRESHLY LOADED frames
+        (``load_delta_postings`` / ``load_delta_embeddings`` again): a
+        DataFrame pins its parquet file listing at read() time
+        (InMemoryFileIndex), so re-attaching the OLD frames would refresh
+        stats and the fuzzy dictionary while every scan still serves the
+        old file set — n_docs/avgdl would over-report the rows the scans
+        can see.  Call ``detach_delta()`` after compaction."""
+        if delta_embeddings is not None and delta_docs is None:
+            # the rerank/anchor stages join vector hits against the doc-text
+            # store (base ∪ delta_docs) with an INNER join: a fresh delta
+            # doc surfaced by the vector stage would silently VANISH from
+            # the results whenever rerank or anchors are enabled — and stay
+            # on the rerank-free fast path — flipping results with opts.
+            # An embeddings overlay therefore requires the matching doc
+            # overlay (the reference's overlay serves docs with payloads,
+            # watchlist_index_service.py:85-222).
+            raise ValueError(
+                "attach_delta: delta_embeddings requires delta_docs — "
+                "vector hits on fresh docs need their text for the "
+                "rerank/anchor stages"
+            )
         if self._fuzzy_dict is not None:
             self._fuzzy_dict.unpersist()
             self._fuzzy_dict = None
@@ -1017,7 +1035,7 @@ class HybridSearchPlan:
             or self.delta_embeddings is not None
         )
 
-        def _vector_stage_batch(targets: list[int]) -> dict[int, list]:
+        def _vector_stage_batch(targets: list[int], cancel=None) -> dict[int, list]:
             vec_rows: dict[int, list] = {q: [] for q in targets}
             if not (targets and have_vectors):
                 return vec_rows
@@ -1249,6 +1267,8 @@ class HybridSearchPlan:
             # produces identical results under the same opts (its rerank is
             # gated on opts.rapidfuzz_rerank and empty anchors multiply by
             # 1.0), so batch↔single parity is preserved.
+            if cancel is not None and cancel.is_set():
+                return vec_rows  # abandoned: don't submit the final job
             if not opts.rapidfuzz_rerank and all(
                 not a[0] and not a[1] for a in anchors.values()
             ):
@@ -1295,13 +1315,21 @@ class HybridSearchPlan:
         # silently burning executor cores to completion with no consumer
         # (review finding, round 5)
         spec_group = f"specvec-{next(_SPEC_GROUP_SEQ)}"
+        # set BEFORE cancelJobGroup: a speculative thread still blocked on
+        # an upstream future would otherwise submit its jobs AFTER the
+        # cancellation (cancelJobGroup does not apply to later submissions)
+        import threading as _threading
+
+        spec_cancel = _threading.Event()
 
         def _speculative_probe():
             spark.sparkContext.setJobGroup(
                 spec_group, "speculative batched vector probe",
                 interruptOnCancel=True,
             )
-            return _vector_stage_batch([qid for qid, _ in queries])
+            return _vector_stage_batch(
+                [qid for qid, _ in queries], cancel=spec_cancel
+            )
 
         vec_fut = (
             _Async(_timed_into(trace, "vector_ms", _speculative_probe, lock=trace_lock))
@@ -1322,6 +1350,7 @@ class HybridSearchPlan:
         # that subset would have.
         def _fuzzy_stage_batch(
             targets: list[int],
+            cancel=None,
         ) -> dict[int, list[tuple[int, float]]]:
             from pyspark.sql import Window
 
@@ -1332,6 +1361,12 @@ class HybridSearchPlan:
             expanded_rows = [
                 r for r in exp_fut.result() if r["query_id"] in tset
             ]
+            # the speculative thread blocks on the expansion future ABOVE —
+            # cancelJobGroup only kills ACTIVE jobs, so a cancellation that
+            # arrived while we waited must stop us from SUBMITTING the
+            # scoring jobs now (they would run to completion unconsumed)
+            if cancel is not None and cancel.is_set():
+                return fz_rows
             if expanded_rows and self.index_df is not None:
                 # weighted batch scoring straight off the compressed
                 # index: the chunk-group Arrow scorer multiplies each
@@ -1376,6 +1411,8 @@ class HybridSearchPlan:
                 )
                 for r in fz_all:
                     fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
+            if cancel is not None and cancel.is_set():
+                return fz_rows  # abandoned: skip the delta scoring job too
             if expanded_rows and self._delta_lex:
                 # overlay (round 6): the expanded terms also score against
                 # the delta postings (delta's own stats + the same edit-ratio
@@ -1413,7 +1450,9 @@ class HybridSearchPlan:
                 spec_fz_group, "speculative batched fuzzy scoring",
                 interruptOnCancel=True,
             )
-            return _fuzzy_stage_batch([qid for qid, _ in queries])
+            return _fuzzy_stage_batch(
+                [qid for qid, _ in queries], cancel=spec_cancel
+            )
 
         fz_fut = (
             _Async(_timed_into(trace, "fuzzy_ms", _speculative_fuzzy, lock=trace_lock))
@@ -1531,6 +1570,7 @@ class HybridSearchPlan:
             # cancellation exception stays inside the never-joined daemon
             # thread and the stage's ms never lands in the trace (review
             # findings, round 5)
+            spec_cancel.set()  # stops NOT-YET-SUBMITTED speculative jobs
             if vec_fut is not None:
                 spark.sparkContext.cancelJobGroup(spec_group)
                 suppress_vec_trace = True

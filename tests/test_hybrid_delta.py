@@ -695,3 +695,22 @@ def test_fold_orphaned_pending_replayed_before_new_fold(
     assert set(meta.get("folded_emb_files", [])) >= {
         os.path.basename(f) for f in files
     }
+
+
+def test_attach_embeddings_requires_docs(spark, env, sf_smoke_dir):
+    """An embeddings overlay without the doc overlay is a misconfiguration:
+    vector hits on fresh docs would silently vanish from the rerank/anchor
+    joins (inner against the doc-text store) while surviving on the
+    rerank-free fast path — results flipping with opts.  attach_delta
+    refuses it."""
+    base_docs = spark.read.parquet(
+        os.path.join(sf_smoke_dir, "documents.parquet")
+    )
+    plan = HybridSearchPlan(base_docs, embeddings=env["base_emb"], embedding_dim=DIM)
+    try:
+        with pytest.raises(ValueError, match="delta_docs"):
+            plan.attach_delta(
+                delta_embeddings=load_delta_embeddings(spark, env["delta_dir"])
+            )
+    finally:
+        plan.close()
