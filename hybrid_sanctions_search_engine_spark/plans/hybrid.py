@@ -47,7 +47,14 @@ class SearchOpts:
     """Mirror of the reference's SearchOpts (``contracts.py:58-95``)."""
 
     top_k: int = 50
-    threshold: float = 0.7
+    # P2 final score threshold (reference _process_results filters fused
+    # results at score ≥ threshold, default 0.7 — on ITS normalized ES
+    # score scale).  This ladder's fused scores mix raw BM25 (unbounded)
+    # with weighted cosine, so an absolute 0.7 default would silently hide
+    # valid lexical results; the dial defaults OFF here and callers opt in
+    # with a threshold calibrated to their corpus (operators/calibration.py
+    # exists for exactly that).
+    threshold: float = 0.0
     escalation_threshold: float = 0.6
     enable_escalation: bool = True
     fuzzy_max_edits: int = 1
@@ -883,6 +890,11 @@ class HybridSearchPlan:
         else:
             fused = lexical_best
 
+        # P2 final threshold (reference _process_results,
+        # hybrid_search_service.py:1205-1211) — applied BEFORE the top-k cut
+        # so the k results all qualify
+        if opts.threshold > 0.0:
+            fused = {d: s for d, s in fused.items() if s >= opts.threshold}
         top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
         result = spark.createDataFrame(
             [{"doc_id": d, "score": s} for d, s in top], schema
@@ -1635,6 +1647,11 @@ class HybridSearchPlan:
                     fused[doc] = score
             else:
                 fused = lexical_best
+            # P2 final threshold — identical to search()'s pre-top-k filter
+            if opts.threshold > 0.0:
+                fused = {
+                    d: s for d, s in fused.items() if s >= opts.threshold
+                }
             top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
             for rank, (doc, s) in enumerate(top, start=1):
                 out_rows.append(

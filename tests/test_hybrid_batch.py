@@ -275,3 +275,21 @@ def test_search_many_parity_min_should_match(spark, corpus):
         )
     finally:
         plan.close()
+
+
+def test_search_many_parity_threshold(spark, corpus):
+    """opts.threshold (P2 final filter, reference _process_results) applies
+    BEFORE the top-k cut and identically in both ladders; results below it
+    never surface."""
+    docs, emb = corpus
+    plan = HybridSearchPlan(docs, embeddings=emb, embedding_dim=DIM)
+    try:
+        opts = SearchOpts(top_k=5, threshold=0.9)
+        _assert_parity(plan, opts)
+        batched, _ = plan.search_many(QUERIES, opts)
+        assert all(r["score"] >= 0.9 for r in batched.collect())
+        # sanity: the dial actually bites vs threshold-off
+        off, _ = plan.search_many(QUERIES, SearchOpts(top_k=5))
+        assert any(r["score"] < 0.9 for r in off.collect())
+    finally:
+        plan.close()
