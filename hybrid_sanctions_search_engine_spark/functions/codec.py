@@ -72,11 +72,20 @@ def varint_decode(buf: bytes) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8)
     is_last = (raw & 0x80) == 0
-    # group id of each byte = number of completed values before it
-    group = np.zeros(raw.size, dtype=np.int64)
-    group[1:] = np.cumsum(is_last)[:-1]
-    starts = np.searchsorted(group, np.arange(group[-1] + 1), side="left")
-    pos_in_val = np.arange(raw.size, dtype=np.int64) - starts[group]
+    if is_last.all():
+        # every value fits one byte (gap/tf/doc_len streams are almost
+        # always < 128): the values ARE the bytes — skip the grouped pass
+        return raw.astype(np.uint64)
+    # value start positions: byte 0 and every byte following a terminal one
+    # (O(n) flatnonzero instead of a searchsorted over the group ids)
+    newval = np.empty(raw.size, dtype=bool)
+    newval[0] = True
+    newval[1:] = is_last[:-1]
+    starts = np.flatnonzero(newval)
+    nbytes = np.empty(starts.size, dtype=np.int64)
+    nbytes[:-1] = np.diff(starts)
+    nbytes[-1] = raw.size - starts[-1]
+    pos_in_val = np.arange(raw.size, dtype=np.int64) - np.repeat(starts, nbytes)
     contrib = (raw.astype(np.uint64) & np.uint64(0x7F)) << (pos_in_val * 7).astype(
         np.uint64
     )

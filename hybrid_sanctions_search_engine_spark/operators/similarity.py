@@ -481,35 +481,41 @@ def knn_ivf_probe_many(
     nq, kk = len(qids), k
 
     def score(it):
-        for pdf in it:
-            if pdf.empty:
+        # concatenate the task's Arrow batches FIRST: the nq-query mask+gemv
+        # loop then runs once per TASK instead of once per ~10k-row batch
+        # (a 960k scan is ~96 batches over ~30 tasks — 3× fewer Python loop
+        # iterations, identical per-row float ops so results are bit-equal;
+        # memory stays bounded by the task's partition of (id, vec, cell)).
+        pdfs = [pdf for pdf in it if not pdf.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        cell = pdf[cell_col].to_numpy(dtype=np.int64)
+        norms = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
+        batch_cells = set(int(c) for c in np.unique(cell))
+        out_q, out_i, out_s = [], [], []
+        for qi in range(nq):
+            probe = [c for c in cells[qi] if int(c) in batch_cells]
+            if not probe:
                 continue
-            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            cell = pdf[cell_col].to_numpy(dtype=np.int64)
-            norms = np.maximum(np.linalg.norm(x, axis=1), 1e-300)
-            batch_cells = set(int(c) for c in np.unique(cell))
-            out_q, out_i, out_s = [], [], []
-            for qi in range(nq):
-                probe = [c for c in cells[qi] if int(c) in batch_cells]
-                if not probe:
-                    continue
-                mask = np.isin(cell, np.asarray(probe, dtype=np.int64))
-                xs = x[mask]
-                cos = (xs @ qmat[qi]) / (norms[mask] * qnorms[qi])
-                idsm = ids[mask]
-                top = np.lexsort((idsm, -cos))[:kk]
-                out_q.append(np.full(top.size, qids[qi]))
-                out_i.append(idsm[top])
-                out_s.append(cos[top])
-            if out_q:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate(out_q),
-                        id_col: np.concatenate(out_i),
-                        "cos_sim": np.concatenate(out_s),
-                    }
-                )
+            mask = np.isin(cell, np.asarray(probe, dtype=np.int64))
+            xs = x[mask]
+            cos = (xs @ qmat[qi]) / (norms[mask] * qnorms[qi])
+            idsm = ids[mask]
+            top = np.lexsort((idsm, -cos))[:kk]
+            out_q.append(np.full(top.size, qids[qi]))
+            out_i.append(idsm[top])
+            out_s.append(cos[top])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_i),
+                    "cos_sim": np.concatenate(out_s),
+                }
+            )
 
     local = (
         indexed.where(F.col(cell_col).isin(union))

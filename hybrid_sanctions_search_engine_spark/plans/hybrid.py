@@ -261,9 +261,25 @@ class HybridSearchPlan:
             self.ann_df = self.ann_df.persist()
         if index_dir is not None:
             from ..sources.index_io import load_index
+            from .wand import batch_n_groups
 
             self.index_df, self.index_meta = load_index(docs.sparkSession, index_dir)
-            self.index_df = self.index_df.persist()
+            # standing server: cache the index PRE-PARTITIONED on the batch
+            # scorer's doc-group key (same batch_n_groups formula) and
+            # term-sorted within partitions — every search_many lexical job
+            # then runs with ZERO exchange (the shuffle is paid once at
+            # cache materialization, not per query batch), and the term
+            # IN (...) filter prunes term-contiguous cached batches by
+            # min/max stats (guide §2.4/§6)
+            self._idx_n_groups = batch_n_groups(docs.sparkSession, self.index_meta)
+            self.index_df = (
+                self.index_df.repartition(
+                    self._idx_n_groups,
+                    F.pmod(F.col("chunk"), F.lit(self._idx_n_groups)),
+                )
+                .sortWithinPartitions("term")
+                .persist()
+            )
             self.stats = CorpusStats(
                 n_docs=self.index_meta.n_docs, avgdl=self.index_meta.avgdl
             )
@@ -971,6 +987,45 @@ class HybridSearchPlan:
             .collect()
         )
 
+    def _merge_delta_fuzzy(
+        self,
+        fz_rows: dict[int, list[tuple[int, float]]],
+        expanded_rows: list,
+        tset,
+        k: int,
+    ) -> dict[int, list[tuple[int, float]]]:
+        """Overlay (round 6): the expanded terms also score against the
+        delta postings (delta's own stats + the same edit-ratio weights),
+        then each query's base ∪ delta keep-bests and truncates to k —
+        exactly fuzzy_stage()'s overlay + limit.  Shared by the
+        speculative fuzzy job and the fused AC+fuzzy path."""
+        if not expanded_rows or not self._delta_lex:
+            return fz_rows
+        from ..streaming.incremental import batch_delta_topk
+
+        delta_fz = batch_delta_topk(
+            self.docs.sparkSession, self.delta_postings,
+            [
+                (r["query_id"], r["term"], float(r["term_weight"]))
+                for r in expanded_rows
+            ],
+            sorted(tset), k=k, delta_stats=self.delta_stats,
+        ).collect()
+        if delta_fz:
+            for qid in fz_rows:
+                best: dict[int, float] = {}
+                for doc, sc in fz_rows[qid]:
+                    if doc not in best or sc > best[doc]:
+                        best[doc] = sc
+                for r in (x for x in delta_fz if x["query_id"] == qid):
+                    d, sc = r["doc_id"], r["score"]
+                    if d not in best or sc > best[d]:
+                        best[d] = sc
+                fz_rows[qid] = sorted(
+                    best.items(), key=lambda kv: (-kv[1], kv[0])
+                )[:k]
+        return fz_rows
+
     def search_many(
         self, queries: list[tuple[int, str]], opts: SearchOpts | None = None
     ) -> tuple[DataFrame, dict[int, dict]]:
@@ -1017,6 +1072,30 @@ class HybridSearchPlan:
         # one speculative dictionary-probe job is wall-time-free (overlapped)
         # and its resources are bounded by |query terms| broadcast-joined
         # prefix buckets.
+        # FUSED lexical path (round 7): when the in-RAM dictionary serves
+        # expansion (driver-only, ~ms), the fuzzy SCORING rides in the SAME
+        # batch job as the AC stage (disjoint query-id spaces, per-query
+        # independent scoring — row-identical to two jobs by construction).
+        # The two jobs previously scanned, shuffled and varint-decoded the
+        # SAME matched postings concurrently (960k profile: AC ~5.4 s +
+        # fuzzy ~6.3 s isolated, most of each being that shared work);
+        # fused, the postings pass is paid once (guide §1.2: remove
+        # passes/shuffles before tuning per-task work).
+        fuse_lex = (
+            opts.enable_escalation
+            and opts.speculative_fuzzy
+            and self.index_df is not None
+            and self._driver_dictionary() is not None
+        )
+        fused_expanded_rows: list = []
+        if fuse_lex:
+            t_exp = time.monotonic()
+            fused_expanded_rows = self._expand_terms_driver(
+                [qid for qid, _ in queries], qtext, opts,
+                self._driver_dictionary(),
+            )
+            with trace_lock:
+                trace["expansion_ms"] = (time.monotonic() - t_exp) * 1000
         exp_fut = (
             _Async(
                 _timed_into(
@@ -1027,7 +1106,7 @@ class HybridSearchPlan:
                     lock=trace_lock,
                 )
             )
-            if opts.enable_escalation
+            if opts.enable_escalation and not fuse_lex
             else None
         )
 
@@ -1392,6 +1471,7 @@ class HybridSearchPlan:
                         (r["query_id"], r["term"], float(r["term_weight"]))
                         for r in expanded_rows
                     ],
+                    n_groups=self._idx_n_groups, pre_grouped=True,
                 ).collect()
                 for r in fz_all:
                     fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
@@ -1425,35 +1505,7 @@ class HybridSearchPlan:
                     fz_rows[r["query_id"]].append((r["doc_id"], r["score"]))
             if cancel is not None and cancel.is_set():
                 return fz_rows  # abandoned: skip the delta scoring job too
-            if expanded_rows and self._delta_lex:
-                # overlay (round 6): the expanded terms also score against
-                # the delta postings (delta's own stats + the same edit-ratio
-                # weights), then each query's base ∪ delta keep-bests and
-                # truncates to k — exactly fuzzy_stage()'s overlay + limit
-                from ..streaming.incremental import batch_delta_topk
-
-                delta_fz = batch_delta_topk(
-                    spark, self.delta_postings,
-                    [
-                        (r["query_id"], r["term"], float(r["term_weight"]))
-                        for r in expanded_rows
-                    ],
-                    sorted(tset), k=k, delta_stats=self.delta_stats,
-                ).collect()
-                if delta_fz:
-                    for qid in fz_rows:
-                        best: dict[int, float] = {}
-                        for doc, sc in fz_rows[qid]:
-                            if doc not in best or sc > best[doc]:
-                                best[doc] = sc
-                        for r in (x for x in delta_fz if x["query_id"] == qid):
-                            d, sc = r["doc_id"], r["score"]
-                            if d not in best or sc > best[d]:
-                                best[d] = sc
-                        fz_rows[qid] = sorted(
-                            best.items(), key=lambda kv: (-kv[1], kv[0])
-                        )[:k]
-            return fz_rows
+            return self._merge_delta_fuzzy(fz_rows, expanded_rows, tset, k)
 
         spec_fz_group = f"specfz-{next(_SPEC_GROUP_SEQ)}"
 
@@ -1469,6 +1521,7 @@ class HybridSearchPlan:
         fz_fut = (
             _Async(_timed_into(trace, "fuzzy_ms", _speculative_fuzzy, lock=trace_lock))
             if opts.speculative_fuzzy and opts.enable_escalation
+            and not fuse_lex
             else None
         )
 
@@ -1482,14 +1535,44 @@ class HybridSearchPlan:
                 entries.append((next_id, folded))
                 variant_of[next_id] = qid
                 next_id += 1
+        fused_fz_rows: dict[int, list[tuple[int, float]]] = {}
         if self.index_df is not None:
             from .wand import batch_topk_indexed
 
-            ac_all = batch_topk_indexed(
+            ovr = None
+            fz_off = 0
+            if fuse_lex and fused_expanded_rows:
+                # fuzzy ids ride above every entry id (offset shifted past
+                # negative query ids too) so the fused job's rows split
+                # back unambiguously
+                max_entry = max(q for q, _ in entries)
+                min_qid = min(q for q, _ in queries)
+                fz_off = max_entry + 1 - min(0, min_qid)
+                ovr = [
+                    (r["query_id"] + fz_off, r["term"],
+                     float(r["term_weight"]))
+                    for r in fused_expanded_rows
+                ]
+            ac_fz_all = batch_topk_indexed(
                 spark, self.index_dir, entries, k=k,
                 index_df=self.index_df, meta=self.index_meta,
                 min_should_match=opts.min_should_match,
+                query_terms_override=ovr,
+                n_groups=self._idx_n_groups, pre_grouped=True,
             ).select("query_id", "doc_id", "score").collect()
+            if ovr is not None:
+                max_entry = max(q for q, _ in entries)
+                ac_all = [r for r in ac_fz_all if r["query_id"] <= max_entry]
+                fused_fz_rows = {qid: [] for qid, _ in queries}
+                for r in ac_fz_all:
+                    if r["query_id"] > max_entry:
+                        fused_fz_rows[r["query_id"] - fz_off].append(
+                            (r["doc_id"], r["score"])
+                        )
+            else:
+                ac_all = ac_fz_all
+                if fuse_lex:
+                    fused_fz_rows = {qid: [] for qid, _ in queries}
         else:
             ac_all = batch_topk(
                 self.docs, entries, k=k, text_col=self.text_col,
@@ -1557,7 +1640,7 @@ class HybridSearchPlan:
         # --- stages 2+3: both futures may already be in flight (speculative,
         # launched at t0); lazy fallbacks cover the non-speculative opts.
         # Wall time is max(AC, expansion+fuzzy, vector), not the sum.
-        if fz_fut is None and escalating:
+        if fz_fut is None and escalating and not fuse_lex:
             fz_fut = _Async(
                 _timed_into(
                     trace, "fuzzy_ms",
@@ -1595,8 +1678,22 @@ class HybridSearchPlan:
             # speculative results cover ALL queries — keep only the
             # escalating subset so gating sees exactly what search() would
             # have computed
-            fz_all_res = fz_fut.result() if fz_fut is not None else {}
-            fz_rows = {q: fz_all_res.get(q, []) for q in escalating}
+            if fuse_lex:
+                # fused results cover ALL queries — keep the escalating
+                # subset, then apply the delta-overlay merge exactly as the
+                # speculative fuzzy job would have
+                eset = set(escalating)
+                fz_rows = self._merge_delta_fuzzy(
+                    {q: fused_fz_rows.get(q, []) for q in escalating},
+                    [
+                        r for r in fused_expanded_rows
+                        if r["query_id"] in eset
+                    ],
+                    eset, k,
+                )
+            else:
+                fz_all_res = fz_fut.result() if fz_fut is not None else {}
+                fz_rows = {q: fz_all_res.get(q, []) for q in escalating}
             vec_all = vec_fut.result()
             vec_rows = {q: vec_all.get(q, []) for q in escalating}
 

@@ -292,6 +292,19 @@ def topk_search(
     return all_res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def batch_n_groups(spark: SparkSession, meta: IndexMeta) -> int:
+    """The batched scorer's doc-group count — one formula shared by
+    ``batch_topk_indexed`` and standing plans that pre-partition their
+    cached index on ``pmod(chunk, n_groups)`` so the per-query-batch
+    shuffle disappears (see ``HybridSearchPlan``)."""
+    n_groups = max(32, spark.sparkContext.defaultParallelism * 2)
+    # cap by the index's chunk count (dense-id estimate): pmod groups
+    # beyond it are EMPTY partitions, and the explicit repartition
+    # launches a task for each — pure overhead at small scale
+    est_chunks = max(1, int(meta.n_docs) >> meta.chunk_bits)
+    return max(8, min(n_groups, est_chunks))
+
+
 def batch_topk_indexed(
     spark: SparkSession,
     index_dir: str,
@@ -302,6 +315,7 @@ def batch_topk_indexed(
     n_groups: int | None = None,
     query_terms_override: list[tuple[int, str, float]] | None = None,
     min_should_match: int | str = 1,
+    pre_grouped: bool = False,
 ) -> DataFrame:
     """Many queries in ONE job over the COMPRESSED index (the serving shape
     ``operators.bm25.batch_topk`` provides over raw documents, minus its
@@ -328,29 +342,47 @@ def batch_topk_indexed(
     ``query_terms_override``: explicit (query_id, term, weight) triples
     instead of tokenizing ``queries`` — each term's BM25 contribution is
     multiplied by its weight (the batched fuzzy-expansion shape, where an
-    expanded term contributes at its edit-ratio discount).
+    expanded term contributes at its edit-ratio discount).  When BOTH
+    ``queries`` and ``query_terms_override`` are given (the fused
+    AC+fuzzy serving shape — one scan/decode pass instead of two jobs over
+    the same postings), the two query-id spaces must be DISJOINT; each id
+    is scored independently, so the fused result is row-identical to
+    running the two jobs separately.
 
     ``min_should_match`` (ES semantics, resolved PER QUERY against its own
-    distinct-term count) applies only to the tokenized form — with
-    ``query_terms_override`` the per-doc count tallies matched expansion
-    VARIANTS, not original query terms, so a minimum over it would be
-    meaningless and the parameter is rejected."""
+    distinct-term count) applies only to the tokenized ``queries`` — for
+    ``query_terms_override`` ids the per-doc count tallies matched
+    expansion VARIANTS, not original query terms, so a minimum over it
+    would be meaningless: override-only calls reject the parameter, and
+    fused calls apply it to the tokenized ids only (override ids keep
+    minimum 1)."""
     from pyspark.sql import Window
 
-    from ..sources.index_io import decode_shard_rows
+    from ..sources.index_io import decode_shard_arrays
 
     if index_df is None or meta is None:
         index_df, meta = load_index(spark, index_dir)
+    tok_triples = [
+        (qid, t, 1.0)
+        for qid, q in queries
+        for t in dict.fromkeys(py_index_tokens(q))
+    ]
+    tok_qids = [qid for qid, _ in queries]
     if query_terms_override is not None:
-        triples = list(query_terms_override)
-        qid_list = list(dict.fromkeys(q for q, _, _ in triples))
-    else:
-        triples = [
-            (qid, t, 1.0)
-            for qid, q in queries
-            for t in dict.fromkeys(py_index_tokens(q))
+        ovr = list(query_terms_override)
+        ovr_qids = [
+            q for q in dict.fromkeys(q for q, _, _ in ovr)
         ]
-        qid_list = [qid for qid, _ in queries]
+        if queries and set(ovr_qids) & set(tok_qids):
+            raise ValueError(
+                "fused batch: override query ids must be disjoint from "
+                "tokenized query ids"
+            )
+        triples = tok_triples + ovr
+        qid_list = tok_qids + ovr_qids
+    else:
+        triples = tok_triples
+        qid_list = tok_qids
     out_schema = "query_id long, doc_id long, score double, rank int, n_terms_matched int"
     if not triples:
         return spark.createDataFrame([], out_schema)
@@ -365,12 +397,7 @@ def batch_topk_indexed(
         F.col("shard").isin(shards) & F.col("term").isin(all_terms)
     ).select("term", "chunk", "df", "n_docs", "doc_gaps", "tfs", "doc_lens")
     if n_groups is None:
-        n_groups = max(32, spark.sparkContext.defaultParallelism * 2)
-        # cap by the index's chunk count (dense-id estimate): pmod groups
-        # beyond it are EMPTY partitions, and the explicit repartition
-        # launches a task for each — pure overhead at small scale
-        est_chunks = max(1, int(meta.n_docs) >> meta.chunk_bits)
-        n_groups = max(8, min(n_groups, est_chunks))
+        n_groups = batch_n_groups(spark, meta)
 
     from ..operators.bm25 import (
         BATCH_SCORE_SCHEMA,
@@ -380,25 +407,38 @@ def batch_topk_indexed(
 
     msm_arr = None
     if min_should_match != 1:
-        if query_terms_override is not None:
+        if query_terms_override is not None and not queries:
             raise ValueError(
                 "min_should_match cannot combine with query_terms_override"
             )
         n_terms_of = {
             qid: len(dict.fromkeys(py_index_tokens(q))) for qid, q in queries
         }
+        # override (fuzzy-expansion) ids always keep minimum 1: their
+        # per-doc counts tally matched VARIANTS, not query terms
         msm_arr = [
             es_min_should_match(min_should_match, n_terms_of[qid])
+            if qid in n_terms_of
+            else 1
             for qid in qid_list
         ]
     score_group = make_batch_group_scorer(
         term_to_qidx, qid_list, meta.n_docs, meta.avgdl, meta.k1, meta.b, k,
-        flatten=lambda pdf: decode_shard_rows(pdf, include_df=True),
+        flatten=lambda pdf: decode_shard_arrays(pdf, include_df=True),
         min_match_per_qidx=msm_arr,
     )
     grp_key = F.pmod(F.col("chunk"), F.lit(n_groups))
+    # ``pre_grouped``: the caller's index_df is ALREADY hash-partitioned on
+    # this exact group key (a standing plan caches it that way, with the
+    # same batch_n_groups count) — the groupBy's ClusteredDistribution is
+    # then satisfied by the cached layout and Catalyst plans NO exchange
+    # (asserted in tests/test_wand.py), so the per-batch job skips the
+    # shuffle write+read of the matched posting blobs entirely (guide
+    # §2.4: two operations keyed the same way share one exchange; here the
+    # exchange moved into the one-time cache materialization).
+    src = matched if pre_grouped else group_partitioned(matched, grp_key, n_groups)
     local_topk = (
-        group_partitioned(matched, grp_key, n_groups)
+        src
         .groupBy(grp_key.alias("grp"))
         .applyInPandas(score_group, BATCH_SCORE_SCHEMA)
     )

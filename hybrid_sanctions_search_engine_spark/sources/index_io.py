@@ -388,6 +388,51 @@ def decode_shard_rows(pdf: pd.DataFrame, include_df: bool = False) -> pd.DataFra
     return pd.DataFrame(out)
 
 
+def decode_shard_arrays(pdf: pd.DataFrame, include_df: bool = False) -> dict:
+    """Numpy-native twin of ``decode_shard_rows`` for scoring hot paths →
+    ``{"term_codes", "uniq_terms", "doc_id", "tf", "doc_len"[, "df"]}``.
+
+    Same decoded values in the same row order, but terms stay as small
+    integer codes (factorized over the ~rows-level term column, first-
+    appearance order — identical to ``pd.unique`` over the repeated
+    column) instead of an O(postings) repeated object array, and no
+    intermediate pandas frame is built.  The 960k profile measured
+    0.24 s/group for the pandas form vs ~0.05 s for this one — the object
+    ``term`` column repeat + frame construction dominated, not the varint
+    decode itself (guide §4.2: hand whole batches to vectorized native
+    code, don't round-trip through row-oriented containers)."""
+    from ..functions.codec import varint_decode
+
+    if len(pdf) == 0:
+        out = {
+            "term_codes": np.empty(0, dtype=np.int64),
+            "uniq_terms": np.empty(0, dtype=object),
+            "doc_id": np.empty(0, dtype=np.int64),
+            "tf": np.empty(0, dtype=np.int64),
+            "doc_len": np.empty(0, dtype=np.int64),
+        }
+        if include_df:
+            out["df"] = np.empty(0, dtype=np.int64)
+        return out
+    counts = pdf["n_docs"].to_numpy(dtype=np.int64)
+    gaps = varint_decode(b"".join(pdf["doc_gaps"])).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    c = np.cumsum(gaps)
+    seg_base = np.where(starts > 0, c[starts - 1], 0)
+    ids = c - np.repeat(seg_base, counts)
+    row_codes, uniq_terms = pd.factorize(pdf["term"])
+    out = {
+        "term_codes": np.repeat(row_codes.astype(np.int64), counts),
+        "uniq_terms": np.asarray(uniq_terms, dtype=object),
+        "doc_id": ids,
+        "tf": varint_decode(b"".join(pdf["tfs"])).astype(np.int64),
+        "doc_len": varint_decode(b"".join(pdf["doc_lens"])).astype(np.int64),
+    }
+    if include_df and "df" in pdf.columns:
+        out["df"] = np.repeat(pdf["df"].to_numpy(dtype=np.int64), counts)
+    return out
+
+
 def build_index(
     docs: DataFrame,
     index_dir: str,

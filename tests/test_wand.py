@@ -699,10 +699,47 @@ def test_min_should_match_rejected_with_override(spark, corpus):
     )
 
     docs, index_dir, idx, meta = corpus
+    # override-only calls still reject a minimum outright
     with pytest.raises(ValueError, match="min_should_match"):
+        batch_topk_indexed(
+            spark, index_dir, [], k=5,
+            index_df=idx, meta=meta,
+            query_terms_override=[(1, "spark", 1.0), (1, "query", 0.5)],
+            min_should_match=2,
+        )
+    # fused calls (queries + override) require disjoint id spaces — an
+    # overlapping id would silently merge AC terms with expansion variants
+    with pytest.raises(ValueError, match="disjoint"):
         batch_topk_indexed(
             spark, index_dir, [(1, "spark query")], k=5,
             index_df=idx, meta=meta,
             query_terms_override=[(1, "spark", 1.0), (1, "query", 0.5)],
             min_should_match=2,
         )
+
+
+def test_fused_batch_equals_two_jobs(spark, corpus):
+    """The fused AC+fuzzy shape (queries + disjoint override ids in ONE
+    job) must be row-identical to running the two jobs separately."""
+    from hybrid_sanctions_search_engine_spark.plans.wand import (
+        batch_topk_indexed,
+    )
+
+    docs, index_dir, idx, meta = corpus
+    queries = [(1, "spark query join"), (2, "window table")]
+    override = [(100, "spark", 0.8), (100, "query", 1.0), (101, "merge", 0.5)]
+    fused = batch_topk_indexed(
+        spark, index_dir, queries, k=5, index_df=idx, meta=meta,
+        min_should_match="75%", query_terms_override=override,
+    ).collect()
+    ac = batch_topk_indexed(
+        spark, index_dir, queries, k=5, index_df=idx, meta=meta,
+        min_should_match="75%",
+    ).collect()
+    fz = batch_topk_indexed(
+        spark, index_dir, [], k=5, index_df=idx, meta=meta,
+        query_terms_override=override,
+    ).collect()
+    assert sorted(map(tuple, fused), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, ac + fz), key=lambda t: (t[0], t[3])
+    )
