@@ -92,30 +92,46 @@ def q_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     bites: rare-term-only docs out-score common pairs, so this is a
     pre-filter, not a post-filter of an unfiltered top-10)."""
     docs = _docs(spark, sf)
-    allv = bm25_ops.bm25_topk(docs, BM25_QUERY_TERMS, k=10).select(
-        F.lit("all").alias("mode"), "doc_id",
-        _r4("score").alias("score"), "n_terms_matched",
+    # one postings pass for BOTH modes (bm25_topk_multi): the union-of-terms
+    # contributions are scored once and fanned out through a broadcast
+    # membership join — the two-branch union tokenized the corpus four
+    # times (two scoring branches + two df subqueries).  Row values are
+    # identical to the per-mode bm25_topk calls (same formula, same df,
+    # same msm resolution; pinned by tests/test_wand.py).
+    res = bm25_ops.bm25_topk_multi(
+        docs,
+        [("all", BM25_QUERY_TERMS, 1), ("msm75", MSM_QUERY_TERMS, "75%")],
+        k=10,
     )
-    msm = bm25_ops.bm25_topk(
-        docs, MSM_QUERY_TERMS, k=10, min_should_match="75%"
-    ).select(
-        F.lit("msm75").alias("mode"), "doc_id",
-        _r4("score").alias("score"), "n_terms_matched",
+    return res.select(
+        "mode", "doc_id", _r4("score").alias("score"), "n_terms_matched"
     )
-    return allv.unionByName(msm)
 
 
 def q_postings_tf(spark: SparkSession, sf: str) -> DataFrame:
-    postings = post_ops.build_postings(_docs(spark, sf), positions=False)
-    return postings.where(F.col("term").isin(BM25_QUERY_TERMS)).select(
-        "term", "doc_id", "tf"
+    # term filter BETWEEN the explode and the (term, doc_id) aggregation —
+    # the predicate cannot push through the generate on its own, so
+    # filtering postings after build_postings aggregated the whole corpus
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        tokenized_documents,
+    )
+
+    exploded = tokenized_documents(_docs(spark, sf)).select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    return (
+        exploded.where(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select("term", "doc_id", "tf")
     )
 
 
 def q_term_df_top20(spark: SparkSession, sf: str) -> DataFrame:
-    postings = post_ops.build_postings(_docs(spark, sf), positions=False)
+    # direct df (one aggregation, no intermediate (term, doc_id) shuffle —
+    # identical values; operators/postings.py::term_doc_freq_direct)
     return (
-        post_ops.term_doc_freq(postings)
+        post_ops.term_doc_freq_direct(_docs(spark, sf))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(20)
     )
@@ -237,20 +253,30 @@ def q_prefix_terms(spark: SparkSession, sf: str) -> DataFrame:
     (weight desc, term asc — ES suggester tie-break).  The candidate set per
     prefix IS the L4 edge-ngram match set, so this merged query keeps both
     operators oracled within the driver's 50-query snapshot cap."""
-    postings = post_ops.build_postings(_docs(spark, sf), positions=False)
-    dictionary = post_ops.term_doc_freq(postings)
-    parts = [
-        bm25_ops.complete_prefix(dictionary, p, k=20) for p in ("sc", "wi")
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("prefix", "rank")
+    # direct dictionary + both prefixes in ONE pass (the per-prefix union
+    # re-evaluated the dictionary subtree — a tokenize + two aggregations —
+    # once per prefix); per-prefix rows identical to complete_prefix
+    dictionary = post_ops.term_doc_freq_direct(_docs(spark, sf))
+    return bm25_ops.complete_prefix_many(
+        dictionary, ["sc", "wi"], k=20
+    ).orderBy("prefix", "rank")
 
 
 def q_wildcard_docs(spark: SparkSession, sf: str) -> DataFrame:
-    postings = post_ops.build_postings(_docs(spark, sf), positions=False)
-    return bm25_ops.wildcard_match(postings, "wind")
+    # wildcard_match only reads (term, doc_id) distinct pairs — feed it the
+    # light exploded-distinct-token frame instead of fully aggregated
+    # postings (skips the (term, doc_id) tf aggregation shuffle)
+    from hybrid_sanctions_search_engine_spark.functions.tokenize import (
+        spark_index_tokens,
+    )
+
+    light = _docs(spark, sf).select(
+        "doc_id",
+        F.explode(F.array_distinct(spark_index_tokens(F.col("text")))).alias(
+            "term"
+        ),
+    )
+    return bm25_ops.wildcard_match(light, "wind")
 
 
 def q_salted_term_df(spark: SparkSession, sf: str) -> DataFrame:
@@ -690,11 +716,10 @@ def q_fuzzy_candidates(spark: SparkSession, sf: str) -> DataFrame:
         fuzzy_term_candidates,
     )
     from hybrid_sanctions_search_engine_spark.operators.postings import (
-        build_postings,
-        term_doc_freq,
+        term_doc_freq_direct,
     )
 
-    dictionary = term_doc_freq(build_postings(_docs(spark, sf), positions=False))
+    dictionary = term_doc_freq_direct(_docs(spark, sf))
     return fuzzy_term_candidates(dictionary, "sparc", max_edits=1, max_expansions=20)
 
 

@@ -72,24 +72,28 @@ def score_terms(
     """Per-(doc, term) BM25 contributions for the given query terms.
 
     ``term IN (...)`` is pushed into the postings scan (partition/row-group
-    pruning on a term-sorted index); document frequencies are computed on the
-    pruned postings and broadcast back — the per-doc join is a broadcast hash
-    join, no shuffle of the postings side beyond the scan.
+    pruning on a term-sorted index); document frequencies come from a
+    count window over the term partition of the SAME matched rows — NOT a
+    broadcast aggregate subquery, which re-evaluated the whole postings
+    subtree (a second full tokenize pass when postings are built inline
+    from documents, the entry-query shape; guide §2.4).  The window's
+    shuffle moves only the |query terms| matched postings.
     """
+    from pyspark.sql import Window
+
     matched = postings.where(F.col("term").isin(terms))
-    tdf = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     with_dl = (
         matched
         if "doc_len" in matched.columns  # postings carry doc_len: no join
         else matched.join(dl, "doc_id")
     )
-    scored = (
-        with_dl.join(F.broadcast(tdf), "term")
-        .withColumn(
-            "term_score",
-            idf_col(F.col("df"), stats.n_docs)
-            * tfnorm_col(F.col("tf"), F.col("doc_len"), stats.avgdl, k1, b),
-        )
+    df_col = (
+        F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
+    )
+    scored = with_dl.withColumn(
+        "term_score",
+        idf_col(df_col, stats.n_docs)
+        * tfnorm_col(F.col("tf"), F.col("doc_len"), stats.avgdl, k1, b),
     )
     return scored.select("doc_id", "term", "tf", "term_score")
 
@@ -127,10 +131,79 @@ def bm25_topk(
         F.sum("term_score").alias("score"),
         F.count("*").cast("int").alias("n_terms_matched"),
     )
-    msm = es_min_should_match(min_should_match, len(terms))
+    # distinct count: n_terms_matched tallies distinct terms, and ES counts
+    # each duplicate clause as matched — resolving against the duplicate-
+    # inclusive count over-filtered duplicate-token queries (and diverged
+    # from the batch paths, which already resolve against distinct counts)
+    msm = es_min_should_match(min_should_match, len(dict.fromkeys(terms)))
     if msm > 1:
         agg = agg.where(F.col("n_terms_matched") >= msm)
     return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    modes: list[tuple[str, list[str], "int | str"]],
+    k: int = 10,
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    postings: DataFrame | None = None,
+    dl: DataFrame | None = None,
+    stats: CorpusStats | None = None,
+) -> DataFrame:
+    """Several BM25 top-k rankings over ONE postings pass →
+    (mode, doc_id, score, n_terms_matched), rank ≤ k per mode under the
+    usual (score desc, doc_id asc) order.
+
+    ``modes``: (mode_label, terms, min_should_match) triples.  Each mode's
+    rows carry exactly the values ``bm25_topk(docs, terms, k,
+    min_should_match=...)`` produces — the union-of-terms contributions are
+    scored once and fanned out to modes through a tiny broadcast membership
+    join, so a two-mode entry query stops tokenizing the corpus once per
+    mode (it was 4+ tokenize passes: two scoring branches and two df
+    subqueries)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    if postings is None:
+        postings = build_postings(docs, text_col, positions=False)
+    if dl is None:
+        dl = doc_lengths(docs, text_col)
+    if stats is None:
+        stats = corpus_stats(docs, text_col)
+    union_terms = sorted({t for _, ts, _ in modes for t in ts})
+    scored = score_terms(postings, dl, union_terms, stats, k1, b)
+    members = spark.createDataFrame(
+        [
+            (m, t)
+            for m, ts, _ in modes
+            for t in dict.fromkeys(ts)
+        ],
+        "mode string, term string",
+    )
+    agg = (
+        scored.join(F.broadcast(members), "term")
+        .groupBy("mode", "doc_id")
+        .agg(
+            F.sum("term_score").alias("score"),
+            F.count("*").cast("int").alias("n_terms_matched"),
+        )
+    )
+    msm_of = {
+        m: es_min_should_match(msm, len(dict.fromkeys(ts)))
+        for m, ts, msm in modes
+    }
+    msm_col = F.lit(1)
+    for m, n in msm_of.items():
+        msm_col = F.when(F.col("mode") == m, F.lit(n)).otherwise(msm_col)
+    w = Window.partitionBy("mode").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.where(F.col("n_terms_matched") >= msm_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("mode", "doc_id", "score", "n_terms_matched")
+    )
 
 
 BATCH_SCORE_SCHEMA = "query_id long, doc_id long, score double, n_terms_matched int"
@@ -340,7 +413,8 @@ def batch_topk(
     from ..functions.tokenize import py_index_tokens
     from pyspark.sql import Window
 
-    if postings is None:
+    inline_postings = postings is None
+    if inline_postings:
         postings = build_postings(docs, text_col, positions=False)
     if stats is None:
         stats = corpus_stats(docs, text_col)
@@ -362,8 +436,31 @@ def batch_topk(
     if n_groups is None:
         n_groups = max(32, spark.sparkContext.defaultParallelism * 2)
 
+    # df side table: for inline postings the old broadcast aggregate over
+    # the postings subtree duplicated the whole tokenize + (term, doc_id)
+    # aggregation pipeline; df = |docs containing term| needs neither —
+    # explode the DISTINCT tokens per doc and count (map-side combined,
+    # shuffles ≤ |terms| rows per partition).  A term window instead would
+    # serialize: ≤ |query terms| distinct keys coalesce to ~1 partition.
+    # Cached/precomputed postings keep the direct aggregate over them.
     matched = postings.where(F.col("term").isin(all_terms))
-    tdf = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    if inline_postings:
+        from ..functions.tokenize import spark_index_tokens
+
+        tdf = (
+            docs.select(
+                F.explode(
+                    F.array_distinct(spark_index_tokens(F.col(text_col)))
+                ).alias("term")
+            )
+            .where(F.col("term").isin(all_terms))
+            .groupBy("term")
+            .agg(F.count("*").cast("double").alias("df"))
+        )
+    else:
+        tdf = matched.groupBy("term").agg(
+            F.count("*").cast("double").alias("df")
+        )
     flat = matched.join(F.broadcast(tdf), "term").select(
         "term", "doc_id", "tf", "doc_len", "df"
     )
@@ -453,8 +550,41 @@ def phrase_match(
         raise ValueError("empty phrase")
     if slop < 0:
         raise ValueError("slop must be >= 0")
+    # ONE corpus pass for every phrase shape: per-term position arrays
+    # arrive as a per-doc map (term → positions) built by two aggregations,
+    # and each term's pos_i column is a map lookup — the former per-term
+    # join chain re-evaluated the whole postings subtree (a full tokenize +
+    # positions aggregation) once per distinct term (guide §2.4).  Docs
+    # missing any distinct term drop via the map-size filter, exactly like
+    # the old inner joins.  When ``postings`` is supplied, only its matched
+    # rows aggregate into the map (no corpus re-scan either way).
+    uniq_terms = list(dict.fromkeys(phrase_terms))
     if postings is None:
-        postings = build_postings(docs, text_col, positions=True)
+        from .postings import tokenized_documents
+
+        per_term = (
+            tokenized_documents(docs, text_col)
+            .select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+            .where(F.col("term").isin(uniq_terms))
+            .groupBy("doc_id", "term")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        )
+    else:
+        per_term = postings.where(F.col("term").isin(uniq_terms)).select(
+            "doc_id", "term", "positions"
+        )
+    base = (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))
+            ).alias("_pm")
+        )
+        .where(F.size("_pm") == len(uniq_terms))
+    )
+    for i, term in enumerate(phrase_terms):
+        base = base.withColumn(f"pos_{i}", F.element_at("_pm", F.lit(term)))
+    base = base.drop("_pm")
     lo = -slop if (not ordered and not lucene) else 0
 
     def _within_slop(pos_col: str, offset: int):
@@ -469,22 +599,16 @@ def phrase_match(
         return pred
 
     if lucene:
-        return _phrase_match_lucene(postings, phrase_terms, slop, _within_slop)
-    current = (
-        postings.where(F.col("term") == phrase_terms[0])
-        .select("doc_id", F.col("positions").alias("cand"))
+        return _phrase_match_lucene(base, phrase_terms, slop, _within_slop)
+    current = base.withColumn("cand", F.col("pos_0"))
+    for i in range(1, len(phrase_terms)):
+        current = current.withColumn(
+            "cand", F.filter(F.col("cand"), _within_slop(f"pos_{i}", i))
+        )
+    return (
+        current.where(F.size("cand") > 0)
+        .select("doc_id", F.size("cand").alias("n_occurrences"))
     )
-    for i, term in enumerate(phrase_terms[1:], start=1):
-        nxt = postings.where(F.col("term") == term).select(
-            "doc_id", F.col("positions").alias(f"pos_{i}")
-        )
-        current = (
-            current.join(nxt, "doc_id")
-            .withColumn("cand", F.filter(F.col("cand"), _within_slop(f"pos_{i}", i)))
-            .where(F.size("cand") > 0)
-            .select("doc_id", "cand")
-        )
-    return current.select("doc_id", F.size("cand").alias("n_occurrences"))
 
 
 def _shift_by(i: int):
@@ -526,7 +650,7 @@ def _repeated_term_runs(phrase_terms: list[str], slop: int):
     return runs
 
 
-def _phrase_match_lucene(postings, phrase_terms, slop, _within_slop):
+def _phrase_match_lucene(base, phrase_terms, slop, _within_slop):
     """Exact-Lucene span-budget phrase match (see ``phrase_match`` for the
     contract derivation).  Anchors = distinct offset-adjusted positions of
     ALL terms; an anchor survives iff every term i (term 0 included) has a
@@ -535,21 +659,12 @@ def _phrase_match_lucene(postings, phrase_terms, slop, _within_slop):
     NEGATIVE (phrase "a b" over text "b a" at slop=2 witnesses s=−1:
     'a'∈[−1,1] via 1, 'b'∈[0,2] via 0) — array algebra handles that for
     free; the packed-key indexed twin (plans/wand.py::_phrase_intersect)
-    needs a bias for it."""
-    current = (
-        postings.where(F.col("term") == phrase_terms[0])
-        .select("doc_id", F.col("positions").alias("pos_0"))
-    )
-    seen = {phrase_terms[0]: 0}
-    for i, term in enumerate(phrase_terms[1:], start=1):
-        if term in seen:  # repeated term: same positions array, no re-join
-            current = current.withColumn(f"pos_{i}", F.col(f"pos_{seen[term]}"))
-            continue
-        seen[term] = i
-        nxt = postings.where(F.col("term") == term).select(
-            "doc_id", F.col("positions").alias(f"pos_{i}")
-        )
-        current = current.join(nxt, "doc_id")
+    needs a bias for it.
+
+    ``base``: one row per candidate doc with ``pos_0 .. pos_{n-1}``
+    per-term position columns (repeated terms share an array), built by
+    ``phrase_match``'s single-pass map aggregation."""
+    current = base
     shifted = [
         F.transform(F.col(f"pos_{i}"), _shift_by(i))
         for i in range(len(phrase_terms))
@@ -623,6 +738,36 @@ def complete_prefix(
     w = Window.orderBy(F.desc(weight_col), F.asc("term"))
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         F.lit(p).alias("prefix"), "term", weight_col, "rank"
+    )
+
+
+def complete_prefix_many(
+    dictionary: DataFrame,
+    prefixes: list[str],
+    k: int = 10,
+    min_len: int = 2,
+    weight_col: str = "df",
+) -> DataFrame:
+    """``complete_prefix`` for several prefixes over ONE dictionary pass —
+    per-prefix rows identical to the single-prefix operator (same filter,
+    same (weight desc, term asc) top-k and rank), but the dictionary
+    subtree (a full tokenize + aggregation when built inline from
+    documents) is evaluated once instead of once per prefix."""
+    from pyspark.sql import Window
+
+    lits = F.array(*[F.lit(p.lower()) for p in prefixes])
+    cand = (
+        dictionary.where(F.length("term") >= min_len)
+        .withColumn(
+            "prefix",
+            F.explode(F.filter(lits, lambda p: F.col("term").startswith(p))),
+        )
+    )
+    w = Window.partitionBy("prefix").orderBy(F.desc(weight_col), F.asc("term"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("prefix", "term", weight_col, "rank")
     )
 
 

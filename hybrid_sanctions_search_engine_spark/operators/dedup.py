@@ -267,11 +267,16 @@ def minhash_lsh_pairs(
     24 bytes × bands per doc, never the text — which self-joins on (band,
     bucket) so only same-bucket collisions shuffle.  The banded frame is
     persisted because a self-join otherwise evaluates the signature UDF
-    twice; candidates are persisted because they feed both the semi-join
-    pruning of the verify scan and the verify join itself.  Every
-    intermediate cache is released before returning: the verified result is
-    materialized (persist+count) so ``cand`` can be unpersisted eagerly —
-    the returned frame holds only the above-threshold pairs; callers that
+    twice; the candidate pairs are NOT separately materialized — both their
+    consumers (the semi-join pruning of the verify scan and the verify
+    join) recompute the cheap join+distinct from the cached banded frame,
+    so the whole pipeline runs as ONE job instead of three sequential
+    materializations (round 7; each job paid its scheduling floor).  The
+    trade: the O(docs×bands) banded cache lives until the verify completes
+    rather than being released after candidate generation — spillable
+    storage, 24 bytes × bands per doc.  The verified result is
+    materialized (persist+count) so banded releases before returning; the
+    returned frame holds only the above-threshold pairs; callers that
     invoke this in a loop should ``unpersist()`` it when done."""
     docs = _widen_narrow_scan(docs)
     banded = minhash_band_buckets(docs, n_hashes, bands, shingle_n, text_col).persist()
@@ -283,13 +288,7 @@ def minhash_lsh_pairs(
             F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
         )
         .distinct()
-        .persist()
     )
-    # materialize the (small) candidate pairs now so the O(docs×bands)
-    # banded frame can be released immediately — repeated invocations
-    # otherwise pin block cache for the whole session
-    cand.count()
-    banded.unpersist()
     # compute shingles only for docs that appear in candidate pairs — the
     # shingle expression is an interpreted HOF, so prune before evaluating it
     cand_ids = cand.select(F.col("id_a").alias("doc_id")).unionByName(
@@ -317,7 +316,7 @@ def minhash_lsh_pairs(
         .persist()
     )
     verified.count()
-    cand.unpersist()
+    banded.unpersist()
     return verified
 
 
@@ -418,7 +417,12 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via 4×16-bit band
     buckets (any pair within Hamming ≤ 3 shares at least one exact band)."""
-    fps = simhash_fingerprints(docs, text_col)
+    # persist the fingerprints: the band self-join otherwise evaluates the
+    # simhash UDF scan twice (once per join side) — same eager-release
+    # pattern as minhash_lsh_pairs (materialize the small result, then
+    # unpersist the O(docs) intermediate; the returned frame holds only
+    # the near-dup pairs)
+    fps = simhash_fingerprints(docs, text_col).persist()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -443,10 +447,14 @@ def simhash_near_dup_pairs(
         )
         .distinct()
     )
-    return (
+    out = (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .persist()
     )
+    out.count()
+    fps.unpersist()
+    return out

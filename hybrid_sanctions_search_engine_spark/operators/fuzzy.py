@@ -243,6 +243,31 @@ def similarity_blend_full(
     return pairs.withColumn(out_col, blend)
 
 
+def _make_partial_udf():
+    """Module-level partial-ratio Arrow UDF, built once: constructing a new
+    ``pandas_udf`` per rerank call gave every batch a fresh UDF identity, so
+    no two invocations could ever share plan fragments (and each shipped a
+    newly pickled closure)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def partial_udf(a, b):
+        return partial_ratio_series(a, b)
+
+    return partial_udf
+
+
+_PARTIAL_UDF = None
+
+
+def _partial_udf():
+    global _PARTIAL_UDF
+    if _PARTIAL_UDF is None:
+        _PARTIAL_UDF = _make_partial_udf()
+    return _PARTIAL_UDF
+
+
 def rapidfuzz_rerank_expr(
     candidates: DataFrame,
     query_col,
@@ -255,12 +280,7 @@ def rapidfuzz_rerank_expr(
     max(ratio, partial_ratio, token_sort_ratio) on a 0-100 scale; score ×1.2
     when fuzz > 80, ×1.1 when fuzz > 60.  ratio/token_sort are JVM Columns;
     partial_ratio is the Arrow UDF over the (small) candidate set."""
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
-
-    @pandas_udf(DoubleType())
-    def partial_udf(a, b):
-        return partial_ratio_series(a, b)
+    partial_udf = _partial_udf()
 
     q = F.lower(query_col)
     t = F.lower(F.col(text_col))

@@ -98,6 +98,25 @@ def term_doc_freq(postings: DataFrame) -> DataFrame:
     return postings.groupBy("term").agg(F.count("*").cast("long").alias("df"))
 
 
+def term_doc_freq_direct(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """→ (term, df) straight from documents in ONE aggregation: explode the
+    DISTINCT tokens of each doc and count.  Identical values to
+    ``term_doc_freq(build_postings(docs, positions=False))`` — df never
+    needs tf, so the intermediate (term, doc_id) aggregation (a second
+    full-width shuffle) is pure overhead for dictionary consumers
+    (guide §2.3: aggregate before you shuffle; here the per-doc
+    array_distinct IS the map-side pre-aggregation)."""
+    return (
+        docs.select(
+            F.explode(
+                F.array_distinct(spark_index_tokens(F.col(text_col)))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+
+
 def salted_term_doc_counts(docs: DataFrame, text_col: str = "text", n_salts: int = 16) -> DataFrame:
     """Skew-resistant (term → df) without per-doc grouping: two-phase
     aggregation with an explicit salt so a Zipf-head term's counting is spread

@@ -357,6 +357,7 @@ class HybridSearchPlan:
             self._fuzzy_dict.unpersist()
             self._fuzzy_dict = None
         self._driver_dict = ...  # invalidate the driver-side FST-style cache
+        self._driver_dict_set = None
         self.delta_docs = delta_docs
         self.delta_postings = delta_postings
         self.delta_embeddings = delta_embeddings
@@ -426,7 +427,28 @@ class HybridSearchPlan:
         )
         if self._driver_dict is not None:
             self._driver_dict.sort()
+        self._driver_dict_set = (
+            set(self._driver_dict) if self._driver_dict is not None else None
+        )
         return self._driver_dict
+
+    def _dict_present_set(self) -> "set[str] | None":
+        """The in-RAM dictionary as a membership set — IF it is already
+        materialized (never triggers the collect itself, so a strong
+        first query on a cold plan pays no dictionary jobs).  Serves the
+        AC term-pruning fast path: a term absent from the (base ∪ delta)
+        dictionary has no postings anywhere, so dropping it — or skipping
+        the AC job entirely when nothing remains or the resolved
+        minimum_should_match exceeds the present distinct-term count —
+        is result-identical."""
+        cached = getattr(self, "_driver_dict", ...)
+        if cached is ... or cached is None:
+            return None
+        s = getattr(self, "_driver_dict_set", None)
+        if s is None:
+            s = set(cached)
+            self._driver_dict_set = s
+        return s
 
     def _expand_terms_driver(
         self, qids: list[int], qtext: dict[int, str], opts: SearchOpts,
@@ -506,28 +528,51 @@ class HybridSearchPlan:
     def ac_stage(
         self, query: str, k: int, min_should_match: int | str = 1
     ) -> DataFrame:
+        # driver-dictionary term pruning (zero-job fast path): terms absent
+        # from the (base ∪ delta) dictionary have no postings anywhere, so
+        # a query with none present — or whose resolved minimum_should_match
+        # exceeds the present distinct-term count — is empty WITHOUT
+        # submitting any Spark job (the gibberish/typo queries that always
+        # escalate previously still paid the AC probe job).  msm resolves
+        # against the ORIGINAL distinct term count before pruning, so the
+        # filter semantics are unchanged.
+        dset = self._dict_present_set()
+        query_run: str | list[str] = query
+        msm_run: int | str = min_should_match
+        if dset is not None:
+            from ..operators.bm25 import es_min_should_match
+            from .wand import query_terms
+
+            toks = list(dict.fromkeys(query_terms(query)))
+            msm_n = es_min_should_match(min_should_match, len(toks))
+            present = [t for t in toks if t in dset]
+            if not present or msm_n > len(present):
+                return self.docs.sparkSession.createDataFrame(
+                    [], "doc_id long, score double"
+                )
+            query_run, msm_run = present, msm_n
         if self.index_df is not None:
             from .wand import topk_search
 
             base = topk_search(
                 self.docs.sparkSession,
                 self.index_dir,
-                query,
+                query_run,
                 k=k,
                 index_df=self.index_df,
                 meta=self.index_meta,
-                min_should_match=min_should_match,
+                min_should_match=msm_run,
             ).select("doc_id", "score")
         else:
             base = bm25_topk(
                 self.docs,
-                query,
+                query_run,
                 k=k,
                 text_col=self.text_col,
                 postings=self.postings,
                 dl=self.dl,
                 stats=self.stats,
-                min_should_match=min_should_match,
+                min_should_match=msm_run,
             ).select("doc_id", "score")
         return self._overlay_lexical(
             base, query, k, min_should_match=min_should_match
@@ -1535,6 +1580,27 @@ class HybridSearchPlan:
                 entries.append((next_id, folded))
                 variant_of[next_id] = qid
                 next_id += 1
+        # driver-dictionary entry pruning (mirrors ac_stage): entries with
+        # no dictionary-present term — or an unattainable resolved
+        # minimum_should_match — contribute no rows, so they are dropped
+        # from the batch job (and the job itself is skipped when nothing
+        # remains); msm resolves against each entry's ORIGINAL distinct
+        # token count, so filter semantics are unchanged
+        run_entries = entries
+        dset = self._dict_present_set()
+        if dset is not None:
+            from ..operators.bm25 import es_min_should_match
+
+            def _runnable(text: str) -> bool:
+                toks = list(dict.fromkeys(query_terms(text)))
+                present = sum(1 for t in toks if t in dset)
+                if present == 0:
+                    return False
+                return es_min_should_match(
+                    opts.min_should_match, len(toks)
+                ) <= present
+
+            run_entries = [e for e in entries if _runnable(e[1])]
         fused_fz_rows: dict[int, list[tuple[int, float]]] = {}
         if self.index_df is not None:
             from .wand import batch_topk_indexed
@@ -1553,13 +1619,21 @@ class HybridSearchPlan:
                      float(r["term_weight"]))
                     for r in fused_expanded_rows
                 ]
-            ac_fz_all = batch_topk_indexed(
-                spark, self.index_dir, entries, k=k,
-                index_df=self.index_df, meta=self.index_meta,
-                min_should_match=opts.min_should_match,
-                query_terms_override=ovr,
-                n_groups=self._idx_n_groups, pre_grouped=True,
-            ).select("query_id", "doc_id", "score").collect()
+            if not run_entries and ovr is None:
+                ac_fz_all = []  # nothing can match: zero-job AC stage
+            else:
+                ac_fz_all = batch_topk_indexed(
+                    spark, self.index_dir, run_entries, k=k,
+                    index_df=self.index_df, meta=self.index_meta,
+                    # no tokenized entries left ⇒ msm is moot (override ids
+                    # always keep minimum 1, and passing a real msm with an
+                    # override-only call is rejected by contract)
+                    min_should_match=(
+                        opts.min_should_match if run_entries else 1
+                    ),
+                    query_terms_override=ovr,
+                    n_groups=self._idx_n_groups, pre_grouped=True,
+                ).select("query_id", "doc_id", "score").collect()
             if ovr is not None:
                 max_entry = max(q for q, _ in entries)
                 ac_all = [r for r in ac_fz_all if r["query_id"] <= max_entry]
@@ -1573,12 +1647,14 @@ class HybridSearchPlan:
                 ac_all = ac_fz_all
                 if fuse_lex:
                     fused_fz_rows = {qid: [] for qid, _ in queries}
-        else:
+        elif run_entries:
             ac_all = batch_topk(
-                self.docs, entries, k=k, text_col=self.text_col,
+                self.docs, run_entries, k=k, text_col=self.text_col,
                 postings=self.postings, stats=self.stats,
                 min_should_match=opts.min_should_match,
             ).select("query_id", "doc_id", "score").collect()
+        else:
+            ac_all = []  # nothing can match: zero-job AC stage
         # per-ENTRY overlay first (base ∪ delta keep-best, truncated to k —
         # exactly ac_stage()'s limit), THEN the homoglyph-variant merge:
         # matching search()'s truncation order keeps single↔batch parity

@@ -133,6 +133,7 @@ def topk_search(
     max_driver_chunks: int = 4096,
     stats_out: dict | None = None,
     min_should_match: int | str = 1,
+    one_shot_chunks: int = 64,
 ) -> DataFrame:
     """Exact top-k BM25 over the compressed index → (doc_id, score,
     n_terms_matched) ordered (score desc, doc_id asc).
@@ -215,7 +216,11 @@ def topk_search(
 
     from ..operators.bm25 import es_min_should_match
 
-    msm_n = es_min_should_match(min_should_match, len(terms))
+    # resolve against the DISTINCT term count: n_terms_matched tallies
+    # distinct terms, and ES counts each duplicate clause as matched — a
+    # duplicate-token query resolved against the duplicate-inclusive count
+    # over-filtered (possibly to empty) and diverged from the batch paths
+    msm_n = es_min_should_match(min_should_match, len(dict.fromkeys(terms)))
     score_fn = _score_chunks(k, meta, term_weights, min_match=msm_n)
     par = spark.sparkContext.defaultParallelism
 
@@ -236,8 +241,15 @@ def topk_search(
     # the probe saw the COMPLETE UB ranking iff it wasn't truncated at the
     # cap — only then may driver-side shortcuts assume full knowledge
     complete = len(probe) <= max_driver_chunks
-    if complete and len(probe) <= seed_chunks * 2:
-        # small index: two-phase pruning can't win — one job, done
+    if complete and len(probe) <= max(seed_chunks * 2, one_shot_chunks):
+        # small candidate set: two-phase pruning can't beat its own extra
+        # job round-trips — decoding ≤ one_shot_chunks chunks in ONE job is
+        # cheaper than seed-collect + θ-prune + survivor job even at 0%
+        # survival (each job pays a scheduling floor; the sf0.1 index is 12
+        # chunks and ran three sequential jobs per query).  Exactness is
+        # untouched: scoring every candidate chunk is the pruning-free
+        # upper bound.  Zipf-scale indexes (hundreds of chunks) keep the
+        # two-phase θ path below.
         if stats_out is not None:
             stats_out.update(
                 chunks_total=len(probe), chunks_scored=len(probe), theta=None

@@ -148,7 +148,10 @@ def completed_shards(index_dir: str, n_shards: int, fs=None) -> list[int]:
     return done
 
 
-def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False, fs=None):
+def _encode_shard(
+    index_dir: str, store_positions: bool, salted: bool = False, fs=None,
+    raw: bool = False,
+):
     """Factory for the per-shard applyInPandas encoder.
 
     Receives raw (term, chunk, doc_id, tf, doc_len) postings for one shard;
@@ -170,7 +173,7 @@ def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False, f
         salt = int(key[1]) if salted else None
         t0 = time.monotonic()
         out, n_postings, n_docs_seen = _encode_posting_frame(
-            pdf, shard, store_positions, df_precomputed=salted
+            pdf, shard, store_positions, df_precomputed=salted, raw=raw
         )
         return _write_shard(
             out, shard, salt, n_docs_seen, n_postings, index_dir, fs, t0
@@ -179,15 +182,65 @@ def _encode_shard(index_dir: str, store_positions: bool, salted: bool = False, f
     return encode
 
 
-def _encode_posting_frame(
-    pdf: pd.DataFrame, shard: int, store_positions: bool, df_precomputed: bool = False
-) -> tuple[pd.DataFrame, int, int]:
-    """Raw postings (term, chunk, doc_id, tf, doc_len[, positions][, df]) →
-    (SHARD_SCHEMA pandas frame, n_postings, distinct docs seen).
+def _aggregate_raw_rows(
+    pdf: pd.DataFrame, store_positions: bool
+) -> tuple:
+    """RAW exploded token rows (term, chunk, doc_id, doc_len[, pos]) →
+    per-posting arrays (term_codes, uniq_terms, chunk, doc_id, tf,
+    doc_len, df, flat_positions|None) in the exact (term asc, chunk asc,
+    doc asc[, pos asc]) order the aggregated path produces.
 
-    Fully vectorized group encode: ZERO per-group pandas iteration (a groupby
-    loop here cost ~0.4 ms/group of pure overhead — 240k (term, chunk) groups
-    made it the dominant build cost)."""
+    This is the shuffle-remover's worker half: the index build no longer
+    pre-aggregates (term, doc_id) → tf in a separate JVM exchange — raw
+    tokens move ONCE to their shard and collapse to postings here with a
+    numpy lexsort + run-length pass (guide §1.2/§2.4: the (term, doc_id)
+    aggregation and the shard exchange were keyed compatibly, so one
+    exchange can serve both).  A term's rows still all co-locate in the
+    shard, so df stays derivable locally."""
+    codes, uniqs = pd.factorize(pdf["term"])
+    uniq_arr = np.asarray(uniqs, dtype=object)
+    order_u = np.argsort(uniq_arr)  # lexicographic term order
+    rank_of = np.empty(len(uniq_arr), dtype=np.int64)
+    rank_of[order_u] = np.arange(len(uniq_arr))
+    rank = rank_of[codes]
+    ids0 = pdf["doc_id"].to_numpy(dtype=np.int64)
+    dls0 = pdf["doc_len"].to_numpy(dtype=np.int64)
+    chunk0 = pdf["chunk"].to_numpy(dtype=np.int64)
+    if store_positions:
+        pos0 = pdf["pos"].to_numpy(dtype=np.int64)
+        order = np.lexsort((pos0, ids0, rank))
+        flat_pos = pos0[order]
+    else:
+        order = np.lexsort((ids0, rank))
+        flat_pos = None
+    rank_s = rank[order]
+    ids_s = ids0[order]
+    # posting boundaries: (term, doc) change — chunk is doc-derived, so it
+    # never splits a (term, doc) run
+    newpost = np.empty(ids_s.size, dtype=bool)
+    newpost[0] = True
+    newpost[1:] = (rank_s[1:] != rank_s[:-1]) | (ids_s[1:] != ids_s[:-1])
+    p_starts = np.flatnonzero(newpost)
+    tf = np.diff(np.append(p_starts, ids_s.size)).astype(np.uint64)
+    rank_p = rank_s[p_starts]
+    ids_p = ids_s[p_starts]
+    chunk_p = chunk0[order][p_starts]
+    dls_p = dls0[order][p_starts].astype(np.uint64)
+    # df per term = its posting count (one posting per distinct doc)
+    counts_by_rank = np.bincount(rank_p, minlength=len(uniq_arr))
+    dfv = counts_by_rank[rank_p].astype(np.int64)
+    return (
+        rank_p, uniq_arr[order_u], chunk_p, ids_p, tf, dls_p, dfv, flat_pos
+    )
+
+
+def _prepare_aggregated_rows(
+    pdf: pd.DataFrame, store_positions: bool, df_precomputed: bool
+) -> tuple:
+    """Pre-aggregated postings (term, chunk, doc_id, tf, doc_len
+    [, positions][, df]) → the same per-posting array tuple as
+    ``_aggregate_raw_rows`` (the original encoder input shape, kept for the
+    salted build path and the merge compactor)."""
     pdf = pdf.sort_values(["term", "chunk", "doc_id"], kind="mergesort")
     if df_precomputed:
         # a salted sub-group sees only part of a term's postings, so df
@@ -195,14 +248,55 @@ def _encode_posting_frame(
         df_all = pdf["df"]
     else:
         df_all = pdf.groupby("term", sort=False)["doc_id"].transform("size")
-    pdf = pdf.assign(df=df_all.astype(np.int64))
     term_codes, uniq_terms = pd.factorize(pdf["term"])  # sorted input
-    chunk_np = pdf["chunk"].to_numpy(dtype=np.int64)
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.uint64)
-    dls = pdf["doc_len"].to_numpy(dtype=np.uint64)
-    dfv = pdf["df"].to_numpy(dtype=np.int64)
+    flat_pos = None
+    if store_positions:
+        from itertools import chain
+
+        flat_pos = np.fromiter(
+            chain.from_iterable(pdf["positions"]), dtype=np.int64,
+            count=int(tfs.sum()),
+        )
+    return (
+        term_codes,
+        np.asarray(uniq_terms, dtype=object),
+        pdf["chunk"].to_numpy(dtype=np.int64),
+        pdf["doc_id"].to_numpy(dtype=np.int64),
+        tfs,
+        pdf["doc_len"].to_numpy(dtype=np.uint64),
+        df_all.to_numpy(dtype=np.int64),
+        flat_pos,
+    )
+
+
+def _encode_posting_frame(
+    pdf: pd.DataFrame, shard: int, store_positions: bool,
+    df_precomputed: bool = False, raw: bool = False,
+) -> tuple[pd.DataFrame, int, int]:
+    """Postings → (SHARD_SCHEMA pandas frame, n_postings, distinct docs
+    seen).  ``raw=True`` takes un-aggregated exploded token rows (the
+    one-shuffle build pipeline); otherwise pre-aggregated postings.
+
+    Fully vectorized group encode: ZERO per-group pandas iteration (a groupby
+    loop here cost ~0.4 ms/group of pure overhead — 240k (term, chunk) groups
+    made it the dominant build cost)."""
+    if raw:
+        (term_codes, uniq_terms, chunk_np, ids, tfs, dls, dfv,
+         flat_pos) = _aggregate_raw_rows(pdf, store_positions)
+    else:
+        (term_codes, uniq_terms, chunk_np, ids, tfs, dls, dfv,
+         flat_pos) = _prepare_aggregated_rows(
+            pdf, store_positions, df_precomputed
+        )
     n_postings = ids.size
+    n_docs_seen = int(np.unique(ids).size)
+    if n_postings == 0:
+        out = pd.DataFrame(
+            {f.name: [] for f in SHARD_SCHEMA.fields},
+            columns=[f.name for f in SHARD_SCHEMA.fields],
+        )
+        return out, 0, 0
     newgrp = np.empty(n_postings, dtype=bool)
     newgrp[0] = True
     newgrp[1:] = (term_codes[1:] != term_codes[:-1]) | (chunk_np[1:] != chunk_np[:-1])
@@ -228,14 +322,8 @@ def _encode_posting_frame(
     bmin_dl = np.minimum.reduceat(dls, block_starts).astype(np.int32)
     pos_blobs: list = [None] * len(starts)
     if store_positions:
-        # flatten all per-posting position lists once; delta within each
-        # posting (absolute at posting starts); one grouped varint pass
-        from itertools import chain
-
-        flat_pos = np.fromiter(
-            chain.from_iterable(pdf["positions"]), dtype=np.int64,
-            count=int(tfs.sum()),
-        )
+        # delta within each posting (absolute at posting starts); one
+        # grouped varint pass over the flat position stream
         pos_ends = np.cumsum(tfs.astype(np.int64))
         pos_starts = np.concatenate(([0], pos_ends[:-1]))
         pdeltas = np.empty(flat_pos.size, dtype=np.uint64)
@@ -267,7 +355,7 @@ def _encode_posting_frame(
         },
         columns=[f.name for f in SHARD_SCHEMA.fields],
     )
-    return out, int(n_postings), int(pdf["doc_id"].nunique())
+    return out, int(n_postings), n_docs_seen
 
 
 def _write_shard(
@@ -474,6 +562,12 @@ def build_index(
     # ONE tokenize pass, TWO shuffles, ZERO joins, ZERO caching:
     #   shuffle 1: explode → groupBy(term, doc_id) postings (doc_len carried)
     #   shuffle 2: repartition by shard for the encode stage
+    # (A one-shuffle variant — raw tokens straight to their shard, postings
+    # aggregated inside the encoder via numpy lexsort — was measured at
+    # 240k docs in round 7: 3.4 s vs 2.85 s warm for this pipeline.  The
+    # JVM map-side combine plus a lighter Arrow transfer beat the saved
+    # exchange; the encoder stays byte-compatible with both input shapes
+    # should the trade flip at a different corpus shape.)
     # Corpus stats (n_docs incl. empty docs + Σdoc_len — consistent with
     # ``operators.postings.corpus_stats`` and the DuckDB oracle) ride the
     # SAME pass via an Observation on the pre-explode tokenized node, so at

@@ -686,10 +686,15 @@ def delta_bm25_topk(
             F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
         ).collect()[0]
         n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
+    from pyspark.sql import Window
+
+    # df via a count window over the matched rows' term partition — the
+    # broadcast aggregate subquery it replaces re-evaluated the delta
+    # postings subtree a second time per overlay query
     matched = delta_postings.where(F.col("term").isin(terms))
-    tdf = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
     scored = (
-        matched.join(F.broadcast(tdf), "term")
+        matched.withColumn("df", dfc)
         .withColumn(
             "term_score",
             F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -717,7 +722,10 @@ def delta_bm25_topk(
     )
     from ..operators.bm25 import es_min_should_match
 
-    msm = es_min_should_match(min_should_match, len(terms))
+    # distinct count (same rule as bm25_topk / wand.topk_search): ES counts
+    # duplicate clauses as matched, and n_terms_matched tallies distinct
+    # terms — the overlay must qualify docs exactly like the base side
+    msm = es_min_should_match(min_should_match, len(dict.fromkeys(terms)))
     if msm > 1:
         agg = agg.where(F.col("n_terms_matched") >= msm)
     return (
@@ -775,11 +783,12 @@ def batch_delta_topk(
     term_to_qidx: dict[str, list[tuple[int, float]]] = {}
     for qid, t, w in weighted_terms:
         term_to_qidx.setdefault(t, []).append((qidx[qid], float(w)))
+    from pyspark.sql import Window
+
     matched = delta_postings.where(F.col("term").isin(all_terms))
-    tdf = matched.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    flat = matched.join(F.broadcast(tdf), "term").select(
-        "term", "doc_id", "tf", "doc_len", "df"
-    )
+    flat = matched.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
+    ).select("term", "doc_id", "tf", "doc_len", "df")
     n_groups = max(8, spark.sparkContext.defaultParallelism)
     msm_arr = (
         [min_match_per_qid.get(qid, 1) for qid in qid_list]

@@ -261,3 +261,43 @@ def test_varint_encode_grouped_matches_per_group(values, data):
     got = varint_encode_grouped(arr, starts, ends)
     want = [varint_encode(arr[s:e]) for s, e in zip(starts, ends)]
     assert got == want
+
+
+def test_raw_encode_matches_aggregated():
+    """The raw-input encoder path (un-aggregated exploded token rows) must
+    produce byte-identical shard frames to the pre-aggregated path — the
+    build keeps the two-shuffle pre-aggregated pipeline (measured faster at
+    240k docs, round 7), but the encoder stays input-shape compatible."""
+    import pandas as pd
+
+    from hybrid_sanctions_search_engine_spark.sources.index_io import (
+        _encode_posting_frame,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for doc in range(40):
+        toks = rng.choice(["alpha", "beta", "gamma", "delta", "zz"],
+                          size=rng.integers(3, 12))
+        for pos, t in enumerate(toks):
+            rows.append((t, doc >> 3, doc, len(toks), pos))
+    raw = pd.DataFrame(
+        rows, columns=["term", "chunk", "doc_id", "doc_len", "pos"]
+    ).sample(frac=1.0, random_state=1)  # shuffle arrival order
+    agg = (
+        raw.groupby(["term", "chunk", "doc_id"], sort=False)
+        .agg(
+            tf=("pos", "size"),
+            doc_len=("doc_len", "max"),
+            positions=("pos", lambda s: sorted(s)),
+        )
+        .reset_index()
+    )
+    out_raw, np_raw, nd_raw = _encode_posting_frame(raw, 0, True, raw=True)
+    out_agg, np_agg, nd_agg = _encode_posting_frame(agg, 0, True, raw=False)
+    assert np_raw == np_agg and nd_raw == nd_agg
+    assert len(out_raw) == len(out_agg)
+    for col in out_agg.columns:
+        a = [tuple(v) if isinstance(v, list) else v for v in out_raw[col]]
+        b = [tuple(v) if isinstance(v, list) else v for v in out_agg[col]]
+        assert a == b, col

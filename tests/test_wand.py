@@ -718,6 +718,66 @@ def test_min_should_match_rejected_with_override(spark, corpus):
         )
 
 
+def test_bm25_topk_multi_equals_per_mode(spark, corpus):
+    """bm25_topk_multi (one postings pass, mode fan-out) must reproduce
+    each mode's bm25_topk ranking exactly (9-decimal scores, same docs,
+    same n_terms_matched, same msm resolution)."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import (
+        bm25_topk,
+        bm25_topk_multi,
+    )
+
+    docs, _index_dir, _idx, _meta = corpus
+    modes = [
+        ("all", ["spark", "query", "join"], 1),
+        ("msm75", ["spark", "query", "zzznope"], "75%"),
+    ]
+    multi = bm25_topk_multi(docs, modes, k=10).collect()
+    for m, ts, msm in modes:
+        single = bm25_topk(docs, ts, k=10, min_should_match=msm).collect()
+        got = sorted(
+            (
+                (r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+                for r in multi
+                if r["mode"] == m
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        want = [
+            (r["doc_id"], round(r["score"], 9), r["n_terms_matched"])
+            for r in single
+        ]
+        assert got == want, m
+
+
+def test_msm_duplicate_tokens_resolve_distinct(spark, corpus):
+    """A duplicate-token query ('spark spark query', msm=100%) resolves the
+    minimum against the DISTINCT term count (2) in every path — ES counts
+    each duplicate clause as matched, and n_terms_matched tallies distinct
+    terms, so the old duplicate-inclusive resolution (3) over-filtered the
+    single-query paths to empty and broke batch<->single parity."""
+    from hybrid_sanctions_search_engine_spark.operators.bm25 import bm25_topk
+    from hybrid_sanctions_search_engine_spark.plans.wand import (
+        batch_topk_indexed,
+        topk_search,
+    )
+
+    docs, index_dir, idx, meta = corpus
+    qlist = ["spark", "spark", "query"]
+    single = topk_search(
+        spark, index_dir, qlist, k=5, index_df=idx, meta=meta,
+        min_should_match="100%",
+    ).collect()
+    doc_side = bm25_topk(docs, qlist, k=5, min_should_match="100%").collect()
+    batch = batch_topk_indexed(
+        spark, index_dir, [(1, "spark spark query")], k=5,
+        index_df=idx, meta=meta, min_should_match="100%",
+    ).collect()
+    assert single, "distinct-count resolution must not over-filter to empty"
+    assert [r["doc_id"] for r in single] == [r["doc_id"] for r in batch]
+    assert [r["doc_id"] for r in doc_side] == [r["doc_id"] for r in batch]
+
+
 def test_fused_batch_equals_two_jobs(spark, corpus):
     """The fused AC+fuzzy shape (queries + disjoint override ids in ONE
     job) must be row-identical to running the two jobs separately."""
