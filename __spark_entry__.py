@@ -440,8 +440,13 @@ def q_textstats(spark: SparkSession, sf: str) -> DataFrame:
         lang_id_col,
         token_count_col,
     )
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        widen_narrow_scan,
+    )
 
-    return _docs(spark, sf).select(
+    # widened: the single-file test parquet otherwise evaluates the marker
+    # exprs + tokenizer on one core (see operators/postings.py)
+    return widen_narrow_scan(_docs(spark, sf)).select(
         "doc_id",
         token_count_col(F.col("text")).alias("n_tokens"),
         lang_id_col(F.col("text")).alias("lang_pred"),
@@ -532,10 +537,22 @@ def _doc_embeddings_384(
         embed_texts,
     )
 
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        widen_narrow_scan,
+    )
+
     base = _docs(spark, sf)
     if max_vec_id is not None:
         base = base.where(F.col("doc_id") < max_vec_id)
     base = base.select(F.col("doc_id").alias("vec_id"), "text")
+    if max_vec_id is None:
+        # widen BELOW the Arrow map: the single-file test parquet otherwise
+        # runs the whole-corpus 384-d embedding pass on one core
+        # (partition-preserving mapInPandas inherits the scan's 1
+        # partition; A/B: 0.85-1.2 s → 0.70-0.75 s for knn_cosine_384).
+        # Small prefiltered blocks skip it — the exchange would cost more
+        # than the embed.
+        base = widen_narrow_scan(base)
     return embed_texts(base, PseudoEncoder(KNN_DIM_FULL)).select(
         "vec_id", "embedding"
     )
@@ -851,8 +868,11 @@ def q_smartfilter(spark: SparkSession, sf: str) -> DataFrame:
     from hybrid_sanctions_search_engine_spark.functions.smartfilter import (
         smartfilter_confidence_col,
     )
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        widen_narrow_scan,
+    )
 
-    return _docs(spark, sf).select(
+    return widen_narrow_scan(_docs(spark, sf)).select(
         "doc_id", _r4(smartfilter_confidence_col(F.col("text"))).alias("sf_confidence")
     )
 

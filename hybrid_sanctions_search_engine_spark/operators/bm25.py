@@ -46,7 +46,12 @@ def es_min_should_match(spec: int | str, n_terms: int) -> int:
     positive int N → N; negative int -N → n_terms − N; ``"P%"`` →
     ⌊n_terms·P/100⌋ (rounded down); ``"-P%"`` → n_terms − ⌊n_terms·P/100⌋.
     The result is clamped to [1, n_terms] (a computed value < 1 behaves as
-    1; more required clauses than exist means all are required)."""
+    1).  DOCUMENTED DEVIATION from ES proper: when the requested value
+    exceeds the optional-clause count, ES/Lucene match NOTHING, while this
+    resolver clamps down to n_terms (all terms required) — callers and
+    oracle writers must not assume the ES zero-hit edge; every scorer in
+    this repo applies the clamped value consistently on both engine and
+    oracle sides."""
     if n_terms <= 0:
         return 0
     if isinstance(spec, str):
@@ -345,7 +350,9 @@ def make_batch_group_scorer(
                 if not sel.any():
                     continue
                 for bc, w in zip((cols[sel] - b0).tolist(), wts[sel].tolist()):
-                    acc[bc, p] += c * w
+                    # weight-1.0 (exact AC terms): skip the elementwise
+                    # multiply — same bits, no temp array
+                    acc[bc, p] += c if w == 1.0 else c * w
                     cnt[bc, p] += 1
             # vectorized per-query top-k: one matrix partition finds each
             # query row's k-th matched score; only the ≥k-th candidates (k

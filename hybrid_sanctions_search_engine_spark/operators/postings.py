@@ -55,7 +55,11 @@ def build_postings(docs: DataFrame, text_col: str = "text", positions: bool = Tr
     """→ postings(term, doc_id, tf [, positions array<int>]).
 
     One shuffle (groupBy term, doc_id). With ``positions=False`` the plan is
-    pure count aggregation with map-side combine.
+    pure count aggregation with map-side combine.  (NOT widened: an A/B on
+    the single-file sf0.1 parquet measured the widening repartition LOSING
+    to the serialized tokenize here — the exchange + extra stage cost more
+    than the ~0.3 s of single-core tokenize it parallelizes.  Widening pays
+    only for CPU-heavy per-row stages: embeddings, marker-expr scans.)
     """
     toks = tokenized_documents(docs, text_col)
     exploded = toks.select(

@@ -360,7 +360,8 @@ def knn_ivf_pq_probe_many(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
-) -> DataFrame:
+    as_rows: bool = False,
+) -> "DataFrame | list[tuple[int, int, float]]":
     """Batched IVF-PQ probe → (query_id, id, cos_sim): TWO map-only passes
     for the whole query set (the ``knn_ivf_probe_many`` fused shape,
     round 6 — the per-(query, doc) fan-out never leaves the Arrow task).
@@ -419,5 +420,5 @@ def knn_ivf_pq_probe_many(
         indexed, centroids, queries,
         code_col="pq_code", code_width=m, score_col="adc_score",
         prepare_scorer=prepare, k=k, n_probe=n_probe, refine=refine,
-        id_col=id_col, vec_col=vec_col, cell_col=cell_col,
+        id_col=id_col, vec_col=vec_col, cell_col=cell_col, as_rows=as_rows,
     )

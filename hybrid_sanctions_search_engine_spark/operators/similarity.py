@@ -440,11 +440,19 @@ def knn_ivf_probe_many(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
-) -> DataFrame:
+    as_rows: bool = False,
+) -> "DataFrame | list[tuple[int, int, float]]":
     """Batched IVF ANN probe in ONE map-only pass (round 6): each Arrow
     batch of the pruned union-of-cells scan scores every query against only
     the rows in THAT query's probed cells (an in-task cell mask), emits the
-    batch-local top-k per query, and a k-bounded window merges exactly.
+    task-local top-k per query, and a DRIVER-side merge picks each query's
+    exact global top-k under the same (cos desc, id asc) order the former
+    window produced (round 7: the window exchange + its broadcast-rebuild
+    in downstream joins cost ~0.15-0.2 s of stage floors per batch; the
+    collect is ≤ tasks × |queries| × k rows — task-bounded, never corpus-
+    sized).  ``as_rows=True`` returns the merged (query_id, id, cos_sim)
+    tuples directly (the ladder consumes rows anyway); default returns a
+    DataFrame of exactly those rows.
 
     This replaces the broadcast-join + global-window shape, which
     DUPLICATED each candidate row per probing query (at 960k docs × 100
@@ -458,12 +466,10 @@ def knn_ivf_probe_many(
     tolist, axis=1 doc norms, 1-D query norms, one gemv per query, local
     top-k by (-cos, id) making the window merge exact), so
     search() ≡ search_many() holds on ANN-served plans."""
-    from pyspark.sql import Window
-
     spark = indexed.sparkSession
     out_schema = f"query_id long, {id_col} long, cos_sim double"
     if not queries:
-        return spark.createDataFrame([], out_schema)
+        return [] if as_rows else spark.createDataFrame([], out_schema)
     qids = np.asarray([q for q, _ in queries], dtype=np.int64)
     qmat = np.asarray([v for _, v in queries], dtype=np.float64)
     qnorms = np.array(
@@ -522,12 +528,31 @@ def knn_ivf_probe_many(
         .select(id_col, vec_col, cell_col)
         .mapInPandas(score, out_schema)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        local.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
-        .drop("_rn")
+    merged = merge_local_topk(
+        ((r["query_id"], r[id_col], r["cos_sim"]) for r in local.collect()), k
     )
+    if as_rows:
+        return merged
+    return spark.createDataFrame(merged, out_schema)
+
+
+def merge_local_topk(
+    rows, k: int
+) -> list[tuple[int, int, float]]:
+    """Exact driver-side merge of task-local top-k rows → per-query global
+    top-k under (score desc, id asc) — the same total order the window
+    merge produced, bit-for-bit (python float compare == Spark double
+    compare; ties at the k-th score keep the smallest id).  Input size is
+    ≤ tasks × |queries| × k."""
+    per_q: dict[int, list[tuple[int, int, float]]] = {}
+    for q, i, s in rows:
+        per_q.setdefault(q, []).append((q, i, s))
+    out: list[tuple[int, int, float]] = []
+    for q in sorted(per_q):
+        lst = per_q[q]
+        lst.sort(key=lambda t: (-t[2], t[1]))
+        out.extend(lst[:k])
+    return out
 
 
 _LSH_TOP_BITS = 8

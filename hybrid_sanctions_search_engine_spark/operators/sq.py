@@ -260,7 +260,8 @@ def knn_ivf_sq8_probe_many(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "ivf_cell",
-) -> DataFrame:
+    as_rows: bool = False,
+) -> "DataFrame | list[tuple[int, int, float]]":
     """Batched IVF-SQ8 probe → (query_id, id, cos_sim): the fused
     ``knn_ivf_pq_probe_many`` two-pass shape — one map-only code scan over
     the union of all queries' probed cells (per-query cell mask + decoded
@@ -296,5 +297,5 @@ def knn_ivf_sq8_probe_many(
         indexed, centroids, queries,
         code_col="sq_code", code_width=dim, score_col="sq_score",
         prepare_scorer=prepare, k=k, n_probe=n_probe, refine=refine,
-        id_col=id_col, vec_col=vec_col, cell_col=cell_col,
+        id_col=id_col, vec_col=vec_col, cell_col=cell_col, as_rows=as_rows,
     )

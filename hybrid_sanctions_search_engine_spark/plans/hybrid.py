@@ -1181,21 +1181,22 @@ class HybridSearchPlan:
 
             qvecs = {q: self.encoder.encode_one(qtext[q]) for q in targets}
             ivf_hits = None
+            hit_rows: list | None = None
             if self.ann_index_dir is not None and self.ann_kind == "ivf":
                 # fused per-cell batched scorer (round 6): ONE map-only pass
                 # over the pruned cell union; each Arrow task masks each
                 # query to its own probed cells and emits k-bounded local
-                # top-ks — no per-(query, row) join fan-out, no full-volume
-                # window exchange (was ~1.1M duplicated rows at 960k × 100
-                # speculative queries)
+                # top-ks — no per-(query, row) join fan-out.  as_rows
+                # (round 7): the exact top-k merge happens DRIVER-side over
+                # the task-local tops (≤ tasks × nq × k rows) — the window
+                # exchange and its broadcast-rebuild in the rerank join
+                # were ~0.2-0.3 s of pure stage floors per batch.
                 from ..operators.similarity import knn_ivf_probe_many
 
-                ivf_hits = knn_ivf_probe_many(
+                hit_rows = knn_ivf_probe_many(
                     self.ann_df, self.ann_centroids,
                     [(q, qvecs[q]) for q in targets],
-                    k=k, n_probe=self.ann_n_probe,
-                ).select(
-                    "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
+                    k=k, n_probe=self.ann_n_probe, as_rows=True,
                 )
                 base = None
             elif self.ann_index_dir is not None and self.ann_kind == "ivf_pq":
@@ -1205,12 +1206,11 @@ class HybridSearchPlan:
                 # exact, so batch↔single parity holds at 9 decimals
                 from ..operators.pq import knn_ivf_pq_probe_many
 
-                ivf_hits = knn_ivf_pq_probe_many(
+                hit_rows = knn_ivf_pq_probe_many(
                     self.ann_df, self.ann_centroids, self.ann_codebooks,
                     [(q, qvecs[q]) for q in targets],
                     k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
-                ).select(
-                    "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
+                    as_rows=True,
                 )
                 base = None
             elif self.ann_index_dir is not None and self.ann_kind == "ivf_sq8":
@@ -1219,12 +1219,11 @@ class HybridSearchPlan:
                 # multiply-reduce scores), cosines exact after re-rank
                 from ..operators.sq import knn_ivf_sq8_probe_many
 
-                ivf_hits = knn_ivf_sq8_probe_many(
+                hit_rows = knn_ivf_sq8_probe_many(
                     self.ann_df, self.ann_centroids, self.ann_vmin,
                     self.ann_vmax, [(q, qvecs[q]) for q in targets],
                     k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
-                ).select(
-                    "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
+                    as_rows=True,
                 )
                 base = None
             elif self.ann_index_dir is not None and self.ann_kind == "lsh_mb":
@@ -1307,8 +1306,8 @@ class HybridSearchPlan:
                 )
             else:
                 base = None
-            if ivf_hits is not None:
-                hits = ivf_hits
+            if hit_rows is not None:
+                hits = None
             elif base is not None:
                 # Arrow cosine at EVERY dim: the batched probe scores
                 # |escalating| × cell-population pairs (~370k at 960k docs ×
@@ -1358,7 +1357,21 @@ class HybridSearchPlan:
                 dhits = knn_bruteforce_many(
                     self.delta_embeddings, [(q, qvecs[q]) for q in targets], k=k
                 ).select("query_id", F.col("vec_id").alias("doc_id"), "cos_sim")
-                if hits is None:
+                if hit_rows is not None:
+                    # base rows + collected delta top-k, re-top-k'd driver-
+                    # side under the same (cos desc, doc asc) order the
+                    # union+window produced (delta ids disjoint from base)
+                    from ..operators.similarity import merge_local_topk
+
+                    hit_rows = merge_local_topk(
+                        list(hit_rows)
+                        + [
+                            (r["query_id"], r["doc_id"], r["cos_sim"])
+                            for r in dhits.collect()
+                        ],
+                        k,
+                    )
+                elif hits is None:
                     hits = dhits
                 else:
                     wv2 = Window.partitionBy("query_id").orderBy(
@@ -1370,7 +1383,8 @@ class HybridSearchPlan:
                         .where(F.col("rn") <= k)
                         .drop("rn")
                     )
-            hits = hits.withColumn("score", F.col("cos_sim"))
+            if hits is not None:
+                hits = hits.withColumn("score", F.col("cos_sim"))
             # qtext (for the L9 rerank) + pre-extracted anchors join in as a
             # broadcast side table; doc text joins only transiently for the
             # in-cluster exprs and never reaches the driver
@@ -1408,6 +1422,16 @@ class HybridSearchPlan:
             if not opts.rapidfuzz_rerank and all(
                 not a[0] and not a[1] for a in anchors.values()
             ):
+                if hit_rows is not None:
+                    # driver-merged rows: ZERO further jobs on this path
+                    for q, d, c in hit_rows:
+                        vec_rows[q].append(
+                            {
+                                "query_id": q, "doc_id": d, "score": c,
+                                "cos_sim": c, "anchor_mult": 1.0,
+                            }
+                        )
+                    return vec_rows
                 for r in hits.withColumn(
                     "anchor_mult", F.lit(1.0)
                 ).select(
@@ -1415,6 +1439,14 @@ class HybridSearchPlan:
                 ).collect():
                     vec_rows[r["query_id"]].append(r)
                 return vec_rows
+            if hit_rows is not None:
+                # rerank path: the merged rows become a LOCAL broadcast side
+                # (no subplan rebuild — the former broadcast re-planned the
+                # whole probe+window subtree as its build job)
+                hits = spark.createDataFrame(
+                    [(q, d, c, c) for q, d, c in hit_rows],
+                    "query_id long, doc_id long, cos_sim double, score double",
+                )
             # the ≤ nq×k hit set broadcasts INTO the doc store (base ∪ delta;
             # the big side streams through a broadcast hash join — never
             # shuffled), same shape as search()'s single-query text probe

@@ -1292,7 +1292,19 @@ def merge_compact(
     folded_record = meta.folded_delta_files
     if delta_files is not None:
         snapshot = {os.path.basename(f) for f in delta_files}
-        prior = set(meta.folded_delta_files or []) & snapshot
+        if _recover_depth > 0:
+            # recovery recursions run on a SUBSET snapshot (the crashed
+            # fold's recorded files): intersecting the ledger against it
+            # would DROP entries for earlier folded-but-undeleted files
+            # (crash in the delete window), and the full-snapshot redo
+            # would then re-merge their postings into shards that already
+            # contain them — silent double-fold.  Preserve every prior
+            # entry here; entries for files a compact job has since
+            # deleted age out at the next TOP-LEVEL fold, whose snapshot
+            # is the real delta-dir listing.
+            prior = set(meta.folded_delta_files or [])
+        else:
+            prior = set(meta.folded_delta_files or []) & snapshot
         folded_record = sorted(prior | set(files_folded))
     new_meta = IndexMeta(
         n_docs=new_n,

@@ -817,6 +817,94 @@ def test_merge_compact_recovers_crashed_fold_before_meta_commit(
     assert len(sub["fps"]) == 2
 
 
+def test_recovery_recursion_preserves_prior_fold_ledger(
+    spark, sf_smoke_dir, tmp_path
+):
+    """A COMPLETED fold A whose files are still in the delta dir (crash in
+    the delete window), then fold B crashes before ITS meta commit, then C
+    arrives.  The rerun's recovery recursion re-runs fold B on B's subset
+    snapshot — its ledger commit must PRESERVE A's entry (the old code
+    intersected the ledger with the subset snapshot, dropping A, and the
+    full-snapshot redo then re-merged A's postings into shards that
+    already contain them — silent double-fold)."""
+    import json as _json
+    import os as _os
+
+    from hybrid_sanctions_search_engine_spark.operators.postings import (
+        build_postings,
+    )
+    from hybrid_sanctions_search_engine_spark.plans.wand import topk_search
+    from hybrid_sanctions_search_engine_spark.sources.index_io import IndexMeta
+    from hybrid_sanctions_search_engine_spark.streaming.incremental import (
+        DELTA_STATS_SUB_FILE,
+        merge_compact,
+    )
+
+    docs = spark.read.parquet(_os.path.join(sf_smoke_dir, "documents.parquet"))
+    base_docs = docs.where(F.col("doc_id") % 4 == 0)
+    waves = [docs.where(F.col("doc_id") % 4 == r) for r in (1, 2, 3)]
+
+    idx_dir = str(tmp_path / "dl_idx")
+    delta_dir = str(tmp_path / "dl_delta")
+    build_index(base_docs, idx_dir, n_shards=4, chunk_bits=6, resume=False)
+
+    def delta_files():
+        return sorted(
+            _os.path.join(delta_dir, f)
+            for f in _os.listdir(delta_dir)
+            if f.endswith(".parquet")
+        )
+
+    meta_path = _os.path.join(idx_dir, "_index_meta.json")
+    sub_path = _os.path.join(delta_dir, DELTA_STATS_SUB_FILE)
+
+    # fold A COMPLETES (meta records A in folded_delta_files) but its file
+    # is never deleted from the delta dir
+    build_postings(waves[0], positions=False).coalesce(1).write.mode(
+        "append"
+    ).parquet(delta_dir)
+    merge_compact(spark, idx_dir, delta_files=delta_files())
+    assert IndexMeta.load(idx_dir).folded_delta_files
+
+    # snapshot the post-A state, then fold B and crash before ITS meta
+    # commit (shard manifests final for B, meta + stats ledger restored)
+    with open(meta_path) as fh:
+        post_a_meta = fh.read()
+    with open(sub_path) as fh:
+        post_a_sub = fh.read()
+    build_postings(waves[1], positions=False).coalesce(1).write.mode(
+        "append"
+    ).parquet(delta_dir)
+    merge_compact(spark, idx_dir, delta_files=delta_files())
+    with open(meta_path, "w") as fh:
+        fh.write(post_a_meta)
+    with open(sub_path, "w") as fh:
+        fh.write(post_a_sub)
+
+    # C arrives; the rerun over {A, B, C} must recover fold B and fold C
+    # exactly once each, never re-merging A
+    build_postings(waves[2], positions=False).coalesce(1).write.mode(
+        "append"
+    ).parquet(delta_dir)
+    rep = merge_compact(spark, idx_dir, delta_files=delta_files())
+    assert not rep.get("noop")
+
+    scratch = str(tmp_path / "dl_scratch")
+    build_index(docs, scratch, n_shards=4, chunk_bits=6, resume=False)
+    m, s = IndexMeta.load(idx_dir), IndexMeta.load(scratch)
+    assert (m.n_docs, m.total_tokens) == (s.n_docs, s.total_tokens)
+    for q in ["spark query join", "window"]:
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, idx_dir, q, k=10).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in topk_search(spark, scratch, q, k=10).collect()
+        ]
+        assert got == want, q
+
+
 def test_merge_compact_fp_distinguishes_aliasing_deltas(
     spark, sf_smoke_dir, tmp_path
 ):
