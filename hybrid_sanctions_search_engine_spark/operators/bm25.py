@@ -167,7 +167,9 @@ def bm25_topk_multi(
     scored once and fanned out to modes through a tiny broadcast membership
     join, so a two-mode entry query stops tokenizing the corpus once per
     mode (it was 4+ tokenize passes: two scoring branches and two df
-    subqueries)."""
+    subqueries).  With ``stats=None`` the corpus statistics ride the SAME
+    action as a broadcast 1-row aggregate instead of a separate
+    driver-blocking job — identical doubles, one fewer action round trip."""
     from pyspark.sql import Window
 
     spark = docs.sparkSession
@@ -175,10 +177,32 @@ def bm25_topk_multi(
         postings = build_postings(docs, text_col, positions=False)
     if dl is None:
         dl = doc_lengths(docs, text_col)
-    if stats is None:
-        stats = corpus_stats(docs, text_col)
     union_terms = sorted({t for _, ts, _ in modes for t in ts})
-    scored = score_terms(postings, dl, union_terms, stats, k1, b)
+    matched = postings.where(F.col("term").isin(union_terms))
+    with_dl = (
+        matched if "doc_len" in matched.columns else matched.join(dl, "doc_id")
+    )
+    df_col = (
+        F.count(F.lit(1)).over(Window.partitionBy("term")).cast("double")
+    )
+    if stats is None:
+        sdf = dl.agg(
+            F.count(F.lit(1)).cast("double").alias("_bm25_n_docs"),
+            F.avg("doc_len").alias("_bm25_avgdl"),
+        )
+        with_dl = with_dl.crossJoin(F.broadcast(sdf))
+        n_col, a_col = F.col("_bm25_n_docs"), F.col("_bm25_avgdl")
+    else:
+        n_col, a_col = F.lit(float(stats.n_docs)), F.lit(float(stats.avgdl))
+    # same expression shape as idf_col/tfnorm_col with the stats as columns
+    term_score = (
+        F.log(F.lit(1.0) + (n_col - df_col + 0.5) / (df_col + 0.5))
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") / a_col))
+    )
+    scored = with_dl.withColumn("term_score", term_score).select(
+        "doc_id", "term", "tf", "term_score"
+    )
     members = spark.createDataFrame(
         [
             (m, t)

@@ -176,10 +176,23 @@ def fused_cell_probe_many(
 
     surv = pruned.where(F.col(id_col).isin(union_ids)).select(id_col, vec_col)
     scored = surv.mapInPandas(rerank, out_schema)
-    merged = merge_local_topk(
-        ((r["query_id"], r[id_col], r["cos_sim"]) for r in scored.collect()),
-        k,
-    )
     if as_rows:
-        return merged
-    return spark.createDataFrame(merged, out_schema)
+        # rerank-free serving: driver-merge the re-ranked task-local tops
+        # (collect ≤ tasks × nq × k rows) — no final window, no further job
+        return merge_local_topk(
+            (
+                (r["query_id"], r[id_col], r["cos_sim"])
+                for r in scored.collect()
+            ),
+            k,
+        )
+    # lazy subplan (default): downstream joins keep probe+merge+join in one
+    # Spark action
+    from pyspark.sql import Window
+
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -528,12 +528,24 @@ def knn_ivf_probe_many(
         .select(id_col, vec_col, cell_col)
         .mapInPandas(score, out_schema)
     )
-    merged = merge_local_topk(
-        ((r["query_id"], r[id_col], r["cos_sim"]) for r in local.collect()), k
-    )
     if as_rows:
-        return merged
-    return spark.createDataFrame(merged, out_schema)
+        # rerank-free serving: merge the task-local tops on the DRIVER
+        # (collect ≤ tasks × nq × k rows) — no window exchange, no
+        # further job for the consumer
+        return merge_local_topk(
+            ((r["query_id"], r[id_col], r["cos_sim"]) for r in local.collect()),
+            k,
+        )
+    # lazy subplan (default): consumers that JOIN the hits downstream keep
+    # the whole probe+merge+join as ONE Spark action
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
 
 
 def merge_local_topk(

@@ -1180,6 +1180,24 @@ class HybridSearchPlan:
             import numpy as np
 
             qvecs = {q: self.encoder.encode_one(qtext[q]) for q in targets}
+            # the L10 anchors decide — BEFORE the probe — whether a doc-text
+            # probe will run at all: with the fuzz rerank off and no anchors
+            # the merged rows can stay on the driver (zero further jobs),
+            # while the rerank path wants the probe as a LAZY subplan so the
+            # whole vector stage stays ONE Spark action (an eager probe
+            # collect + local re-broadcast measured ~0.5 s slower per batch
+            # at sf0.1 — two action round trips against one)
+            anchors = {
+                q: (
+                    extract_anchors(qtext[q])
+                    if opts.enable_anchor_boost
+                    else ([], [])
+                )
+                for q in targets
+            }
+            need_text_probe = opts.rapidfuzz_rerank or any(
+                a[0] or a[1] for a in anchors.values()
+            )
             ivf_hits = None
             hit_rows: list | None = None
             if self.ann_index_dir is not None and self.ann_kind == "ivf":
@@ -1187,17 +1205,25 @@ class HybridSearchPlan:
                 # over the pruned cell union; each Arrow task masks each
                 # query to its own probed cells and emits k-bounded local
                 # top-ks — no per-(query, row) join fan-out.  as_rows
-                # (round 7): the exact top-k merge happens DRIVER-side over
-                # the task-local tops (≤ tasks × nq × k rows) — the window
-                # exchange and its broadcast-rebuild in the rerank join
-                # were ~0.2-0.3 s of pure stage floors per batch.
+                # (round 7, rerank-free path): the exact top-k merge happens
+                # DRIVER-side over the task-local tops (≤ tasks × nq × k
+                # rows), and no further job runs at all.
                 from ..operators.similarity import knn_ivf_probe_many
 
-                hit_rows = knn_ivf_probe_many(
-                    self.ann_df, self.ann_centroids,
-                    [(q, qvecs[q]) for q in targets],
-                    k=k, n_probe=self.ann_n_probe, as_rows=True,
-                )
+                if need_text_probe:
+                    ivf_hits = knn_ivf_probe_many(
+                        self.ann_df, self.ann_centroids,
+                        [(q, qvecs[q]) for q in targets],
+                        k=k, n_probe=self.ann_n_probe,
+                    ).select(
+                        "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
+                    )
+                else:
+                    hit_rows = knn_ivf_probe_many(
+                        self.ann_df, self.ann_centroids,
+                        [(q, qvecs[q]) for q in targets],
+                        k=k, n_probe=self.ann_n_probe, as_rows=True,
+                    )
                 base = None
             elif self.ann_index_dir is not None and self.ann_kind == "ivf_pq":
                 # same fused two-pass shape as the flat-IVF batch (ADC over
@@ -1206,12 +1232,21 @@ class HybridSearchPlan:
                 # exact, so batch↔single parity holds at 9 decimals
                 from ..operators.pq import knn_ivf_pq_probe_many
 
-                hit_rows = knn_ivf_pq_probe_many(
-                    self.ann_df, self.ann_centroids, self.ann_codebooks,
-                    [(q, qvecs[q]) for q in targets],
-                    k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
-                    as_rows=True,
-                )
+                if need_text_probe:
+                    ivf_hits = knn_ivf_pq_probe_many(
+                        self.ann_df, self.ann_centroids, self.ann_codebooks,
+                        [(q, qvecs[q]) for q in targets],
+                        k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
+                    ).select(
+                        "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
+                    )
+                else:
+                    hit_rows = knn_ivf_pq_probe_many(
+                        self.ann_df, self.ann_centroids, self.ann_codebooks,
+                        [(q, qvecs[q]) for q in targets],
+                        k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
+                        as_rows=True,
+                    )
                 base = None
             elif self.ann_index_dir is not None and self.ann_kind == "ivf_sq8":
                 # int8 layout, same fused two-pass shape; candidate
@@ -1219,12 +1254,21 @@ class HybridSearchPlan:
                 # multiply-reduce scores), cosines exact after re-rank
                 from ..operators.sq import knn_ivf_sq8_probe_many
 
-                hit_rows = knn_ivf_sq8_probe_many(
-                    self.ann_df, self.ann_centroids, self.ann_vmin,
-                    self.ann_vmax, [(q, qvecs[q]) for q in targets],
-                    k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
-                    as_rows=True,
-                )
+                if need_text_probe:
+                    ivf_hits = knn_ivf_sq8_probe_many(
+                        self.ann_df, self.ann_centroids, self.ann_vmin,
+                        self.ann_vmax, [(q, qvecs[q]) for q in targets],
+                        k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
+                    ).select(
+                        "query_id", F.col("vec_id").alias("doc_id"), "cos_sim"
+                    )
+                else:
+                    hit_rows = knn_ivf_sq8_probe_many(
+                        self.ann_df, self.ann_centroids, self.ann_vmin,
+                        self.ann_vmax, [(q, qvecs[q]) for q in targets],
+                        k=k, n_probe=self.ann_n_probe, refine=self.ann_refine,
+                        as_rows=True,
+                    )
                 base = None
             elif self.ann_index_dir is not None and self.ann_kind == "lsh_mb":
                 import os as _os
@@ -1308,6 +1352,8 @@ class HybridSearchPlan:
                 base = None
             if hit_rows is not None:
                 hits = None
+            elif ivf_hits is not None:
+                hits = ivf_hits
             elif base is not None:
                 # Arrow cosine at EVERY dim: the batched probe scores
                 # |escalating| × cell-population pairs (~370k at 960k docs ×
@@ -1388,14 +1434,6 @@ class HybridSearchPlan:
             # qtext (for the L9 rerank) + pre-extracted anchors join in as a
             # broadcast side table; doc text joins only transiently for the
             # in-cluster exprs and never reaches the driver
-            anchors = {
-                q: (
-                    extract_anchors(qtext[q])
-                    if opts.enable_anchor_boost
-                    else ([], [])
-                )
-                for q in targets
-            }
             qmeta = spark.createDataFrame(
                 [
                     {
@@ -1419,9 +1457,7 @@ class HybridSearchPlan:
             # 1.0), so batch↔single parity is preserved.
             if cancel is not None and cancel.is_set():
                 return vec_rows  # abandoned: don't submit the final job
-            if not opts.rapidfuzz_rerank and all(
-                not a[0] and not a[1] for a in anchors.values()
-            ):
+            if not need_text_probe:
                 if hit_rows is not None:
                     # driver-merged rows: ZERO further jobs on this path
                     for q, d, c in hit_rows:
@@ -1439,14 +1475,6 @@ class HybridSearchPlan:
                 ).collect():
                     vec_rows[r["query_id"]].append(r)
                 return vec_rows
-            if hit_rows is not None:
-                # rerank path: the merged rows become a LOCAL broadcast side
-                # (no subplan rebuild — the former broadcast re-planned the
-                # whole probe+window subtree as its build job)
-                hits = spark.createDataFrame(
-                    [(q, d, c, c) for q, d, c in hit_rows],
-                    "query_id long, doc_id long, cos_sim double, score double",
-                )
             # the ≤ nq×k hit set broadcasts INTO the doc store (base ∪ delta;
             # the big side streams through a broadcast hash join — never
             # shuffled), same shape as search()'s single-query text probe
