@@ -605,7 +605,10 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
         cosine_pairs,
     )
 
-    emb = _doc_embeddings_384(spark, sf, max_vec_id=100)
+    # persist the 100-row embedding block: the cross join otherwise runs
+    # the Arrow embedding stage once per join side (broadcast build +
+    # stream); the cache is ≤ 100 × 384 doubles
+    emb = _doc_embeddings_384(spark, sf, max_vec_id=100).persist()
     pairs = cosine_pairs(emb, emb, threshold=0.6, arrow=True)
     return pairs.select(
         "id_a", "id_b", _r4("cos_sim").alias("cos_sim")
