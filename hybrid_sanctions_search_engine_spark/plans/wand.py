@@ -166,6 +166,30 @@ def topk_search(
         F.col("shard").isin(shards) & F.col("term").isin(terms)
     )
 
+    from ..operators.bm25 import es_min_should_match
+
+    msm_n = es_min_should_match(min_should_match, len(dict.fromkeys(terms)))
+    par = spark.sparkContext.defaultParallelism
+    # metadata-only fast path: when the WHOLE index has at most
+    # one_shot_chunks chunks (dense-id estimate from IndexMeta), every
+    # query's candidate set fits the one-shot bound — skip the UB probe
+    # job entirely and score all matched chunks in ONE job (exact: the
+    # pruning-free upper bound; the probe + θ machinery only ever SKIPS
+    # work).  Callers asking for pruning telemetry (stats_out) keep the
+    # probing path.
+    est_chunks = max(1, int(meta.n_docs) >> meta.chunk_bits)
+    if stats_out is None and est_chunks <= max(seed_chunks * 2, one_shot_chunks):
+        score_fn = _score_chunks(k, meta, term_weights, min_match=msm_n)
+        return (
+            group_partitioned(
+                matched, F.col("chunk"), max(1, min(est_chunks, par * 2))
+            )
+            .groupBy("chunk")
+            .applyInPandas(score_fn, RESULT_SCHEMA)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     # Chunk upper bounds from block metadata only (no binary decode), kept
     # IN THE CLUSTER: chunk count grows linearly with the corpus
     # (doc_id >> chunk_bits ⇒ ~15M chunks at 10^12 docs), so the driver only
@@ -214,15 +238,12 @@ def topk_search(
     if not probe:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
-    from ..operators.bm25 import es_min_should_match
-
-    # resolve against the DISTINCT term count: n_terms_matched tallies
-    # distinct terms, and ES counts each duplicate clause as matched — a
-    # duplicate-token query resolved against the duplicate-inclusive count
-    # over-filtered (possibly to empty) and diverged from the batch paths
-    msm_n = es_min_should_match(min_should_match, len(dict.fromkeys(terms)))
+    # msm_n resolved above against the DISTINCT term count: n_terms_matched
+    # tallies distinct terms, and ES counts each duplicate clause as
+    # matched — a duplicate-token query resolved against the duplicate-
+    # inclusive count over-filtered (possibly to empty) and diverged from
+    # the batch paths
     score_fn = _score_chunks(k, meta, term_weights, min_match=msm_n)
-    par = spark.sparkContext.defaultParallelism
 
     def run(chunks: list[int]) -> DataFrame:
         # explicit AQE-exempt partitioning: the decode+score work per chunk
