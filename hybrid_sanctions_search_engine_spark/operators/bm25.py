@@ -415,6 +415,48 @@ def make_batch_group_scorer(
     return score_group
 
 
+def _aggregate_exploded_rows(pdf):
+    """Raw exploded token rows (term, doc_id, doc_len, df) → the numpy
+    dict shape ``make_batch_group_scorer`` consumes, with tf computed by a
+    run-length pass after an in-task lexsort.  Groups partition the doc
+    space and carry every matched term of their docs, so the in-task tf
+    equals the global (term, doc_id) aggregation — this removes the
+    groupBy exchange from ``batch_topk``'s inline path (the exploded rows
+    were already moving through the doc-group repartition anyway)."""
+    import numpy as np
+    import pandas as pd
+
+    if pdf.empty:
+        return {
+            "term_codes": np.empty(0, dtype=np.int64),
+            "uniq_terms": np.empty(0, dtype=object),
+            "doc_id": np.empty(0, dtype=np.int64),
+            "tf": np.empty(0, dtype=np.int64),
+            "doc_len": np.empty(0, dtype=np.int64),
+            "df": np.empty(0, dtype=np.int64),
+        }
+    codes, uniq = pd.factorize(pdf["term"])
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    dls = pdf["doc_len"].to_numpy(dtype=np.int64)
+    dfv = pdf["df"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ids, codes))
+    cs, is_ = codes[order], ids[order]
+    newpost = np.empty(cs.size, dtype=bool)
+    newpost[0] = True
+    newpost[1:] = (cs[1:] != cs[:-1]) | (is_[1:] != is_[:-1])
+    starts = np.flatnonzero(newpost)
+    tf = np.diff(np.append(starts, cs.size))
+    sel = order[starts]
+    return {
+        "term_codes": cs[starts].astype(np.int64),
+        "uniq_terms": np.asarray(uniq, dtype=object),
+        "doc_id": ids[sel],
+        "tf": tf.astype(np.int64),
+        "doc_len": dls[sel],
+        "df": dfv[sel],
+    }
+
+
 def batch_topk(
     docs: DataFrame,
     queries: list[tuple[int, str]],
@@ -445,8 +487,6 @@ def batch_topk(
     from pyspark.sql import Window
 
     inline_postings = postings is None
-    if inline_postings:
-        postings = build_postings(docs, text_col, positions=False)
     if stats is None:
         stats = corpus_stats(docs, text_col)
     spark = docs.sparkSession
@@ -474,9 +514,10 @@ def batch_topk(
     # shuffles ≤ |terms| rows per partition).  A term window instead would
     # serialize: ≤ |query terms| distinct keys coalesce to ~1 partition.
     # Cached/precomputed postings keep the direct aggregate over them.
-    matched = postings.where(F.col("term").isin(all_terms))
+    flatten = None
     if inline_postings:
         from ..functions.tokenize import spark_index_tokens
+        from .postings import tokenized_documents
 
         tdf = (
             docs.select(
@@ -488,13 +529,27 @@ def batch_topk(
             .groupBy("term")
             .agg(F.count("*").cast("double").alias("df"))
         )
+        # inline path skips the (term, doc_id) aggregation EXCHANGE: raw
+        # exploded rows go straight through the doc-group repartition and
+        # tf is a run-length pass inside the scorer task (groups hold every
+        # matched row of their docs, so the in-task tf is the global tf)
+        exploded = tokenized_documents(docs, text_col).select(
+            "doc_id", "doc_len", F.explode("tokens").alias("term")
+        )
+        flat = (
+            exploded.where(F.col("term").isin(all_terms))
+            .join(F.broadcast(tdf), "term")
+            .select("term", "doc_id", "doc_len", "df")
+        )
+        flatten = _aggregate_exploded_rows
     else:
+        matched = postings.where(F.col("term").isin(all_terms))
         tdf = matched.groupBy("term").agg(
             F.count("*").cast("double").alias("df")
         )
-    flat = matched.join(F.broadcast(tdf), "term").select(
-        "term", "doc_id", "tf", "doc_len", "df"
-    )
+        flat = matched.join(F.broadcast(tdf), "term").select(
+            "term", "doc_id", "tf", "doc_len", "df"
+        )
     n_terms_of = {
         qid: len(dict.fromkeys(py_index_tokens(q))) for qid, q in queries
     }
@@ -504,6 +559,7 @@ def batch_topk(
     ]
     scorer = make_batch_group_scorer(
         term_to_qidx, qid_list, stats.n_docs, stats.avgdl, k1, b, k,
+        flatten=flatten,
         min_match_per_qidx=msm_arr,
     )
     grp_key = F.pmod(F.col("doc_id"), F.lit(n_groups))
